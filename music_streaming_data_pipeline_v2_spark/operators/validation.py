@@ -1,0 +1,153 @@
+"""Schema validation and coerce-and-drop cleaning (reference P2-P5, F1-F7).
+
+The reference validates with pandas, row-oriented on a single Airflow
+worker (reference dags/tasks/validate.py:46-128). Here the same semantics
+are DataFrame transforms — distributed, Catalyst-optimizable, zero UDFs:
+
+- pandas ``dropna(subset=...)``            → ``df.na.drop(subset=...)``
+- ``pd.to_numeric(errors='coerce')``       → ``try_cast`` (null on failure)
+- ``pd.to_datetime(errors='coerce')``      → ``to_timestamp`` / ``try_cast``
+- ``.between(13, 120)``                    → ``col.between(13, 120)``
+- ``fillna(0).astype('int32')``            → ``coalesce(try_cast(...), 0)``
+- ``.str.lower().str.strip()``             → ``lower(trim(col))``
+- required-column check                    → ``validate_columns`` assertion
+
+The coercion quirks are preserved deliberately so results match the
+reference row-for-row (SURVEY.md §7 "hard parts" (a)):
+
+- users: age must be numeric AND in [13,120] (validate.py:55); bad
+  ``created_at`` rows are dropped (validate.py:58-60).
+- songs: ``key``/``mode``/``time_signature`` coerce-null → 0
+  (validate.py:84, 86, 93) while ``popularity``/``duration_ms``
+  coerce-null → row dropped (validate.py:74-75).
+- streams: unparseable ``listen_time`` → dropped (validate.py:114-121);
+  an input that cleans to zero rows is a hard error (validate.py:124-125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SchemaError(ValueError):
+    """A dataset is missing required columns (validate.py:36-44)."""
+
+
+class EmptyResultError(ValueError):
+    """All rows were dropped by validation (validate.py:124-125)."""
+
+
+def validate_columns(df: DataFrame, required: list[str], name: str) -> None:
+    """Required-column contract check (validate.py:36-44)."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise SchemaError(f"{name} missing required columns: {missing}")
+
+
+def _coerce_int(col: str, dtype: str = "int") -> F.Column:
+    """``pd.to_numeric(errors='coerce')`` then int cast: null on failure."""
+    return F.col(col).cast("string").try_cast("double").cast(dtype)
+
+
+def _coerce_int_fill0(col: str, dtype: str = "int") -> F.Column:
+    """``pd.to_numeric(errors='coerce').fillna(0)`` (validate.py:84,86,93)."""
+    return F.coalesce(_coerce_int(col, dtype), F.lit(0).cast(dtype))
+
+
+def validate_users(df: DataFrame) -> DataFrame:
+    """Clean the users dimension (validate.py:46-63).
+
+    Input may be raw strings (CSV); output matches schemas.USERS.
+    """
+    validate_columns(
+        df, ["user_id", "user_name", "user_age", "user_country", "created_at"], "users"
+    )
+    age = F.col("user_age").cast("string").try_cast("double")
+    created = F.col("created_at").cast("string").try_cast("timestamp")
+    return (
+        df.na.drop(subset=["user_id", "user_name", "user_age", "created_at"])
+        .filter(age.between(13, 120))
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("user_name").cast("string").alias("user_name"),
+            age.cast("int").alias("user_age"),
+            F.col("user_country").cast("string").alias("user_country"),
+            created.alias("created_at"),
+        )
+        .na.drop(subset=["created_at"])
+    )
+
+
+def validate_songs(df: DataFrame) -> DataFrame:
+    """Clean the songs dimension (validate.py:65-102)."""
+    validate_columns(
+        df,
+        ["track_id", "track_name", "artists", "popularity", "duration_ms", "track_genre"],
+        "songs",
+    )
+    pop = _coerce_int("popularity")
+    dur = _coerce_int("duration_ms")
+    floats = [
+        "danceability",
+        "energy",
+        "loudness",
+        "speechiness",
+        "acousticness",
+        "instrumentalness",
+        "liveness",
+        "valence",
+        "tempo",
+    ]
+    return (
+        df.na.drop(
+            subset=["track_id", "track_name", "popularity", "duration_ms", "track_genre"]
+        )
+        .filter(pop.isNotNull() & dur.isNotNull())
+        .select(
+            _coerce_int("id").alias("id"),
+            F.col("track_id").cast("string").alias("track_id"),
+            F.col("track_name").cast("string").alias("track_name"),
+            F.col("album_name").cast("string").alias("album_name"),
+            F.col("artists").cast("string").alias("artists"),
+            pop.alias("popularity"),
+            dur.alias("duration_ms"),
+            _coerce_int("explicit", "tinyint").alias("explicit"),
+            *[F.col(c).cast("string").try_cast("float").alias(c) for c in floats[:2]],
+            _coerce_int_fill0("key").alias("key"),
+            F.col("loudness").cast("string").try_cast("float").alias("loudness"),
+            _coerce_int_fill0("mode").alias("mode"),
+            *[F.col(c).cast("string").try_cast("float").alias(c) for c in floats[3:]],
+            _coerce_int_fill0("time_signature").alias("time_signature"),
+            F.lower(F.trim(F.col("track_genre"))).alias("track_genre"),
+        )
+        .select(  # restore the reference column order (validate.py:78-99)
+            "id", "track_id", "track_name", "album_name", "artists", "popularity",
+            "duration_ms", "explicit", "danceability", "energy", "loudness",
+            "speechiness", "acousticness", "instrumentalness", "liveness",
+            "valence", "tempo", "key", "mode", "time_signature", "track_genre",
+        )
+    )
+
+
+def validate_streams(df: DataFrame, check_nonempty: bool = True) -> DataFrame:
+    """Clean a streams fact batch (validate.py:104-128).
+
+    ``check_nonempty=True`` reproduces the empty-result guard
+    (validate.py:124-125) — note it triggers a job; skip it inside
+    streaming ``foreachBatch`` where the guard is per-micro-batch.
+    """
+    validate_columns(df, ["user_id", "track_id", "listen_time"], "streams")
+    ts = F.col("listen_time").cast("string").try_cast("timestamp")
+    out = (
+        df.na.drop(subset=["user_id", "track_id", "listen_time"])
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("track_id").cast("string").alias("track_id"),
+            ts.alias("listen_time"),
+        )
+        .na.drop(subset=["listen_time"])
+    )
+    if check_nonempty and out.isEmpty():
+        raise EmptyResultError("No valid data remaining after validation")
+    return out

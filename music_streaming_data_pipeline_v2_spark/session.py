@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model choices so every entry
+point (tests, bench, driver contract, streaming) runs with the same plan
+environment:
+
+- AQE on (runtime shuffle coalescing, skew-join splitting, dynamic
+  broadcast) — the 100 TB story depends on it.
+- ``spark.sql.shuffle.partitions`` sized for the local test harness; on a
+  real cluster AQE coalesces these anyway.
+- Arrow enabled for the Pandas-UDF extension operators (similarity,
+  multimodal) so Python exchange is columnar, never per-row pickling.
+- Timestamps stay Spark-native (µs). The reference hand-downcasts ns→µs
+  (reference dags/tasks/utils.py:73-75); Spark is µs-native so this is free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "music-analytics-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
