@@ -191,3 +191,589 @@ def top_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("date", "rank", "event_type", "total_plays")
     )
+
+
+# ---------------------------------------------------------------------------
+# KV projection + serving patterns (reference R1/R2, F9, §2.12)
+# ---------------------------------------------------------------------------
+
+def _kpis_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KPIs with decimal-typed measures (string-stable for KV)."""
+    return (
+        _enriched_events(spark, sf_dir)
+        .groupBy("event_type", "date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dec_sum().cast("decimal(18,2)").alias("total_value"),
+        )
+        .withColumn(
+            "avg_value",
+            (F.col("total_value").cast("double") / F.col("n_events")).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+
+
+#: Shared oracle CTEs: the decimal KPI grain and its KV projections.
+_ORACLE_KV_CTE = """
+WITH kpis AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+kv_metrics AS (
+    SELECT 'TYPE#' || event_type || '#DATE#' || CAST(date AS VARCHAR) AS pk,
+           'METRIC#' || metric_type AS sk,
+           value, metric_type,
+           CAST(date AS VARCHAR) AS date, event_type
+    FROM (
+        SELECT event_type, date, 'n_events' AS metric_type,
+               CAST(n_events AS VARCHAR) AS value FROM kpis
+        UNION ALL
+        SELECT event_type, date, 'n_users', CAST(n_users AS VARCHAR) FROM kpis
+        UNION ALL
+        SELECT event_type, date, 'total_value', CAST(total_value AS VARCHAR) FROM kpis
+        UNION ALL
+        SELECT event_type, date, 'avg_value', CAST(avg_value AS VARCHAR) FROM kpis
+    )
+),
+top_users AS (
+    SELECT event_type, date, rank, user_id, play_count
+    FROM (
+        SELECT event_type, CAST(ts AS DATE) AS date, user_id,
+               COUNT(*) AS play_count,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY COUNT(*) DESC, user_id ASC) AS INTEGER) AS rank
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY event_type, CAST(ts AS DATE), user_id
+    )
+    WHERE rank <= 3
+),
+kv_top_users AS (
+    SELECT 'TYPE#' || event_type || '#DATE#' || CAST(date AS VARCHAR) AS pk,
+           'USER#' || CAST(rank AS VARCHAR) || '#' || CAST(user_id AS VARCHAR) AS sk,
+           CAST(play_count AS VARCHAR) AS play_count,
+           CAST(rank AS VARCHAR) AS rank,
+           CAST(date AS VARCHAR) AS date, event_type,
+           'top_user' AS record_type
+    FROM top_users
+),
+top_types AS (
+    SELECT date, rank, event_type, total_plays
+    FROM (
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               COUNT(*) AS total_plays,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST(ts AS DATE)
+                   ORDER BY COUNT(*) DESC, event_type ASC) AS INTEGER) AS rank
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY CAST(ts AS DATE), event_type
+    )
+    WHERE rank <= 5
+),
+kv_top_types AS (
+    SELECT 'DATE#' || CAST(date AS VARCHAR) AS pk,
+           'TYPE_RANK#' || CAST(rank AS VARCHAR) AS sk,
+           event_type,
+           CAST(total_plays AS VARCHAR) AS total_plays,
+           CAST(rank AS VARCHAR) AS rank,
+           CAST(date AS VARCHAR) AS date,
+           'top_type' AS record_type
+    FROM top_types
+),
+kv AS (
+    SELECT pk, sk, value, metric_type, date, event_type,
+           NULL AS play_count, NULL AS rank, NULL AS record_type,
+           NULL AS total_plays
+    FROM kv_metrics
+    UNION ALL
+    SELECT pk, sk, NULL, NULL, date, event_type,
+           play_count, rank, record_type, NULL
+    FROM kv_top_users
+    UNION ALL
+    SELECT pk, sk, NULL, NULL, date, event_type,
+           NULL, rank, record_type, total_plays
+    FROM kv_top_types
+)
+"""
+
+
+def _kv_metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 analog: unpivot the KPI grain into METRIC# records
+    (dynamodb-ingestion.py:46-79), distributed instead of iterrows."""
+    kpis = _kpis_decimal(spark, sf_dir)
+    metrics = ["n_events", "n_users", "total_value", "avg_value"]
+    long = kpis.select(
+        "event_type",
+        "date",
+        *[F.col(c).cast("string").alias(c) for c in metrics],
+    ).unpivot(["event_type", "date"], metrics, "metric_type", "value")
+    return long.select(
+        F.concat_ws(
+            "#", F.lit("TYPE"), "event_type", F.lit("DATE"),
+            F.col("date").cast("string"),
+        ).alias("pk"),
+        F.concat_ws("#", F.lit("METRIC"), "metric_type").alias("sk"),
+        "value",
+        "metric_type",
+        F.col("date").cast("string").alias("date"),
+        "event_type",
+    )
+
+
+@q("kv_metrics", _ORACLE_KV_CTE + "SELECT * FROM kv_metrics")
+def kv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kv_metrics_df(spark, sf_dir)
+
+
+def _kv_top_users_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 analog: top-user rows → one KV item each
+    (dynamodb-ingestion.py:81-106)."""
+    return top_users_per_type_day(spark, sf_dir).select(
+        F.concat_ws(
+            "#", F.lit("TYPE"), "event_type", F.lit("DATE"),
+            F.col("date").cast("string"),
+        ).alias("pk"),
+        F.concat_ws(
+            "#", F.lit("USER"), F.col("rank").cast("string"),
+            F.col("user_id").cast("string"),
+        ).alias("sk"),
+        F.col("play_count").cast("string").alias("play_count"),
+        F.col("rank").cast("string").alias("rank"),
+        F.col("date").cast("string").alias("date"),
+        "event_type",
+        F.lit("top_user").alias("record_type"),
+    )
+
+
+@q("kv_top_users", _ORACLE_KV_CTE + "SELECT * FROM kv_top_users")
+def kv_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kv_top_users_df(spark, sf_dir)
+
+
+def _kv_top_types_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 analog: top-type rows → one KV item each
+    (dynamodb-ingestion.py:108-131)."""
+    return top_types_per_day(spark, sf_dir).select(
+        F.concat_ws("#", F.lit("DATE"), F.col("date").cast("string")).alias("pk"),
+        F.concat_ws("#", F.lit("TYPE_RANK"), F.col("rank").cast("string")).alias("sk"),
+        "event_type",
+        F.col("total_plays").cast("string").alias("total_plays"),
+        F.col("rank").cast("string").alias("rank"),
+        F.col("date").cast("string").alias("date"),
+        F.lit("top_type").alias("record_type"),
+    )
+
+
+@q("kv_top_types", _ORACLE_KV_CTE + "SELECT * FROM kv_top_types")
+def kv_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kv_top_types_df(spark, sf_dir)
+
+
+def _kv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified serving relation (sparse single-table design)."""
+    a = _kv_metrics_df(spark, sf_dir)
+    b = _kv_top_users_df(spark, sf_dir)
+    c = _kv_top_types_df(spark, sf_dir)
+    cols = [
+        "pk", "sk", "value", "metric_type", "date", "event_type",
+        "play_count", "rank", "record_type", "total_plays",
+    ]
+    def pad(df: DataFrame) -> DataFrame:
+        out = df
+        for col in cols:
+            if col not in df.columns:
+                out = out.withColumn(col, F.lit(None).cast("string"))
+        return out.select(cols)
+    return pad(a).unionByName(pad(b)).unionByName(pad(c))
+
+
+@q("kv_table", _ORACLE_KV_CTE + "SELECT * FROM kv")
+def kv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kv_union(spark, sf_dir)
+
+
+# The 9 DynamoDB key-condition shapes (queries/dynamo_query.txt:6-70),
+# parameterized on values that exist in the testdata.
+_SERVING_PK = "TYPE#click#DATE#2024-01-15"
+
+
+@q(
+    "serving_metrics_prefix",
+    _ORACLE_KV_CTE
+    + f"SELECT * FROM kv WHERE pk = '{_SERVING_PK}' AND sk LIKE 'METRIC#%'",
+)
+def serving_metrics_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk equality + sk begins_with (dynamo_query.txt:6-9)."""
+    from ..operators.serving import query_pk_prefix
+
+    return query_pk_prefix(_kv_union(spark, sf_dir), _SERVING_PK, "METRIC#")
+
+
+@q(
+    "serving_metric_exact",
+    _ORACLE_KV_CTE
+    + f"SELECT * FROM kv WHERE pk = '{_SERVING_PK}' AND sk = 'METRIC#n_events'",
+)
+def serving_metric_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk equality + sk exact (dynamo_query.txt:12-17)."""
+    from ..operators.serving import query_pk_sk
+
+    return query_pk_sk(_kv_union(spark, sf_dir), _SERVING_PK, "METRIC#n_events")
+
+
+@q(
+    "serving_user_range",
+    _ORACLE_KV_CTE
+    + f"SELECT * FROM kv WHERE pk = '{_SERVING_PK}' "
+    + "AND sk BETWEEN 'USER#1#' AND 'USER#2#z'",
+)
+def serving_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk equality + sk between (dynamo_query.txt:42-47)."""
+    from ..operators.serving import query_pk_sk_between
+
+    return query_pk_sk_between(
+        _kv_union(spark, sf_dir), _SERVING_PK, "USER#1#", "USER#2#z"
+    )
+
+
+@q(
+    "serving_rank_between",
+    _ORACLE_KV_CTE
+    + "SELECT * FROM kv WHERE pk = 'DATE#2024-01-15' "
+    + "AND sk BETWEEN 'TYPE_RANK#1' AND 'TYPE_RANK#3'",
+)
+def serving_rank_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk equality + sk between on rank (dynamo_query.txt:65-70)."""
+    from ..operators.serving import query_pk_sk_between
+
+    return query_pk_sk_between(
+        _kv_union(spark, sf_dir), "DATE#2024-01-15", "TYPE_RANK#1", "TYPE_RANK#3"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational analogs on the TPC-H-ish tables (A1-A5, J1/J2, W1, P3/P6,
+# plus semi/anti joins and set ops — SURVEY §2.3/§2.4/§2.7)
+# ---------------------------------------------------------------------------
+
+def _dec(col: str, typ: str = "decimal(12,2)") -> F.Column:
+    return F.col(col).cast(typ)
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))
+            * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("pricing_summary", _ORACLE_PRICING)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-measure hash aggregate with
+    decimal-exact money math (A1/A5, P3 range predicate pushed to scan)."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1) + _dec("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.sum(_dec("l_discount")).cast("double").alias("_sum_disc"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .withColumn("avg_disc", F.col("_sum_disc") / F.col("count_order"))
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
+        )
+    )
+
+
+_ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+GROUP BY n_name
+"""
+
+
+@q("revenue_by_nation", _ORACLE_REVENUE_BY_NATION)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake join chain: big⋈big shuffle join on
+    orderkey, then broadcast dims up the geography hierarchy."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_TOP_PARTS = """
+WITH part_rev AS (
+    SELECT p_brand, l_partkey, p_name,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+               AS revenue_dec,
+           COUNT(*) AS n_orders
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, l_partkey, p_name
+)
+SELECT p_brand, rank, l_partkey, p_name,
+       CAST(revenue_dec AS DOUBLE) AS revenue, n_orders
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY p_brand
+        ORDER BY revenue_dec DESC, l_partkey ASC) AS INTEGER) AS rank
+    FROM part_rev
+)
+WHERE rank <= 3
+"""
+
+
+@q("top_parts_per_brand", _ORACLE_TOP_PARTS)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 on relational data: top-3 parts per brand by revenue. The
+    window ORDERS BY the exact decimal (not the double) so cross-engine
+    ordering is identical; ties break on partkey."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    part_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey", "p_name")
+        .agg(
+            F.sum(disc_price).alias("revenue_dec"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue_dec"), F.asc("l_partkey")
+    )
+    return (
+        part_rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "p_brand", "rank", "l_partkey", "p_name",
+            F.col("revenue_dec").cast("double").alias("revenue"), "n_orders",
+        )
+    )
+
+
+_ORACLE_PRIORITY_SEMI = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@q("order_priority_semi", _ORACLE_PRIORITY_SEMI)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) — beyond the reference's inner joins
+    (SURVEY §2.3 'not present'), native left_semi here."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_ORACLE_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+@q("inactive_customers_anti", _ORACLE_INACTIVE_CUSTOMERS)
+def inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/J3: anti join — the manifest set-difference pattern
+    (validate.py:193) as a distributed left_anti."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_events(spark, sf_dir)
+    return customer.join(
+        events, customer.c_custkey == events.user_id, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ORACLE_UNION_DEDUP = """
+SELECT DISTINCT entity_id FROM (
+    SELECT user_id AS entity_id FROM events
+    UNION ALL
+    SELECT c_custkey AS entity_id FROM customer
+)
+"""
+
+
+@q("union_dedup", _ORACLE_UNION_DEDUP)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union + distinct — the manifest merge pattern
+    (utils.py:61) distributed."""
+    events = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id")
+    )
+    return events.union(customer).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Validation / scalar-function analogs on events (P2-P5, F1-F12, JSON)
+# ---------------------------------------------------------------------------
+
+_ORACLE_VALIDATE_EVENTS = """
+SELECT event_id, user_id,
+       LOWER(TRIM(event_type)) AS event_type,
+       value,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE event_type IS NOT NULL
+  AND value BETWEEN 1 AND 50
+  AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 10 AND 90
+"""
+
+
+@q("validate_events", _ORACLE_VALIDATE_EVENTS)
+def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coerce-and-drop composite: null-drop (P2), range predicate (P3),
+    coercibility predicate on a JSON field (P4/F6), genre-style string
+    normalization (F4) — validate.py semantics on the events table."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        events.filter(F.col("event_type").isNotNull())
+        .filter(F.col("value").between(1, 50))
+        .filter(k.isNotNull() & k.between(10, 90))
+        .select(
+            "event_id",
+            "user_id",
+            F.lower(F.trim("event_type")).alias("event_type"),
+            "value",
+            k.alias("k"),
+        )
+    )
+
+
+_ORACLE_JSON_AGG = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("json_extract_agg", _ORACLE_JSON_AGG)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) feeding an integer
+    aggregate — exact across engines."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_ORACLE_HOURLY = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       strftime(ts, '%Y-%m') AS month_str,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@q("hourly_activity", _ORACLE_HOURLY)
+def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar functions (F3/F12: to_date, hour, date_format)
+    over the event-time column at sub-daily grain."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .withColumn("month_str", F.date_format("ts", "yyyy-MM"))
+        .groupBy("date", "hour", "month_str")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
