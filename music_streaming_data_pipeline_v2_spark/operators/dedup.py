@@ -1,0 +1,282 @@
+"""Deduplication operators: exact and near-duplicate, at corpus scale.
+
+Extension surface (SURVEY.md §7 phase 6) — the operators a 100 TB
+training-data pipeline needs. All are expressed as DataFrame
+compositions (no Python UDFs in any hot path):
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  hash, keeps the minimum doc_id per group (deterministic canonical).
+- MinHash + LSH: shingle → K minhashes via ``xxhash64(shingle, seed)``
+  → band → explode bands → self-join on (band_id, band_hash) buckets.
+  The self-join is on tiny bucket keys, not documents — the classic
+  sub-quadratic near-dup plan. Candidate pairs are then verified with
+  exact Jaccard over shingle sets.
+- SimHash: 64-bit signature from per-token hash bits weighted ±1;
+  near-dups = signatures within a Hamming radius, bucketed by 4
+  16-bit chunks (pigeonhole: radius ≤ 3 ⇒ at least one chunk equal).
+- n-gram Jaccard: exact similarity over character-n-gram or word sets
+  with array_intersect/array_union — the verifier primitive, also
+  usable standalone with a blocking key.
+
+Scale notes: every self-join here is blocked (LSH band buckets /
+SimHash chunks / explicit blocking key), so candidate generation is
+O(Σ bucket²) not O(n²); skewed buckets (boilerplate shingles) are the
+main risk — cap bucket width with a count filter before the join
+(``max_bucket`` below), exactly like production LSH pipelines drop
+stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: keep min(id) per distinct
+    text. groupBy on the md5 fingerprint → single shuffle whose key is
+    a 32-char hash, not the document body (shuffle volume ∝ ids, not
+    corpus bytes)."""
+    norm = F.lower(F.concat_ws(" ", tokens(text_col)))
+    return (
+        df.withColumn("_fp", F.md5(norm))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: str | Column = "text", k: int = 3) -> Column:
+    """Distinct word k-shingles (k consecutive tokens joined by a
+    space), built with sequence+transform — no UDF."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(n >= k, sh).otherwise(empty))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """K independent minhashes: min over xxhash64(shingle, seed_i).
+    Deterministic, JVM-side, vectorized."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact-verified
+    jaccard ≥ threshold. rows = candidate pairs only; the full n² is
+    never materialized.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_sh", "_band.band_id", "_band.band_hash")
+
+    # drop pathological buckets (boilerplate): cap candidate fan-out
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_bn")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("_bn") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+
+    left = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
+    )
+    right = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: str | Column = "text") -> Column:
+    """63-bit SimHash of the whitespace tokens (sign bit unused so the
+    value stays non-negative): per-bit majority vote over
+    xxhash64(token) bits, built from bitwise ops + aggregate — no UDF."""
+    toks = F.array_distinct(F.transform(tokens(col), F.lower))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
+        )
+        for i in range(63)  # skip the sign bit: keep the result non-negative
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit signature into 4 16-bit chunks; any pair
+    within radius 3 shares ≥1 exact chunk (pigeonhole), so the
+    self-join runs per-chunk bucket, never all-pairs.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim")
+    )
+    chunked = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("_sim", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sim", "_c.chunk_id", "_c.chunk_val")
+
+    left = chunked.select(
+        "chunk_id", "chunk_val",
+        F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"),
+    )
+    right = chunked.select(
+        "chunk_id", "chunk_val",
+        F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"),
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier / standalone with blocking)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over pairs sharing a blocking key.
+
+    The blocking key bounds the join fan-out (per-block ~n_b²); use a
+    cheap prefilter (lang, length bucket, LSH band) as the block.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.array_distinct(F.transform(tokens(text_col), F.lower)).alias("_tok"),
+    )
+    left = base.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_tok").alias("tok_a")
+    )
+    right = base.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_tok").alias("tok_b")
+    )
+    jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
+        F.array_union("tok_a", "tok_b")
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

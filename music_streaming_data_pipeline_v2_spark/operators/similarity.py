@@ -1,0 +1,261 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface (SURVEY.md §7 phase 6). Two strategies:
+
+- ``cosine_topk``: brute-force exact top-K — broadcast the (small)
+  query set against the corpus, dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, no Python), rank per query with a window.
+  The correctness baseline; also the right plan whenever |queries| is
+  small: one scan of the corpus, no shuffle of vectors, only the
+  (|queries| × K) result shuffles.
+- ``lsh_topk``: random-hyperplane LSH — sign-bit signatures bucket the
+  corpus; candidates = rows sharing a band bucket with the query;
+  exact cosine re-ranks candidates. Sub-linear candidate sets at the
+  cost of recall; the scale path when |queries| is large. Hyperplanes
+  are generated from a seeded RNG on the driver (tiny: dims × bits
+  floats) and inlined as literals — deterministic across runs.
+- ``ivf_topk``: IVF-style two-stage search — a k-means-lite codebook
+  (seeded sample, one refinement pass) assigns each vector to its
+  nearest centroid at write time; queries probe the ``nprobe`` nearest
+  centroids only. The partition-pruning analog for vector search.
+
+Scale notes: embeddings tables partition by bucket/centroid id so a
+query's candidate fetch prunes partitions; signatures and centroid
+assignments are computed once at ingest, not per query.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double — zip_with + aggregate, sequential fold (stable
+    summation order ⇒ deterministic across engines and runs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-K per query.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the
+    corpus → one corpus scan regardless of |queries|; ranking window
+    partitions by query so the sort is per-query top-K.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).join(F.broadcast(q), how="cross")
+    scored = scored.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def random_hyperplanes(dims: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (driver-side, tiny, deterministic)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(bits)]
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]], bands: int
+) -> Column:
+    """Array of ``bands`` bucket ids; each band hashes ``bits/bands``
+    sign bits of the projections."""
+    bits = len(planes)
+    per_band = bits // bands
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            1,
+        ).otherwise(0)
+        for plane in planes
+    ]
+    bands_out = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for i in range(per_band):
+            acc = acc * 2 + sign_bits[b * per_band + i]
+        bands_out.append(acc)
+    return F.array(*bands_out)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-K: hyperplane-LSH candidate generation + exact
+    cosine re-rank. Returns the same schema as ``cosine_topk`` (a query
+    may return < k rows if its buckets are sparse)."""
+    planes = random_hyperplanes(dims, bits, seed)
+
+    c_sig = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.posexplode(hyperplane_signature(F.col(vec_col), planes, bands)).alias(
+            "band_id", "bucket"
+        ),
+    )
+    q_sig = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(hyperplane_signature(F.col(vec_col), planes, bands)).alias(
+            "band_id", "bucket"
+        ),
+    )
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["band_id", "bucket"])
+        .select("query_id", "neighbor_id", "_qvec", "_cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """One-pass k-means: seed centroids from a deterministic sample,
+    refine once by mean of assigned vectors. Driver holds only
+    (n_centroids × dims) floats — the corpus is never collected."""
+    seeds = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
+    assigned = assign_centroid(corpus, seeds, vec_col).select(
+        "centroid_id", F.col(vec_col).alias("v")
+    )
+    dims = len(seeds[0])
+    sums = assigned.groupBy("centroid_id").agg(
+        F.array(
+            *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dims)]
+        ).alias("sum_vec"),
+        F.count("*").alias("n"),
+    )
+    refined = {
+        r["centroid_id"]: [s / r["n"] for s in r["sum_vec"]] for r in sums.collect()
+    }
+    return [refined.get(i, [float(x) for x in seeds[i]]) for i in range(len(seeds))]
+
+
+def assign_centroid(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Tag each row with its nearest (max-cosine) centroid id."""
+    scores = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(-i).alias("prio"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("centroid_id", F.array_max(scores)["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: probe only the ``nprobe`` centroids nearest each
+    query; exact cosine within the probed cells."""
+    tagged = assign_centroid(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cents)), 1, nprobe)
+        ).alias("_probe"),
+    ).select("query_id", "_qvec", F.col("_probe.cid").alias("centroid_id"))
+    cand = tagged.join(F.broadcast(probes), "centroid_id")
+    scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

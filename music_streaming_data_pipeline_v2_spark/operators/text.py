@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference surface (north-star extension, SURVEY.md §7 phase
+6): language-ID, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` relation.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python. At 100 TB these are embarrassingly
+parallel map-only transforms: no shuffle, pure scan→project, so they
+scale linearly with executors and stay inside one codegen stage
+(verify: ``.explain`` shows a single WholeStageCodegen span over the
+scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization: split on runs of whitespace, dropping
+    empty strings (leading/trailing whitespace artifacts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish sub-word segmentation: word pieces, numbers, and
+    punctuation runs as separate tokens (a GPT-2-style pre-tokenizer
+    regex, simplified to what Java regex supports)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"), 1),
+        lambda t: t != F.lit(""),
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish subword tokens."""
+    return df.withColumn("n_tokens_ws", F.size(tokens(text_col))).withColumn(
+        "n_tokens_bpe", F.size(bpe_ish_tokens(text_col))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword / repetition
+    ratios — the standard cheap pre-filter features for LLM corpora
+    (C4/Gopher-style rules, built-ins only)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_toks)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_toks > 0, (F.length(F.concat_ws("", toks)) / n_toks)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / F.greatest(
+                n_chars, F.lit(1)
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+            / F.greatest(n_toks, F.lit(1)),
+        )
+        .withColumn(
+            "unique_token_ratio",
+            F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1] from the features: documents that
+    are too short, punctuation-heavy, or highly repetitive score low."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.col("unique_token_ratio") * 0.4
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by its
+    marker-word hit ratio; pick the argmax (ties → lexicographic lang
+    code). Pure built-ins: one map stage, no UDF, no shuffle."""
+    toks_lower = F.transform(tokens(text_col), F.lower)
+    scores = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        marker_arr = F.array([F.lit(w) for w in markers])
+        hit = F.size(F.filter(toks_lower, lambda x: F.array_contains(marker_arr, x)))
+        scores.append(
+            F.struct(
+                (hit / F.greatest(F.size(toks_lower), F.lit(1))).alias("score"),
+                # ties pick the alphabetically-first language: larger -i wins
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    detected = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn("detected_lang", detected)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: MD5 over whitespace-normalized,
+    lowercased text — a deterministic content hash for exact-dup
+    detection and lineage; plus a 64-bit xxhash for cheap joins."""
+    norm = F.lower(F.concat_ws(" ", tokens(text_col)))
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint_x64", F.xxhash64(norm)
+    )

@@ -777,3 +777,231 @@ def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: dedup / text analysis / similarity search
+# (SURVEY.md §7 phase 6 — training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as _dedup
+from ..operators import similarity as _sim
+from ..operators import text as _text
+
+#: whitespace-normalized lowered text, expressed identically in DuckDB
+_NORM_SQL = r"LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))"
+
+
+@q(
+    "dedup_exact_docs",
+    f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY {_NORM_SQL}
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized content
+    (operators/dedup.py:exact_dedup)."""
+    return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id, MD5({_NORM_SQL}) AS fingerprint_md5
+FROM documents
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (MD5 of normalized text) — deterministic
+    across engines (operators/text.py:fingerprint)."""
+    return _text.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+@q(
+    "token_stats",
+    r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INTEGER) AS n_tokens_ws,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS INTEGER) AS n_tokens_bpe
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace + BPE-ish regex
+    (operators/text.py:with_token_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.with_token_counts(docs).select(
+        "doc_id", F.length("text").alias("n_chars"), "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in _text.LANG_MARKERS.items()
+}
+
+_ORACLE_LANG = rf"""
+WITH scored AS (
+    SELECT doc_id,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+               x -> LIST_CONTAINS({_MARKER_SQL['de']}, x))) AS h_de,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+               x -> LIST_CONTAINS({_MARKER_SQL['en']}, x))) AS h_en,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+               x -> LIST_CONTAINS({_MARKER_SQL['es']}, x))) AS h_es,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+               x -> LIST_CONTAINS({_MARKER_SQL['fr']}, x))) AS h_fr
+    FROM documents
+)
+SELECT detected_lang, COUNT(*) AS n_docs
+FROM (
+    SELECT CASE
+        WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        WHEN h_es >= h_fr THEN 'es'
+        ELSE 'fr' END AS detected_lang
+    FROM scored
+)
+GROUP BY detected_lang
+"""
+
+
+@q("lang_detect_counts", _ORACLE_LANG)
+def lang_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID distribution
+    (operators/text.py:detect_language). Ties resolve to the
+    alphabetically-first language in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _text.detect_language(docs)
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_ORACLE_QUALITY = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT)
+           AS sum_tokens,
+       CAST(SUM(CASE WHEN
+            CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')))
+                 AS DOUBLE)
+            / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) >= 0.5
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_high_unique,
+       MIN(LENGTH(text)) AS min_chars,
+       MAX(LENGTH(text)) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@q("quality_by_source", _ORACLE_QUALITY)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature rollup per source: token volume, high-uniqueness
+    doc counts, char-length extrema (operators/text.py:quality_features
+    feeding integer-exact aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _text.tokens("text")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return (
+        docs.withColumn("_n_tok", F.size(toks))
+        .withColumn("_high", (uniq_ratio >= 0.5).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tok").alias("sum_tokens"),
+            F.sum("_high").alias("n_high_unique"),
+            F.min(F.length("text")).alias("min_chars"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+    )
+
+
+_ORACLE_ANN = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_aggregate(list_transform(list_zip(q.qv, e.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+           / (SQRT(list_aggregate(list_transform(q.qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+    FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+@q("ann_cosine_topk", _ORACLE_ANN)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors
+    (operators/similarity.py:cosine_topk). Cosine rounded to 6 dp for
+    the cross-engine hash; ordering uses the unrounded value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _sim.cosine_topk(emb, queries, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@q("minhash_lsh_pairs_docs")  # no SQL oracle: hash-seeded LSH (rows-only)
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard verify
+    (operators/dedup.py:minhash_lsh_pairs); validated against
+    brute-force ground truth in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_k=3, jaccard_threshold=0.3
+    )
+
+
+@q("simhash_pairs_docs")  # no SQL oracle: xxhash64-based signatures
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3
+    (operators/dedup.py:simhash_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+           / LEN(LIST_DISTINCT(LIST_CONCAT(a.tok, b.tok))) AS jaccard
+FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.tok, b.tok))) >= 0.8
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.8, blocked by lang
+    (operators/dedup.py:jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
