@@ -1,0 +1,6 @@
+from .pipeline import (
+    stream_file_source,
+    streaming_daily_kpis,
+    run_incremental_pipeline,
+    incremental_new_files_batch,
+)

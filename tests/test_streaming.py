@@ -1,0 +1,145 @@
+"""Structured Streaming incremental pipeline (reference S6-S10, X1-X7).
+
+Exercises the exactly-once file protocol end-to-end with real files in
+temp dirs: first batch processes file 1; adding file 2 and re-running
+processes ONLY file 2 (checkpoint = manifest); outputs recompute
+affected days idempotently; bad rows land in quarantine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.streaming import (
+    incremental_new_files_batch,
+    run_incremental_pipeline,
+    stream_file_source,
+    streaming_daily_kpis,
+)
+from pyspark.sql import types as T
+
+
+@pytest.fixture()
+def dims(spark):
+    songs = spark.createDataFrame(
+        [
+            Row(track_id=f"t{i}", track_genre="rock" if i % 2 == 0 else "jazz",
+                duration_ms=100000 + i)
+            for i in range(4)
+        ]
+    )
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    return songs, users
+
+
+def _write_stream_csv(path: str, rows: list[str]) -> None:
+    with open(path, "w") as f:
+        f.write("user_id,track_id,listen_time\n")
+        f.write("\n".join(rows) + "\n")
+
+
+def test_incremental_exactly_once_and_recompute(spark, dims, tmp_path):
+    songs, users = dims
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    arch = tmp_path / "archive"
+    quar = tmp_path / "quarantine"
+    inp.mkdir()
+
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        [
+            "0,t0,2024-06-25 10:00:00",
+            "1,t0,2024-06-25 11:00:00",
+            "2,t1,2024-06-25 12:00:00",
+            "0,t1,garbage-timestamp",  # → quarantine
+        ],
+    )
+    # a file that must be ignored by the glob (P8 filename predicate)
+    _write_stream_csv(str(inp / "other.csv"), ["9,t9,2024-06-25 10:00:00"])
+
+    run_incremental_pipeline(
+        spark, str(inp), songs, users,
+        output_dir=str(out), checkpoint_dir=str(ckpt),
+        archive_dir=str(arch), quarantine_dir=str(quar),
+    )
+
+    kpis = spark.read.parquet(str(out / "genre_kpis"))
+    rows = {r.track_genre: r for r in kpis.collect()}
+    assert rows["rock"].listen_count == 2  # t0 plays, bad row dropped
+    assert rows["jazz"].listen_count == 1
+    assert spark.read.parquet(str(quar)).count() == 1
+
+    # batch 2: add one more file → ONLY it is processed (exactly-once)
+    _write_stream_csv(
+        str(inp / "stream2.csv"),
+        ["1,t2,2024-06-25 13:00:00", "2,t2,2024-06-26 09:00:00"],
+    )
+    run_incremental_pipeline(
+        spark, str(inp), songs, users,
+        output_dir=str(out), checkpoint_dir=str(ckpt),
+        archive_dir=str(arch), quarantine_dir=str(quar),
+    )
+
+    kpis2 = spark.read.parquet(str(out / "genre_kpis"))
+    by_key = {(r.track_genre, str(r.date)): r for r in kpis2.collect()}
+    # day 25 recomputed WITH the old data (3 rock plays now), day 26 new
+    assert by_key[("rock", "2024-06-25")].listen_count == 3
+    assert by_key[("rock", "2024-06-26")].listen_count == 1
+    # validated store has 3 + 2 good rows exactly once
+    validated = spark.read.parquet(str(out / "validated"))
+    assert validated.count() == 5
+    # quarantine unchanged (no new bad rows)
+    assert spark.read.parquet(str(quar)).count() == 1
+
+
+def test_streaming_daily_kpis_window(spark, dims, tmp_path):
+    songs, users = dims
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        [
+            "0,t0,2024-06-25 10:00:00",
+            "1,t0,2024-06-25 23:59:59",
+            "2,t1,2024-06-26 00:00:01",
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("track_id", T.StringType()),
+            T.StructField("listen_time", T.TimestampType()),
+        ]
+    )
+    stream = stream_file_source(spark, str(inp), schema)
+    kpis = streaming_daily_kpis(stream, songs, users)
+    query = (
+        kpis.writeStream.format("memory")
+        .queryName("kpi_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        (r.track_genre, str(r.date)): r.listen_count
+        for r in spark.sql("select * from kpi_mem").collect()
+    }
+    # tumbling 1-day windows split exactly at midnight
+    assert got[("rock", "2024-06-25")] == 2
+    assert got[("jazz", "2024-06-26")] == 1
+
+
+def test_incremental_new_files_batch(spark):
+    listed = spark.createDataFrame([Row(path=p) for p in ["a", "b", "c"]])
+    manifest = spark.createDataFrame([Row(path="a")])
+    out = sorted(
+        r.path for r in incremental_new_files_batch(spark, listed, manifest).collect()
+    )
+    assert out == ["b", "c"]
