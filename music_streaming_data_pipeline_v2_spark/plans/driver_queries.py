@@ -197,15 +197,38 @@ def top_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KV projection + serving patterns (reference R1/R2, F9, §2.12)
 # ---------------------------------------------------------------------------
 
-def _kpis_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily KPIs with decimal-typed measures (string-stable for KV)."""
+def _plays_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-(type, date, user) grain: ONE shuffle that every KV
+    branch re-aggregates from. Because the three branches of the kv
+    union contain this identical exchange, Spark's ReuseExchange runs
+    the shuffle once and replays its output — the DataFrame-API
+    equivalent of a WITH-clause CTE (check ``.explain`` for
+    ``ReusedExchange``). Re-aggregating per-user partials is also
+    exactly how countDistinct executes internally, so the values are
+    unchanged."""
     return (
         _enriched_events(spark, sf_dir)
-        .groupBy("event_type", "date")
+        .groupBy("event_type", "date", "user_id")
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            _dec_sum().cast("decimal(18,2)").alias("total_value"),
+            F.count("*").alias("play_count"),
+            _dec_sum().cast("decimal(18,2)").alias("user_value"),
+        )
+    )
+
+
+def _kpis_decimal(
+    spark: SparkSession, sf_dir: str, plays: DataFrame | None = None
+) -> DataFrame:
+    """Daily KPIs with decimal-typed measures (string-stable for KV),
+    derived from the shared plays grain: n_events = Σ play_count,
+    n_users = count of user rows (≡ exact countDistinct)."""
+    plays = plays if plays is not None else _plays_grain(spark, sf_dir)
+    return (
+        plays.groupBy("event_type", "date")
+        .agg(
+            F.sum("play_count").alias("n_events"),
+            F.count("*").alias("n_users"),
+            F.sum("user_value").cast("decimal(18,2)").alias("total_value"),
         )
         .withColumn(
             "avg_value",
@@ -307,10 +330,12 @@ kv AS (
 """
 
 
-def _kv_metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kv_metrics_df(
+    spark: SparkSession, sf_dir: str, plays: DataFrame | None = None
+) -> DataFrame:
     """R1 analog: unpivot the KPI grain into METRIC# records
     (dynamodb-ingestion.py:46-79), distributed instead of iterrows."""
-    kpis = _kpis_decimal(spark, sf_dir)
+    kpis = _kpis_decimal(spark, sf_dir, plays)
     metrics = ["n_events", "n_users", "total_value", "avg_value"]
     long = kpis.select(
         "event_type",
@@ -335,10 +360,22 @@ def kv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kv_metrics_df(spark, sf_dir)
 
 
-def _kv_top_users_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kv_top_users_df(
+    spark: SparkSession, sf_dir: str, plays: DataFrame | None = None
+) -> DataFrame:
     """R2 analog: top-user rows → one KV item each
-    (dynamodb-ingestion.py:81-106)."""
-    return top_users_per_type_day(spark, sf_dir).select(
+    (dynamodb-ingestion.py:81-106). Ranks over the shared plays grain
+    so the kv union's branches reuse one exchange."""
+    plays = plays if plays is not None else _plays_grain(spark, sf_dir)
+    w = Window.partitionBy("event_type", "date").orderBy(
+        F.desc("play_count"), F.asc("user_id")
+    )
+    ranked = (
+        plays.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "date", "rank", "user_id", "play_count")
+    )
+    return ranked.select(
         F.concat_ws(
             "#", F.lit("TYPE"), "event_type", F.lit("DATE"),
             F.col("date").cast("string"),
@@ -360,10 +397,25 @@ def kv_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kv_top_users_df(spark, sf_dir)
 
 
-def _kv_top_types_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kv_top_types_df(
+    spark: SparkSession, sf_dir: str, plays: DataFrame | None = None
+) -> DataFrame:
     """R2 analog: top-type rows → one KV item each
-    (dynamodb-ingestion.py:108-131)."""
-    return top_types_per_day(spark, sf_dir).select(
+    (dynamodb-ingestion.py:108-131). Totals come from the KPI grain
+    (A4 ≡ A1's listen_count — computed once, not twice like the
+    reference, music-streaming-transform.py:145-147)."""
+    totals = _kpis_decimal(spark, sf_dir, plays).select(
+        "date", "event_type", F.col("n_events").alias("total_plays")
+    )
+    w = Window.partitionBy("date").orderBy(
+        F.desc("total_plays"), F.asc("event_type")
+    )
+    ranked = (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("date", "rank", "event_type", "total_plays")
+    )
+    return ranked.select(
         F.concat_ws("#", F.lit("DATE"), F.col("date").cast("string")).alias("pk"),
         F.concat_ws("#", F.lit("TYPE_RANK"), F.col("rank").cast("string")).alias("sk"),
         "event_type",
@@ -379,11 +431,21 @@ def kv_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kv_top_types_df(spark, sf_dir)
 
 
-def _kv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unified serving relation (sparse single-table design)."""
-    a = _kv_metrics_df(spark, sf_dir)
-    b = _kv_top_users_df(spark, sf_dir)
-    c = _kv_top_types_df(spark, sf_dir)
+def _kv_union(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
+    """The unified serving relation (sparse single-table design).
+
+    ``persist=True`` materializes the shared plays grain once so the
+    three projection branches read it from memory instead of each
+    re-running the enrichment + first shuffle — the rebuild of the
+    reference's cache-the-shared-subplan fix (SURVEY.md §3.2)."""
+    plays = _plays_grain(spark, sf_dir)
+    if persist:
+        plays = plays.persist()
+    a = _kv_metrics_df(spark, sf_dir, plays)
+    b = _kv_top_users_df(spark, sf_dir, plays)
+    c = _kv_top_types_df(spark, sf_dir, plays)
     cols = [
         "pk", "sk", "value", "metric_type", "date", "event_type",
         "play_count", "rank", "record_type", "total_plays",
@@ -399,7 +461,11 @@ def _kv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("kv_table", _ORACLE_KV_CTE + "SELECT * FROM kv")
 def kv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kv_union(spark, sf_dir)
+    # persist=False at bench scale: materializing the plays grain costs
+    # more than recomputing it when the fact table is small. At cluster
+    # scale (the grain >> memory of one recompute), call _kv_union with
+    # persist=True — the knob exists for exactly that switch.
+    return _kv_union(spark, sf_dir, persist=False)
 
 
 # The 9 DynamoDB key-condition shapes (queries/dynamo_query.txt:6-70),
