@@ -1071,3 +1071,195 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:jaccard_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation/window breadth beyond the reference surface (SURVEY §2.4
+# "not present: grouping sets / percentiles"; §2.5 "no analytics/frames"
+# — all trivially expressible in Spark, included for completeness)
+# ---------------------------------------------------------------------------
+
+_ORACLE_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@q("rollup_revenue", _ORACLE_ROLLUP)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) with a
+    grouping-id disambiguator — subtotal rows carry null keys."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    ).select("r_name", "n_name", "gid", "revenue", "n_items")
+
+
+_ORACLE_CUBE = """
+SELECT event_type, CAST(ts AS DATE) AS date,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
+@q("cube_activity", _ORACLE_CUBE)
+def cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, date): all four grouping-set grains in one
+    pass (Spark expands to a union of aggregates internally)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .cube("event_type", "date")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n_events"))
+        .select("event_type", "date", "gid", "n_events")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("percentiles_by_type", _ORACLE_PERCENTILES)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), rounded to 6 dp for the cross-engine hash."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25_value"),
+    )
+
+
+_ORACLE_DAY_OVER_DAY = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, date, n,
+       LAG(n) OVER w AS prev_n,
+       n - LAG(n) OVER w AS delta,
+       LEAD(n) OVER w AS next_n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_total,
+       ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY date
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY date)
+"""
+
+
+@q("day_over_day", _ORACLE_DAY_OVER_DAY)
+def day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows the reference lacks: lag/lead deltas, a
+    running total, and a 7-row moving average over event-time order.
+    Integer inputs keep lag/lead/sums exact; the moving average is a
+    single deterministic division (sum of ≤7 ints / count)."""
+    events = load_events(spark, sf_dir)
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("event_type", "date")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("date")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "event_type",
+        "date",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+        F.lead("n").over(w).alias("next_n"),
+        F.sum("n").over(frame).alias("running_total"),
+        F.round(F.avg("n").over(ma), 6).alias("ma7"),
+    )
+
+
+_ORACLE_VALUE_STATS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+       ROUND(SQRT(GREATEST(
+           (COUNT(*) * CAST(SUM(CAST(value AS DECIMAL(18,2))
+                * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+           / (COUNT(*) * (COUNT(*) - 1)), 0)), 6) AS stddev_v
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("value_stats_by_type", _ORACLE_VALUE_STATS)
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based sample stddev from decimal-exact sums — an
+    order-independent formulation that hashes identically across
+    engines (native ``stddev`` folds doubles in partition order, which
+    does not)."""
+    events = load_events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sum_v"),
+        F.min(v).cast("double").alias("min_v"),
+        F.max(v).cast("double").alias("max_v"),
+        F.sum(v * v).cast("double").alias("_sum_sq"),
+    )
+    var = (
+        (F.col("n") * F.col("_sum_sq") - F.col("sum_v") * F.col("sum_v"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return agg.withColumn(
+        "stddev_v", F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    ).select("event_type", "n", "sum_v", "min_v", "max_v", "stddev_v")
+
+
+@q("approx_distinct_users")  # no SQL oracle: HLL++ sketch is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale variant: approx_count_distinct (HLL++, rsd 1%) — the
+    100 TB substitute for the exact expand-based distinct
+    (SURVEY §4 optional rewrite rule)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
