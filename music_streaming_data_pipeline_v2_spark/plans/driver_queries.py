@@ -891,7 +891,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats",
     r"""
 SELECT doc_id,
-       LENGTH(text) AS n_chars,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars,
        CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INTEGER) AS n_tokens_ws,
        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
             AS INTEGER) AS n_tokens_bpe
@@ -962,8 +962,8 @@ SELECT source,
                  AS DOUBLE)
             / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) >= 0.5
             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_unique,
-       MIN(LENGTH(text)) AS min_chars,
-       MAX(LENGTH(text)) AS max_chars
+       CAST(MIN(LENGTH(text)) AS INTEGER) AS min_chars,
+       CAST(MAX(LENGTH(text)) AS INTEGER) AS max_chars
 FROM documents
 GROUP BY source
 """
