@@ -259,3 +259,118 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Drop-in Pandas-UDF variant of ``cosine_topk``: the scoring runs
+    as one numpy matmul per Arrow batch (SIMD throughput) instead of
+    per-row zip_with folds. Same results, same schema — profile both
+    and keep the faster one for your vector widths (SCALE.md).
+
+    The (small) query matrix ships to executors inside the closure; the
+    corpus streams through ``mapInPandas`` one Arrow batch at a time,
+    emitting per-batch partial top-K (batch_rows × |queries| scores are
+    never wider than the batch), then a global window finishes the
+    top-K — the classic partial/final pattern.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = (
+        f"query_id long, neighbor_id long, cosine double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = sims.shape
+            top = min(k, n_c)
+            # per-batch partial top-k per query
+            frames = []
+            for j in range(n_q):
+                idx = np.argpartition(-sims[:, j], top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": pdf[id_col].to_numpy()[idx],
+                            "cosine": sims[idx, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dims: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) — the vector-space complement of MinHash dedup.
+
+    ``exact=True``: all-pairs (correctness baseline, O(n²) — small
+    corpora / oracle checks only). Default: hyperplane-LSH blocked
+    self-join, sub-quadratic; recall controlled by bits/bands.
+    """
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if exact:
+        left = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        right = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        cand = left.join(right, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = random_hyperplanes(dims, bits, seed)
+        sig = base.select(
+            "_id",
+            "_v",
+            F.posexplode(hyperplane_signature(F.col("_v"), planes, bands)).alias(
+                "band_id", "bucket"
+            ),
+        )
+        left = sig.select(
+            "band_id", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+        )
+        right = sig.select(
+            "band_id", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+        )
+        cand = (
+            left.join(right, ["band_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

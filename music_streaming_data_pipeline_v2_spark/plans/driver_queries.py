@@ -1263,3 +1263,32 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date")
         .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
     )
+
+
+_ORACLE_EMB_NEAR_DUP = """
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+           / (SQRT(list_aggregate(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * SQRT(list_aggregate(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+FROM pairs WHERE cos >= 0.4
+"""
+
+
+@q("embedding_near_dups_exact", _ORACLE_EMB_NEAR_DUP)
+def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (operators/similarity.py:embedding_near_dup_pairs). The LSH-blocked
+    scale path is exercised in tests; this oracle checks the exact
+    variant's values. Threshold 0.4 ≈ the 99.9th percentile of pairwise
+    cosine in this corpus (no true near-dups planted at sf0.01) so the
+    result is non-empty but selective."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _sim.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return out.withColumn("cosine", F.round("cosine", 6))

@@ -266,3 +266,35 @@ def test_frame_sample_plan(spark):
     one = media.filter("modality = 'video'").limit(1).collect()[0]
     n_expected = (one.meta.duration_ms - 1) // 1000 + 1
     assert (pdf.media_id == one.media_id).sum() == n_expected
+
+
+def test_cosine_topk_pandas_matches_builtin(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.cosine_topk(emb, queries, k=8).collect()
+    b = similarity.cosine_topk_pandas(emb, queries, k=8).collect()
+    key = lambda r: (r.query_id, r.rank)
+    a_map = {key(r): (r.neighbor_id, round(r.cosine, 9)) for r in a}
+    b_map = {key(r): (r.neighbor_id, round(r.cosine, 9)) for r in b}
+    assert a_map == b_map
+
+
+def test_embedding_near_dup_pairs_lsh_vs_exact(emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.9, exact=True, dims=8
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.9, bits=8, bands=4, dims=8
+        ).collect()
+    }
+    # clustered fixture has plenty of >0.9 pairs; LSH output must be a
+    # subset of truth (it only generates candidates, scoring is exact)
+    assert len(exact) > 0
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.5  # recall on separated clusters

@@ -123,3 +123,17 @@ def test_process_date_filter(spark, music):
     )
     one_day = enrich_streams(streams, songs, users, process_date="2024-06-25")
     assert one_day.select("date").distinct().collect()[0].date.isoformat() == "2024-06-25"
+
+
+def test_kv_serving_pushdown_on_parquet(spark, music, tmp_path):
+    """SCALE.md claim: serving predicates reach the Parquet scan as
+    PushedFilters (EqualTo pk + StringStartsWith sk) when the kv
+    relation is persisted as a table."""
+    path = str(tmp_path / "kv")
+    music.kv.write.mode("overwrite").parquet(path)
+    kv = spark.read.parquet(path)
+    q = query_pk_prefix(kv, "GENRE#rock#DATE#2024-06-25", "METRIC#")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(pk,GENRE#rock#DATE#2024-06-25)" in plan
+    assert "StringStartsWith(sk,METRIC#)" in plan
+    assert q.count() == 4
