@@ -1,0 +1,77 @@
+"""Skew mitigation: salted two-phase aggregation and bucketed joins.
+
+SCALE.md techniques made concrete. At 100 TB a handful of hot keys
+(one viral genre-day, one boilerplate shingle bucket) can pin a whole
+stage on one task. Two standing answers:
+
+- **Salting**: append a random salt to the hot group key, aggregate at
+  (key, salt) — the hot key's rows spread over ``n_salts`` tasks —
+  then re-aggregate at the key. Works for any algebraic aggregate
+  (count/sum/min/max; avg as sum+count). AQE's skew handling covers
+  *join* skew automatically; aggregation skew still wants salting
+  because the partial aggregate itself is the hot spot.
+- **Bucketing**: pre-shuffle both sides of a recurring big⋈big join
+  into the same bucket layout (``bucketBy`` on the join key) so the
+  join runs zipped, exchange-free, every time it's used.
+
+Both preserve results exactly — tests assert equality with the
+unsalted/unbucketed plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a uniform salt.
+
+    ``aggs``: output_name → (input_col_or_*, fn) with fn ∈
+    {count, sum, min, max}. The partial phase computes per-(key, salt);
+    the final phase merges partials with the fn's combiner (count→sum).
+    Deterministic results (identical to direct groupBy) regardless of
+    the salt distribution, which only affects placement.
+    """
+    combiner = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+
+    def agg_expr(col: str, fn: str) -> Column:
+        if fn == "count":
+            return F.count("*") if col == "*" else F.count(col)
+        return getattr(F, fn)(col)
+
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        *[agg_expr(col, fn).alias(name) for name, (col, fn) in aggs.items()]
+    )
+    final = partial.groupBy(*group_cols).agg(
+        *[
+            getattr(F, combiner[fn])(name).alias(name)
+            for name, (col, fn) in aggs.items()
+        ]
+    )
+    return final
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a relation bucketed (and optionally sorted) by its join
+    key. Subsequent equi-joins between tables bucketed identically on
+    the key run WITHOUT a shuffle (SortMergeJoin over pre-bucketed
+    scans — verify: no Exchange above either scan in ``.explain``)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -1292,3 +1292,38 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = _sim.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_ORACLE_SALTED = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("salted_agg_equivalence", _ORACLE_SALTED)
+def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation proof: the two-phase SALTED aggregation
+    (operators/skew.py:salted_aggregate) hash-matches the plain
+    single-phase oracle — salting only changes placement, never
+    results. The production move for hot group keys at 100 TB."""
+    from ..operators.skew import salted_aggregate
+
+    events = load_events(spark, sf_dir).withColumn(
+        "_v", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {"n_events": ("*", "count"), "min_v": ("_v", "min"), "max_v": ("_v", "max")},
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
