@@ -9,3 +9,4 @@ from .enrich import enrich_streams
 from .aggregates import daily_genre_kpis, plays_per_item, plays_per_group
 from .topk import top_k_per_group
 from .reshape import unpivot_kpis
+from . import dedup, multimodal, serving, sessions, similarity, skew, text  # noqa: F401

@@ -64,8 +64,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
+    # `ts div 1000`: INTEGER division. Epoch nanos (~1.7e18) exceed
+    # double's 2^53 integer range, so a float division here silently
+    # corrupts the microsecond digit. NTZ cast keeps result timestamps
+    # naive (wall-clock UTC), matching the parquet source and DuckDB.
     return events.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
     )
 
 
@@ -1327,3 +1332,41 @@ def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_v").cast("double").alias("min_v"),
         F.col("max_v").cast("double").alias("max_v"),
     )
+
+
+_ORACLE_SESSIONS = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+tagged AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000) AS BIGINT) AS duration_sec
+FROM tagged
+GROUP BY user_id, session_id
+"""
+
+
+@q("user_sessions", _ORACLE_SESSIONS)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) with per-session stats
+    (operators/sessions.py:session_stats) — the batch window-function
+    form, oracle-checked; the streaming session_window twin is
+    exercised in tests."""
+    from ..operators.sessions import session_stats
+
+    events = load_events(spark, sf_dir)
+    return session_stats(events, gap_minutes=30)

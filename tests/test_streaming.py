@@ -143,3 +143,47 @@ def test_incremental_new_files_batch(spark):
         r.path for r in incremental_new_files_batch(spark, listed, manifest).collect()
     )
     assert out == ["b", "c"]
+
+
+def test_streaming_sessions(spark, tmp_path):
+    from music_streaming_data_pipeline_v2_spark.operators.sessions import (
+        streaming_sessions,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream_s.csv"),
+        [
+            # user 1: two events 10 min apart (one session), then one
+            # 2 h later (second session); user 2: single event
+            "1,t0,2024-06-25 10:00:00",
+            "1,t0,2024-06-25 10:10:00",
+            "1,t0,2024-06-25 12:10:00",
+            "2,t0,2024-06-25 10:05:00",
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("track_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = stream_file_source(spark, str(inp), schema)
+    sessions = streaming_sessions(stream, gap_minutes=30)
+    (
+        sessions.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.sql("select * from sess_mem").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user["1"]) == 2  # the 2-hour gap splits sessions
+    assert sorted(r.n_events for r in per_user["1"]) == [1, 2]
+    assert len(per_user["2"]) == 1
