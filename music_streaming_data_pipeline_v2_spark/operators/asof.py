@@ -1,0 +1,95 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left row (key, ts) attach the most recent right row with the
+same key and right_ts ≤ ts (backward direction, inclusive) — the
+standard operator for joining measurements to slowly-changing state
+(price as of trade time, user setting as of event time).
+
+Spark-first implementation — the union/window technique, NOT a range
+self-join:
+
+1. Tag both sides and union them on (key, ts): right rows carry their
+   payload in a struct, left rows carry null payload.
+2. One window per key ordered by (ts, side) computes
+   ``last_value(payload, ignoreNulls=true)`` up to the current row —
+   i.e. the latest right payload at-or-before each row. Right sorts
+   before left at equal ts, making the match inclusive.
+3. Keep the left rows; unpack the struct.
+
+Cost: ONE shuffle on the key (the window), sorting within partitions —
+same asymptotics as a sort-merge join and robust to arbitrary time
+distributions. A naive theta-join (l.key = r.key AND r.ts <= l.ts) +
+max-per-group would shuffle the full cross-product per key; never do
+that. (Range-join-bucketing is the alternative when the right side is
+huge and the lookback is bounded: bucket by time chunk and join each
+left chunk to its and the previous chunk.)
+
+Determinism: with duplicate right (key, ts) rows, ``tie_col`` orders
+them and the LAST wins; pass a unique column for stable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: left ⟕ latest right at-or-before.
+
+    Returns all left columns plus the right ``payload_cols`` (null when
+    no right row precedes the left row).
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None)
+        .cast(r_tagged.schema["_payload"].dataType)
+        .alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+
+    ordering = [F.col("_ts").asc(), F.col("_is_right").desc()]
+    if tie_col is not None:
+        # duplicate right timestamps: order so the last by tie_col wins
+        r_tagged = r_tagged.withColumn("_tie", F.col(f"_payload.{tie_col}"))
+        l_tagged = l_tagged.withColumn("_tie", F.lit(None).cast(
+            r_tagged.schema["_tie"].dataType
+        ))
+        ordering.append(F.col("_tie").asc_nulls_last())
+
+    unioned = r_tagged.unionByName(l_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_is_right") == 0)
+
+    out = matched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+    return out

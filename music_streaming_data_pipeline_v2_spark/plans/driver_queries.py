@@ -1370,3 +1370,41 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir)
     return session_stats(events, gap_minutes=30)
+
+
+_ORACLE_ASOF = """
+WITH clicks AS (
+    SELECT user_id, ts,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_type = 'click'
+),
+views AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, c.k AS k_asof
+FROM views v ASOF LEFT JOIN clicks c
+  ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
+
+
+@q("asof_user_setting", _ORACLE_ASOF)
+def asof_user_setting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each view event picks up the
+    user's most recent click value at-or-before its timestamp —
+    checked against DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import as_of_join
+
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = as_of_join(
+        views, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["k"],
+    )
+    return out.select("event_id", "user_id", F.col("k").alias("k_asof"))

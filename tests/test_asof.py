@@ -1,0 +1,55 @@
+"""As-of join edge cases: no-predecessor nulls, equal-ts inclusivity,
+per-key isolation, duplicate-ts tie-breaking."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from music_streaming_data_pipeline_v2_spark.operators.asof import as_of_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, key="a", ts=_ts("2024-01-01 09:00:00")),  # before any right
+            Row(lid=2, key="a", ts=_ts("2024-01-01 10:00:00")),  # == right ts (inclusive)
+            Row(lid=3, key="a", ts=_ts("2024-01-01 11:30:00")),  # between rights
+            Row(lid=4, key="a", ts=_ts("2024-01-01 13:00:00")),  # after last right
+            Row(lid=5, key="b", ts=_ts("2024-01-01 12:00:00")),  # other key
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(key="a", ts=_ts("2024-01-01 10:00:00"), v=10),
+            Row(key="a", ts=_ts("2024-01-01 12:00:00"), v=12),
+            Row(key="b", ts=_ts("2024-01-01 11:00:00"), v=99),
+        ]
+    )
+    out = {
+        r.lid: r.v
+        for r in as_of_join(
+            left, right, on="key", left_ts="ts", right_ts="ts", payload_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 10, 3: 10, 4: 12, 5: 99}
+
+
+def test_as_of_join_duplicate_right_ts_tiebreak(spark):
+    left = spark.createDataFrame([Row(lid=1, key="a", ts=_ts("2024-01-01 10:30:00"))])
+    right = spark.createDataFrame(
+        [
+            Row(key="a", ts=_ts("2024-01-01 10:00:00"), v=1),
+            Row(key="a", ts=_ts("2024-01-01 10:00:00"), v=2),
+        ]
+    )
+    out = as_of_join(
+        left, right, on="key", left_ts="ts", right_ts="ts",
+        payload_cols=["v"], tie_col="v",
+    ).collect()
+    assert out[0].v == 2  # last by tie_col wins, deterministically
