@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import date_pk, genre_date_pk, genre_rank_sk, metric_sk, song_sk
+
 
 def unpivot_kpis(
     kpis: DataFrame,
@@ -59,10 +61,8 @@ def genre_kpis_to_kv(genre_kpis: DataFrame) -> DataFrame:
         genre_kpis, ["track_genre", "date"], metrics, "metric_type", "value"
     )
     return long.select(
-        F.concat_ws(
-            "#", F.lit("GENRE"), "track_genre", F.lit("DATE"), F.col("date").cast("string")
-        ).alias("pk"),
-        F.concat_ws("#", F.lit("METRIC"), "metric_type").alias("sk"),
+        genre_date_pk("track_genre", "date").alias("pk"),
+        metric_sk("metric_type").alias("sk"),
         F.col("value"),
         F.col("metric_type"),
         F.col("date").cast("string").alias("date"),
@@ -74,12 +74,8 @@ def top_songs_to_kv(top_songs: DataFrame) -> DataFrame:
     """R2 + F9: top_songs → SONG# KV records
     (dynamodb-ingestion.py:81-106)."""
     return top_songs.select(
-        F.concat_ws(
-            "#", F.lit("GENRE"), "track_genre", F.lit("DATE"), F.col("date").cast("string")
-        ).alias("pk"),
-        F.concat_ws(
-            "#", F.lit("SONG"), F.col("rank").cast("string"), "track_id"
-        ).alias("sk"),
+        genre_date_pk("track_genre", "date").alias("pk"),
+        song_sk("rank", "track_id").alias("sk"),
         F.col("track_name").alias("song_name"),
         F.col("artists"),
         F.col("play_count").cast("string").alias("play_count"),
@@ -94,8 +90,8 @@ def top_genres_to_kv(top_genres: DataFrame) -> DataFrame:
     """R2 + F9: top_genres → GENRE_RANK# KV records
     (dynamodb-ingestion.py:108-131)."""
     return top_genres.select(
-        F.concat_ws("#", F.lit("DATE"), F.col("date").cast("string")).alias("pk"),
-        F.concat_ws("#", F.lit("GENRE_RANK"), F.col("rank").cast("string")).alias("sk"),
+        date_pk("date").alias("pk"),
+        genre_rank_sk("rank").alias("sk"),
         F.col("track_genre").alias("genre"),
         F.col("total_plays").cast("string").alias("total_plays"),
         F.col("rank").cast("string").alias("rank"),

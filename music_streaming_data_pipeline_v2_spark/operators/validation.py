@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import coerce_numeric, coerce_numeric_fill0, coerce_timestamp
+
 
 class SchemaError(ValueError):
     """A dataset is missing required columns (validate.py:36-44)."""
@@ -45,14 +47,8 @@ def validate_columns(df: DataFrame, required: list[str], name: str) -> None:
         raise SchemaError(f"{name} missing required columns: {missing}")
 
 
-def _coerce_int(col: str, dtype: str = "int") -> F.Column:
-    """``pd.to_numeric(errors='coerce')`` then int cast: null on failure."""
-    return F.col(col).cast("string").try_cast("double").cast(dtype)
-
-
-def _coerce_int_fill0(col: str, dtype: str = "int") -> F.Column:
-    """``pd.to_numeric(errors='coerce').fillna(0)`` (validate.py:84,86,93)."""
-    return F.coalesce(_coerce_int(col, dtype), F.lit(0).cast(dtype))
+_coerce_int = coerce_numeric
+_coerce_int_fill0 = coerce_numeric_fill0
 
 
 def validate_users(df: DataFrame) -> DataFrame:
@@ -64,7 +60,7 @@ def validate_users(df: DataFrame) -> DataFrame:
         df, ["user_id", "user_name", "user_age", "user_country", "created_at"], "users"
     )
     age = F.col("user_age").cast("string").try_cast("double")
-    created = F.col("created_at").cast("string").try_cast("timestamp")
+    created = coerce_timestamp("created_at")
     return (
         df.na.drop(subset=["user_id", "user_name", "user_age", "created_at"])
         .filter(age.between(13, 120))
@@ -138,7 +134,7 @@ def validate_streams(df: DataFrame, check_nonempty: bool = True) -> DataFrame:
     streaming ``foreachBatch`` where the guard is per-micro-batch.
     """
     validate_columns(df, ["user_id", "track_id", "listen_time"], "streams")
-    ts = F.col("listen_time").cast("string").try_cast("timestamp")
+    ts = coerce_timestamp("listen_time")
     out = (
         df.na.drop(subset=["user_id", "track_id", "listen_time"])
         .select(
