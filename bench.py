@@ -20,6 +20,7 @@ from music_streaming_data_pipeline_v2_spark.session import get_spark
 from music_streaming_data_pipeline_v2_spark.plans.driver_queries import REGISTRY
 
 HEADLINE = [
+    # reference-surface analogs
     "daily_kpis",
     "top_users_per_type_day",
     "kv_table",
@@ -29,6 +30,12 @@ HEADLINE = [
     "order_priority_semi",
     "validate_events",
     "hourly_activity",
+    # extension operators (training-data pipeline surface)
+    "dedup_exact_docs",
+    "minhash_lsh_pairs_docs",
+    "ann_cosine_topk",
+    "user_sessions",
+    "asof_user_setting",
 ]
 
 
