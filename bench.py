@@ -33,6 +33,7 @@ HEADLINE = [
     # extension operators (training-data pipeline surface)
     "dedup_exact_docs",
     "minhash_lsh_pairs_docs",
+    "simhash_pairs_docs",
     "ann_cosine_topk",
     "user_sessions",
     "asof_user_setting",

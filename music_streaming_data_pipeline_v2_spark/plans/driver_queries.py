@@ -1408,3 +1408,67 @@ def asof_user_setting(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["k"],
     )
     return out.select("event_id", "user_id", F.col("k").alias("k_asof"))
+
+
+_ORACLE_BRAND_HAVING = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part
+WHERE p_type LIKE '%ECO%' AND p_name NOT LIKE '%green%'
+GROUP BY p_brand
+HAVING COUNT(*) >= 2
+"""
+
+
+@q("brand_stats_having", _ORACLE_BRAND_HAVING)
+def brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE string predicates + post-aggregation HAVING
+    filter — string-predicate coverage beyond the reference's equality
+    filters."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%ECO%") & ~F.col("p_name").like("%green%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .filter(F.col("n_parts") >= 2)
+    )
+
+
+_ORACLE_SHARE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, date, n,
+       CAST(n AS DOUBLE)
+           / SUM(n) OVER (PARTITION BY date) AS share_of_day,
+       CAST(SUM(n) OVER (PARTITION BY date) AS BIGINT) AS day_total
+FROM daily
+"""
+
+
+@q("type_share_of_day", _ORACLE_SHARE)
+def type_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window (share of partition total) — a frame
+    shape the reference lacks; the ratio is one deterministic double
+    division of two exact ints."""
+    events = load_events(spark, sf_dir)
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("event_type", "date")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("date")
+    return daily.select(
+        "event_type",
+        "date",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_day"),
+        F.sum("n").over(w).alias("day_total"),
+    )
