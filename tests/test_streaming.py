@@ -187,3 +187,50 @@ def test_streaming_sessions(spark, tmp_path):
     assert len(per_user["1"]) == 2  # the 2-hour gap splits sessions
     assert sorted(r.n_events for r in per_user["1"]) == [1, 2]
     assert len(per_user["2"]) == 1
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file)."""
+    from music_streaming_data_pipeline_v2_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    with open(inp / "stream_1.csv", "w") as f:
+        f.write("user_id,duration_ms\n1,100\n1,200\n2,50\n")
+    with open(inp / "stream_2.csv", "w") as f:
+        f.write("user_id,duration_ms\n1,300\n3,10\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(inp))
+    )
+    totals = running_user_totals(stream)
+    (
+        totals.writeStream.format("memory")
+        .queryName("totals_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.sql("select * from totals_mem").collect()
+    # update mode: keep the LAST emission per user
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.total_ms)
+    # user 1 appears in both batches → cumulative 3 events / 600 ms
+    assert last["1"] == (3, 600)
+    assert last["2"] == (1, 50)
+    assert last["3"] == (1, 10)
