@@ -1472,3 +1472,58 @@ def type_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_day"),
         F.sum("n").over(w).alias("day_total"),
     )
+
+
+_ORACLE_INTERSECT = """
+SELECT user_id AS entity_id FROM events
+INTERSECT
+SELECT c_custkey FROM customer
+"""
+
+
+@q("intersect_entities", _ORACLE_INTERSECT)
+def intersect_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — the set operation SURVEY §2.7 notes as absent from
+    the reference; native ``DataFrame.intersect`` here."""
+    events = load_events(spark, sf_dir).select(F.col("user_id").alias("entity_id"))
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id")
+    )
+    return events.intersect(customer)
+
+
+_ORACLE_TOKEN_FREQ = r"""
+WITH toks AS (
+    SELECT LOWER(t.tok) AS token
+    FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+)
+SELECT token, rank, n
+FROM (
+    SELECT token, COUNT(*) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS INTEGER)
+               AS rank
+    FROM toks GROUP BY token
+)
+WHERE rank <= 20
+"""
+
+
+@q("token_frequencies", _ORACLE_TOKEN_FREQ)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST) → corpus-wide token frequencies →
+    global deterministic top-20. Explode is the workhorse of every
+    text pipeline; the global top-K runs as partial counts then a
+    single-partition TakeOrdered on the tiny aggregate."""
+    from ..operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.transform(_tokens("text"), F.lower)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("token", "rank", "n")
+    )

@@ -234,3 +234,47 @@ def test_stateful_running_totals(spark, tmp_path):
     assert last["1"] == (3, 600)
     assert last["2"] == (1, 50)
     assert last["3"] == (1, 10)
+
+
+def test_parse_kafka_value_shape(spark):
+    """Kafka wire-format decode on a batch frame shaped like the kafka
+    source output (no broker needed)."""
+    import datetime as dt
+
+    from music_streaming_data_pipeline_v2_spark.schemas import STREAMS
+    from music_streaming_data_pipeline_v2_spark.streaming.kafka import (
+        parse_kafka_value,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            Row(
+                key=b"u1",
+                value=b'{"user_id": "1", "track_id": "t9", '
+                b'"listen_time": "2024-06-25 10:00:00"}',
+                topic="listens", partition=0, offset=42,
+                timestamp=dt.datetime(2024, 6, 25, 10, 0, 1),
+                timestampType=0,
+            ),
+            Row(
+                key=b"u2", value=b"not json {", topic="listens", partition=1,
+                offset=7, timestamp=dt.datetime(2024, 6, 25, 10, 0, 2),
+                timestampType=0,
+            ),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("track_id", T.StringType()),
+            T.StructField("listen_time", T.StringType()),
+        ]
+    )
+    out = parse_kafka_value(raw, schema, ts_col="listen_time").collect()
+    good = next(r for r in out if r._key == "u1")
+    assert (good.user_id, good.track_id) == ("1", "t9")
+    assert good.listen_time == dt.datetime(2024, 6, 25, 10, 0)
+    assert (good._partition, good._offset) == (0, 42)
+    bad = next(r for r in out if r._key == "u2")
+    # unparseable value → nulls, left for coerce-and-drop validation
+    assert bad.user_id is None and bad.listen_time is None
