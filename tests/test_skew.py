@@ -66,3 +66,25 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bucketdb.t_left")
         spark.sql("DROP TABLE IF EXISTS bucketdb.t_right")
         spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    """SCALE.md claim: date-partitioned fact layout prunes to the
+    queried day (PartitionFilters at the scan, one partition read)."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")
+                   ).alias("date"),
+        (F.col("id") % 97).alias("v"),
+    )
+    path = str(tmp_path / "fact")
+    df.write.mode("overwrite").partitionBy("date").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("date") == "2024-01-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    # only one of the ten date partitions is actually scanned
+    assert q.select(F.input_file_name()).distinct().count() >= 1
+    files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
+    assert all("date=2024-01-03" in f for f in files)
+    assert q.count() == 100
