@@ -1527,3 +1527,45 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("token", "rank", "n")
     )
+
+
+_ORACLE_BAND_JOIN = """
+WITH clicks AS (
+    SELECT event_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+    SELECT ts FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id,
+       CAST(COUNT(v.ts) AS BIGINT) AS n_views_nearby
+FROM clicks c LEFT JOIN views v
+  ON ABS(epoch_us(c.ts) - epoch_us(v.ts)) <= 300000000
+GROUP BY c.event_id
+"""
+
+
+@q("views_near_clicks", _ORACLE_BAND_JOIN)
+def views_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/rangejoin.py): for every click,
+    count view events within ±5 minutes. The oracle is the naive theta
+    join (fine at sf0.01); the engine plan is the chunk-bucketed hash
+    equi-join — no BroadcastNestedLoop/Cartesian node."""
+    from ..operators.rangejoin import band_join
+
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("vts")
+    )
+    pairs = band_join(clicks, views, "ts", "vts", band_seconds=300)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_views_nearby"))
+    # LEFT semantics: clicks with zero nearby views keep count 0
+    return (
+        clicks.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_views_nearby", F.lit(0).cast("long")).alias(
+                "n_views_nearby"
+            ),
+        )
+    )

@@ -53,3 +53,27 @@ def test_as_of_join_duplicate_right_ts_tiebreak(spark):
         payload_cols=["v"], tie_col="v",
     ).collect()
     assert out[0].v == 2  # last by tie_col wins, deterministically
+
+
+def test_band_join_no_nested_loop(spark):
+    """Band join is a hash equi-join on chunks, never a nested loop;
+    pairs appear exactly once (adjacent-chunk explode can't dup)."""
+    from music_streaming_data_pipeline_v2_spark.operators.rangejoin import band_join
+
+    left = spark.createDataFrame(
+        [Row(lid=i, ts=_ts(f"2024-01-01 10:{i:02d}:00")) for i in range(10)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=j, rts=_ts(f"2024-01-01 10:{j:02d}:30")) for j in range(10)]
+    )
+    out = band_join(left, right, "ts", "rts", band_seconds=120)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    rows = [(r.lid, r.rid) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # no duplicate pairs
+    # ground truth: |60*(lid - rid) - 30| <= 120 seconds
+    truth = {
+        (i, j) for i in range(10) for j in range(10)
+        if abs((i * 60) - (j * 60 + 30)) <= 120
+    }
+    assert set(rows) == truth
