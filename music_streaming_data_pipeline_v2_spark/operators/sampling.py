@@ -1,0 +1,71 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need reproducible row selection that is a pure
+function of content — stable across runs, engines, partitionings, and
+cluster sizes (seeded ``rand()`` is none of those across engines):
+
+- ``hash_bucket``: 0..255 bucket from the md5 of a key column, built
+  from hex-digit arithmetic expressible identically in any SQL engine
+  (so oracle checks are exact).
+- ``dataset_split``: train/val/test assignment by bucket thresholds —
+  the standard contamination-safe split (a document's split never
+  changes when the corpus grows, unlike percentile- or rand-based
+  splits).
+- ``hash_sample``: keep a deterministic ~p fraction by bucket range.
+- ``stratified_sample``: per-stratum exact-ish fractions via
+  ``sampleBy`` (seeded; Spark-deterministic, engine-specific).
+
+Scale: all map-only (no shuffle); the bucket expression pushes through
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hexval(c: Column) -> Column:
+    """Value 0-15 of one lowercase hex character — via position in the
+    hex alphabet, an expression any engine evaluates identically."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def hash_bucket(key: str | Column, buckets: int = 256) -> Column:
+    """Stable bucket 0..buckets-1 from md5(key) — content-addressed,
+    partition- and engine-independent. Uses the first two hex digits
+    (256 base buckets); ``buckets`` must divide 256."""
+    assert 256 % buckets == 0, "buckets must divide 256"
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(c.cast("string"))
+    v256 = _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+    return (v256 / (256 // buckets)).cast("int")
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    train_buckets: int = 204,  # 204/256 ≈ 79.7 %
+    val_buckets: int = 26,     # 26/256  ≈ 10.2 %
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket of ``key_col``."""
+    b = hash_bucket(key_col)
+    return df.withColumn(
+        split_col,
+        F.when(b < train_buckets, "train")
+        .when(b < train_buckets + val_buckets, "val")
+        .otherwise("test"),
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction_256: int) -> DataFrame:
+    """Deterministic ~(fraction_256/256) sample by content hash."""
+    return df.filter(hash_bucket(key_col) < fraction_256)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling via ``sampleBy`` (seeded, Spark-side)."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -1569,3 +1569,37 @@ def views_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ORACLE_SPLIT = """
+WITH bucketed AS (
+    SELECT lang,
+           (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS b
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN b < 204 THEN 'train'
+            WHEN b < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+@q("dataset_split_counts", _ORACLE_SPLIT)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split
+    (operators/sampling.py:dataset_split) — the contamination-safe
+    split whose assignment is a pure function of the key, identical in
+    any engine (hex-digit arithmetic on md5)."""
+    from ..operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

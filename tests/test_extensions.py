@@ -298,3 +298,37 @@ def test_embedding_near_dup_pairs_lsh_vs_exact(emb):
     assert len(exact) > 0
     assert approx <= exact
     assert len(approx) / len(exact) >= 0.5  # recall on separated clusters
+
+
+# ---------------------------------------------------------------------------
+# sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+def test_dataset_split_stable_and_partition_independent(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        dataset_split,
+        hash_sample,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in dataset_split(df, "doc_id").collect()}
+    # same content, different partitioning → identical assignment
+    b = {
+        r.doc_id: r.split
+        for r in dataset_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # growing the corpus never reassigns existing keys
+    grown = spark.range(4000).select(F.col("id").alias("doc_id"))
+    c = {r.doc_id: r.split for r in dataset_split(grown, "doc_id").collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # proportions near 80/10/10
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.72 < frac["train"] / 2000 < 0.88
+    assert 0.05 < frac["val"] / 2000 < 0.16
+    # hash_sample subset property: smaller fraction ⊆ larger fraction
+    s64 = {r.doc_id for r in hash_sample(df, "doc_id", 64).collect()}
+    s128 = {r.doc_id for r in hash_sample(df, "doc_id", 128).collect()}
+    assert s64 <= s128
+    assert 0.15 < len(s64) / 2000 < 0.35
