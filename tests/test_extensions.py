@@ -332,3 +332,35 @@ def test_dataset_split_stable_and_partition_independent(spark):
     s128 = {r.doc_id for r in hash_sample(df, "doc_id", 128).collect()}
     assert s64 <= s128
     assert 0.15 < len(s64) / 2000 < 0.35
+
+
+def test_multimodal_decode_stub_raises():
+    from music_streaming_data_pipeline_v2_spark.operators.multimodal import decode_stub
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "jpeg")
+
+
+def test_ivf_partitioned_index_prunes(spark, emb, tmp_path):
+    """SCALE.md claim: embeddings written partitioned by centroid_id
+    give partition-pruned candidate fetches (the ANN 'index')."""
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        assign_centroid,
+        kmeans_lite,
+    )
+
+    centroids = similarity.kmeans_lite(emb, n_centroids=4, seed=3)
+    path = str(tmp_path / "emb_index")
+    assign_centroid(emb, centroids).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    idx = spark.read.parquet(path)
+    probe = idx.filter(F.col("centroid_id").isin([0, 2]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    files = {r[0] for r in probe.select(F.input_file_name()).distinct().collect()}
+    assert files and all(
+        "centroid_id=0" in f or "centroid_id=2" in f for f in files
+    )
