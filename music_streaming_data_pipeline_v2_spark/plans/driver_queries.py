@@ -1603,3 +1603,144 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled MinHash-LSH: md5-derived hash functions that DuckDB can
+# evaluate identically, so the ENTIRE LSH pipeline (shingle → minhash →
+# band → bucket join → exact-jaccard verify) hash-checks end-to-end.
+# The production operator (operators/dedup.py) uses xxhash64 for speed;
+# this variant proves the pipeline's semantics against SQL.
+# ---------------------------------------------------------------------------
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+
+
+def _md5int16_sql(expr: str, seed: int) -> str:
+    """SQL: int in [0, 16^4) from the first 4 hex chars of
+    md5('{seed}|' || expr) — engine-portable hash function."""
+    h = f"MD5('{seed}|' || {expr})"
+    parts = [
+        f"(INSTR('0123456789abcdef', SUBSTRING({h}, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _md5int16_col(c: F.Column, seed: int) -> F.Column:
+    """Spark twin of ``_md5int16_sql`` — identical hex-digit arithmetic."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), c))
+    out = F.lit(0)
+    for j in range(4):
+        hv = F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - 1
+        out = out + hv * (16 ** (3 - j))
+    return out
+
+
+_ORACLE_MINHASH = rf"""
+WITH sh AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) - 1),
+               i -> ARRAY_TO_STRING(
+                   REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')[i:i+2], ' ')
+           )) AS shingles
+    FROM documents
+    WHERE LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) >= 3
+),
+e AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+minh AS (
+    SELECT doc_id,
+           {", ".join(f"MIN({_md5int16_sql('s', i)}) AS h{i}" for i in range(_MH_HASHES))}
+    FROM e GROUP BY doc_id
+),
+banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"MD5(CAST(h{2 * b} AS VARCHAR) || ',' || CAST(h{2 * b + 1} AS VARCHAR)) AS band_hash "
+        f"FROM minh"
+        for b in range(_MH_BANDS)
+    )}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS DOUBLE)
+           / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = id_a
+JOIN sh y ON y.doc_id = id_b
+WHERE CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))) >= 0.5
+"""
+
+
+@q("minhash_lsh_oracle", _ORACLE_MINHASH)
+def minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracled MinHash-LSH near-dup pipeline (md5-based
+    hash family, 8 hashes × 4 bands, word 3-shingles, jaccard ≥ 0.5).
+    Same plan shape as operators/dedup.py:minhash_lsh_pairs."""
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("_id"), word_shingles("text", 3).alias("_sh")
+    ).filter(F.size("_sh") > 0).persist()
+
+    exploded = base.select("_id", F.explode("_sh").alias("_s"))
+    hashed = exploded.select(
+        "_id",
+        *[_md5int16_col(F.col("_s"), i).alias(f"_h{i}") for i in range(_MH_HASHES)],
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(_MH_HASHES)]
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.col(f"_h{2 * b}").cast("string"),
+                                F.col(f"_h{2 * b + 1}").cast("string"),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band_id", "_band.band_hash")
+
+    cand = (
+        banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
+        .join(
+            banded.select("band_id", "band_hash", F.col("_id").alias("id_b")),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+    )
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
