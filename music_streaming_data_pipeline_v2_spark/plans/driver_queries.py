@@ -1744,3 +1744,131 @@ def minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-oracled SimHash (16-bit md5-based variant, hamming ≤ 3, 4-bit
+# chunk blocking) — same generator-built-for-both-dialects approach as
+# minhash_lsh_oracle. Production operator keeps 63-bit xxhash64.
+# ---------------------------------------------------------------------------
+
+def _bit_sql(v: str, i: int, dialect: str) -> str:
+    div = "//" if dialect == "duck" else "div"
+    return f"(({v} {div} {2 ** i}) % 2)"
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle_sql() -> str:
+    hv = _md5int16_sql("t", 0)
+    votes = ", ".join(
+        f"SUM(CASE WHEN {_bit_sql('hv', i, 'duck')} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+    )
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk_id, (sig // {16 ** c}) % 16 AS chunk_val FROM sigs"
+        for c in range(4)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN {_bit_sql('a.sig', i, 'duck')} <> {_bit_sql('b.sig', i, 'duck')} "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(
+        REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))) AS t
+    FROM documents
+),
+hashed AS (SELECT doc_id, {hv} AS hv FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
+chunks AS ({chunks}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a,
+                    b.doc_id AS id_b, b.sig AS sig_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM (
+    SELECT a.id_a, a.id_b, ({hamming.replace("a.sig", "a.sig_a").replace("b.sig", "a.sig_b")}) AS hamming
+    FROM cand a
+) WHERE hamming <= 3
+"""
+
+
+@q("simhash_oracle", _simhash_oracle_sql())
+def simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracled SimHash near-dup pipeline: 16-bit md5-based
+    signatures, per-bit majority votes, 4-bit chunk blocking
+    (pigeonhole covers radius ≤ 3), Hamming-verified pairs. Same plan
+    shape as operators/dedup.py:simhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            )
+        ).alias("_t"),
+    )
+    hashed = toks.select("_id", _md5int16_col(F.col("_t"), 0).alias("_hv"))
+    votes = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(_hv div {2 ** i}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(_SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"_v{i}") > 0, F.lit(2 ** i)).otherwise(0)
+    sigs = votes.select("_id", sig.alias("_sig"))
+    chunks = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(f"(_sig div {16 ** c}) % 16").alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sig", "_c.chunk_id", "_c.chunk_val")
+    cand = (
+        chunks.select(
+            "chunk_id", "chunk_val",
+            F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+        )
+        .join(
+            chunks.select(
+                "chunk_id", "chunk_val",
+                F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+            ),
+            ["chunk_id", "chunk_val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.lit(0)
+    for i in range(_SIMHASH_BITS):
+        hamming = hamming + F.when(
+            F.expr(f"(sig_a div {2 ** i}) % 2") != F.expr(f"(sig_b div {2 ** i}) % 2"),
+            1,
+        ).otherwise(0)
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
