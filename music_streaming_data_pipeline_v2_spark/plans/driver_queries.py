@@ -1872,3 +1872,28 @@ def simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+_ORACLE_FUNNEL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' AND next_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions
+FROM seq
+GROUP BY user_id
+"""
+
+
+@q("click_purchase_funnel", _ORACLE_FUNNEL)
+def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-user ordered
+    sequence scan counting immediate click→purchase transitions
+    (operators/funnel.py) — integer-exact against a lead-window SQL
+    twin."""
+    from ..operators.funnel import transition_counts
+
+    return transition_counts(load_events(spark, sf_dir))
