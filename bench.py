@@ -37,6 +37,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "user_sessions",
     "asof_user_setting",
+    "dataset_split_counts",
+    "click_purchase_funnel",
 ]
 
 

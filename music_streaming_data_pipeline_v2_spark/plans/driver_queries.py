@@ -362,6 +362,9 @@ def _kv_metrics_df(
 
 @q("kv_metrics", _ORACLE_KV_CTE + "SELECT * FROM kv_metrics")
 def kv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 unpivot: KPI grain melted into METRIC# KV records with
+    composite keys and stringified values (dynamodb-ingestion.py:46-79,
+    distributed instead of iterrows)."""
     return _kv_metrics_df(spark, sf_dir)
 
 
@@ -399,6 +402,8 @@ def _kv_top_users_df(
 
 @q("kv_top_users", _ORACLE_KV_CTE + "SELECT * FROM kv_top_users")
 def kv_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 projection: top-user rows as USER# KV items
+    (dynamodb-ingestion.py:81-106)."""
     return _kv_top_users_df(spark, sf_dir)
 
 
@@ -433,6 +438,8 @@ def _kv_top_types_df(
 
 @q("kv_top_types", _ORACLE_KV_CTE + "SELECT * FROM kv_top_types")
 def kv_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 projection: top-type rows as TYPE_RANK# KV items
+    (dynamodb-ingestion.py:108-131)."""
     return _kv_top_types_df(spark, sf_dir)
 
 
@@ -466,6 +473,8 @@ def _kv_union(
 
 @q("kv_table", _ORACLE_KV_CTE + "SELECT * FROM kv")
 def kv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified sparse single-table KV serving relation (union of
+    the three projections, reference §2.12)."""
     # persist=False at bench scale: materializing the plays grain costs
     # more than recomputing it when the fact table is small. At cluster
     # scale (the grain >> memory of one recompute), call _kv_union with
