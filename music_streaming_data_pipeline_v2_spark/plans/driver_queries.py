@@ -1906,3 +1906,32 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import transition_counts
 
     return transition_counts(load_events(spark, sf_dir))
+
+
+_ORACLE_PIVOT = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@q("pivot_daily_types", _ORACLE_PIVOT)
+def pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) — the inverse of the R1 unpivot, completing
+    the reshape pair: one count column per event type per day. The
+    explicit value list keeps the plan single-pass (no distinct-values
+    pre-query) and the output schema static."""
+    events = load_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
