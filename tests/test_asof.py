@@ -77,3 +77,24 @@ def test_band_join_no_nested_loop(spark):
         if abs((i * 60) - (j * 60 + 30)) <= 120
     }
     assert set(rows) == truth
+
+
+def test_funnel_native_matches_pandas_kernel(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.funnel import (
+        transition_counts,
+        transition_counts_native,
+    )
+
+    rows = []
+    seq = ["click", "purchase", "view", "click", "click", "purchase", "view"]
+    for u in range(5):
+        for i, s in enumerate(seq):
+            rows.append(
+                Row(user_id=u, ts=_ts(f"2024-01-01 10:{(u * 10 + i) % 60:02d}:00"),
+                    event_type=s)
+            )
+    df = spark.createDataFrame(rows)
+    a = {r.user_id: r.n_transitions for r in transition_counts(df).collect()}
+    b = {r.user_id: r.n_transitions for r in transition_counts_native(df).collect()}
+    assert a == b
+    assert all(v == 2 for v in a.values())  # two click->purchase per user
