@@ -67,3 +67,27 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema (no inference pass over
+    the data — at 100 TB an inference pre-scan doubles the read).
+    Malformed rows yield nulls (PERMISSIVE), handled by the validation
+    layer's coerce-and-drop."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as Parquet
+    (schema from file metadata)."""
+    return spark.read.orc(path)

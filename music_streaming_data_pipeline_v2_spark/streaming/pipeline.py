@@ -118,6 +118,7 @@ def run_incremental_pipeline(
     schema: T.StructType | None = None,
     archive_dir: str | None = None,
     quarantine_dir: str | None = None,
+    maintain_kv: bool = False,
 ) -> None:
     """The full incremental slice, batch-correct: file stream →
     validate (coerce-and-drop) → recompute affected days → partitioned
@@ -129,6 +130,11 @@ def run_incremental_pipeline(
     (b) recomputes the KPI grain for the dates present in the batch and
     (c) overwrites only those date partitions (dynamic partition
     overwrite) — the reference's PROCESS_DATE recompute, per batch.
+
+    ``maintain_kv=True`` additionally rebuilds the KV serving rows
+    (METRIC#/SONG#/GENRE_RANK#) for the touched dates — the S9 KV sink
+    kept continuously up to date, date-partitioned so each batch
+    replaces only its days' serving entries.
     """
     raw_schema = schema or T.StructType(
         [
@@ -162,10 +168,11 @@ def run_incremental_pipeline(
         if not dates:
             return
         full = spark.read.parquet(validated_dir).filter(F.col("date").isin(dates))
+        dim_cols = ["track_id", "track_genre", "duration_ms"] + (
+            ["track_name", "artists"] if maintain_kv else []
+        )
         enriched = full.join(
-            F.broadcast(songs.select("track_id", "track_genre", "duration_ms")),
-            "track_id",
-            "inner",
+            F.broadcast(songs.select(*dim_cols)), "track_id", "inner"
         ).join(F.broadcast(users.select("user_id")), "user_id", "inner")
         kpis = (
             enriched.groupBy("track_genre", "date")
@@ -181,6 +188,37 @@ def run_incremental_pipeline(
             )
         )
         kpis.write.mode("overwrite").partitionBy("date").parquet(kpi_dir)
+
+        if maintain_kv:
+            from ..operators.aggregates import plays_per_item
+            from ..operators.reshape import build_kv_table
+            from ..operators.topk import top_k_per_group
+
+            kpis_back = spark.read.parquet(kpi_dir).filter(
+                F.col("date").isin(dates)
+            )
+            song_counts = plays_per_item(
+                enriched,
+                ["track_genre", "date", "track_id", "track_name", "artists"],
+            )
+            top_songs = top_k_per_group(
+                song_counts, ["track_genre", "date"], "play_count", 3,
+                tie_break_cols=["track_id"],
+            ).select(
+                "track_genre", "date", "rank", "track_id", "track_name",
+                "artists", "play_count",
+            )
+            top_genres = top_k_per_group(
+                kpis_back.select(
+                    "track_genre", "date",
+                    F.col("listen_count").alias("total_plays"),
+                ),
+                ["date"], "total_plays", 5, tie_break_cols=["track_genre"],
+            ).select("date", "rank", "track_genre", "total_plays")
+            kv = build_kv_table(kpis_back, top_songs, top_genres)
+            kv.write.mode("overwrite").partitionBy("date").parquet(
+                os.path.join(output_dir, "kv")
+            )
 
     (
         stream.writeStream.foreachBatch(process_batch)

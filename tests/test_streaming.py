@@ -278,3 +278,47 @@ def test_parse_kafka_value_shape(spark):
     bad = next(r for r in out if r._key == "u2")
     # unparseable value → nulls, left for coerce-and-drop validation
     assert bad.user_id is None and bad.listen_time is None
+
+
+def test_incremental_kv_maintenance(spark, tmp_path):
+    """maintain_kv: the KV serving table tracks each batch's touched
+    dates — METRIC#/SONG#/GENRE_RANK# rows stay consistent with the
+    recomputed KPIs."""
+    songs = spark.createDataFrame(
+        [
+            Row(track_id=f"t{i}", track_name=f"name{i}", artists=f"a{i}",
+                track_genre="rock" if i % 2 == 0 else "jazz",
+                duration_ms=100000 + i)
+            for i in range(4)
+        ]
+    )
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "1,t0,2024-06-25 11:00:00",
+         "2,t1,2024-06-25 12:00:00"],
+    )
+    kwargs = dict(
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        maintain_kv=True,
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    kv = spark.read.parquet(str(tmp_path / "out" / "kv"))
+    metrics = {r.sk: r.value for r in kv.filter(
+        F.col("pk") == "GENRE#rock#DATE#2024-06-25").collect() if r.sk.startswith("METRIC#")}
+    assert metrics["METRIC#listen_count"] == "2"
+    assert kv.filter(F.col("sk").startswith("SONG#")).count() >= 2
+
+    # second batch adds plays on the same day → kv day partition replaced
+    _write_stream_csv(str(inp / "stream2.csv"), ["1,t0,2024-06-25 13:00:00"])
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    kv2 = spark.read.parquet(str(tmp_path / "out" / "kv"))
+    metrics2 = {r.sk: r.value for r in kv2.filter(
+        F.col("pk") == "GENRE#rock#DATE#2024-06-25").collect() if r.sk.startswith("METRIC#")}
+    assert metrics2["METRIC#listen_count"] == "3"  # replaced, not duplicated
+    assert kv2.filter(
+        (F.col("pk") == "GENRE#rock#DATE#2024-06-25")
+        & (F.col("sk") == "METRIC#listen_count")
+    ).count() == 1
