@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from ..operators.aggregates import daily_genre_kpis, plays_per_item
+from ..io.sinks import write_partitioned
 from ..operators.enrich import enrich_streams
 from ..operators.reshape import build_kv_table
 from ..operators.topk import top_k_per_group
@@ -78,3 +79,29 @@ def run_music_pipeline(
 
     kv = build_kv_table(genre_kpis, top_songs, top_genres)
     return MusicKpiOutputs(enriched, genre_kpis, top_songs, top_genres, kv)
+
+
+def write_music_outputs(
+    outputs: MusicKpiOutputs, base_dir: str, partition_by_date: bool = True
+) -> None:
+    """Materialize all four result tables in one pass.
+
+    The enrichment subplan is shared (cached by run_music_pipeline), so
+    the three KPI sinks and the kv sink reuse one scan+join instead of
+    recomputing per sink (the reference recomputes everything per
+    output, music-streaming-transform.py:162-185). Outputs partition by
+    date — daily recompute is a dynamic partition overwrite — and the
+    kv table additionally sorts by (pk, sk) within files so serving
+    predicates skip row groups.
+    """
+    import os
+
+    part = ["date"] if partition_by_date else None
+    write_partitioned(outputs.genre_kpis, os.path.join(base_dir, "genre_kpis"), part)
+    write_partitioned(outputs.top_songs, os.path.join(base_dir, "top_songs"), part)
+    write_partitioned(outputs.top_genres, os.path.join(base_dir, "top_genres"), part)
+    kv = outputs.kv.sortWithinPartitions("pk", "sk")
+    writer = kv.write.mode("overwrite")
+    if partition_by_date:
+        writer = writer.partitionBy("date")
+    writer.parquet(os.path.join(base_dir, "kv"))

@@ -216,9 +216,12 @@ def run_incremental_pipeline(
                 ["date"], "total_plays", 5, tie_break_cols=["track_genre"],
             ).select("date", "rank", "track_genre", "total_plays")
             kv = build_kv_table(kpis_back, top_songs, top_genres)
-            kv.write.mode("overwrite").partitionBy("date").parquet(
-                os.path.join(output_dir, "kv")
-            )
+            # sort within files by (pk, sk): parquet min/max stats then
+            # skip row groups for the pk-equality + sk-range serving
+            # predicates (operators/serving.py)
+            kv.sortWithinPartitions("pk", "sk").write.mode("overwrite").partitionBy(
+                "date"
+            ).parquet(os.path.join(output_dir, "kv"))
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -137,3 +137,19 @@ def test_kv_serving_pushdown_on_parquet(spark, music, tmp_path):
     assert "EqualTo(pk,GENRE#rock#DATE#2024-06-25)" in plan
     assert "StringStartsWith(sk,METRIC#)" in plan
     assert q.count() == 4
+
+
+def test_write_music_outputs_one_pass(spark, music, tmp_path):
+    from music_streaming_data_pipeline_v2_spark.plans.music import write_music_outputs
+
+    base = str(tmp_path / "outs")
+    write_music_outputs(music, base)
+    kpis = spark.read.parquet(f"{base}/genre_kpis")
+    kv = spark.read.parquet(f"{base}/kv")
+    assert kpis.count() == music.genre_kpis.count()
+    assert kv.count() == music.kv.count()
+    # date-partitioned layout on disk
+    import os
+
+    assert any(d.startswith("date=") for d in os.listdir(f"{base}/genre_kpis"))
+    assert any(d.startswith("date=") for d in os.listdir(f"{base}/kv"))
