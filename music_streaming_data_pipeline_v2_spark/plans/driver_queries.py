@@ -1935,3 +1935,124 @@ def pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+# ---------------------------------------------------------------------------
+# The real music pipeline (plans/music.py:run_music_pipeline), oracle-
+# checked end-to-end: music-shaped tables are derived deterministically
+# from the driver testdata (events.props.k → track, customer → user),
+# then the ACTUAL pipeline runs and its outputs hash-match SQL twins.
+# ---------------------------------------------------------------------------
+
+_GENRES = ["rock", "jazz", "pop", "hiphop", "classical"]
+
+
+def _music_tables(spark: SparkSession, sf_dir: str):
+    events = load_events(spark, sf_dir)
+    streams = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.get_json_object("props", "$.k").alias("track_id"),
+        F.col("ts").alias("listen_time"),
+    )
+    genre = F.element_at(
+        F.array(*[F.lit(g) for g in _GENRES]),
+        (F.col("track_id").cast("int") % 5 + 1).cast("int"),
+    )
+    songs = (
+        streams.select("track_id").distinct()
+        .withColumn("track_name", F.concat(F.lit("track "), "track_id"))
+        .withColumn("artists", F.concat(F.lit("artist "), (F.col("track_id").cast("int") % 7).cast("string")))
+        .withColumn("duration_ms", (F.lit(60000) + F.col("track_id").cast("int") * 1000))
+        .withColumn("track_genre", genre)
+    )
+    users = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.lit(30).alias("user_age"),
+        F.col("c_mktsegment").alias("user_country"),
+    )
+    return streams, songs, users
+
+
+_ORACLE_MUSIC_CTE = """
+WITH streams AS (
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           json_extract_string(props, '$.k') AS track_id,
+           ts AS listen_time
+    FROM events
+),
+songs AS (
+    SELECT track_id,
+           'track ' || track_id AS track_name,
+           'artist ' || CAST(CAST(track_id AS INTEGER) % 7 AS VARCHAR) AS artists,
+           60000 + CAST(track_id AS INTEGER) * 1000 AS duration_ms,
+           ['rock', 'jazz', 'pop', 'hiphop', 'classical'][CAST(track_id AS INTEGER) % 5 + 1]
+               AS track_genre
+    FROM (SELECT DISTINCT track_id FROM streams)
+),
+users AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS user_id FROM customer
+),
+enriched AS (
+    SELECT s.user_id, s.track_id, s.listen_time,
+           g.track_name, g.track_genre, g.artists, g.duration_ms,
+           CAST(s.listen_time AS DATE) AS date
+    FROM streams s
+    JOIN songs g USING (track_id)
+    JOIN users u USING (user_id)
+)
+"""
+
+_ORACLE_MUSIC_KPIS = _ORACLE_MUSIC_CTE + """
+SELECT track_genre, date,
+       COUNT(*) AS listen_count,
+       COUNT(DISTINCT user_id) AS unique_listeners,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_listening_time_ms,
+       CAST(CAST(SUM(duration_ms) AS BIGINT) AS DOUBLE) / COUNT(*)
+           AS avg_listening_time_ms,
+       CAST(CAST(SUM(duration_ms) AS BIGINT) AS DOUBLE) / COUNT(DISTINCT user_id)
+           AS avg_listening_time_per_user
+FROM enriched
+GROUP BY track_genre, date
+"""
+
+
+@q("music_pipeline_kpis", _ORACLE_MUSIC_KPIS)
+def music_pipeline_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE music pipeline itself (plans/music.py:run_music_pipeline),
+    not an analog: genre_kpis output on derived music-shaped tables,
+    hash-checked against the SQL restatement."""
+    from .music import run_music_pipeline
+
+    streams, songs, users = _music_tables(spark, sf_dir)
+    out = run_music_pipeline(streams, songs, users, cache_enriched=False)
+    return out.genre_kpis
+
+
+_ORACLE_MUSIC_TOP_SONGS = _ORACLE_MUSIC_CTE + """
+, plays AS (
+    SELECT track_genre, date, track_id, track_name, artists,
+           COUNT(*) AS play_count
+    FROM enriched
+    GROUP BY track_genre, date, track_id, track_name, artists
+)
+SELECT track_genre, date, rank, track_id, track_name, artists, play_count
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY track_genre, date
+        ORDER BY play_count DESC, track_id ASC) AS INTEGER) AS rank
+    FROM plays
+)
+WHERE rank <= 3
+"""
+
+
+@q("music_pipeline_top_songs", _ORACLE_MUSIC_TOP_SONGS)
+def music_pipeline_top_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_music_pipeline's top_songs output (W1 with the engine's
+    deterministic track_id tie-break), hash-checked end-to-end."""
+    from .music import run_music_pipeline
+
+    streams, songs, users = _music_tables(spark, sf_dir)
+    out = run_music_pipeline(streams, songs, users, cache_enriched=False)
+    return out.top_songs
