@@ -2056,3 +2056,27 @@ def music_pipeline_top_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams, songs, users = _music_tables(spark, sf_dir)
     out = run_music_pipeline(streams, songs, users, cache_enriched=False)
     return out.top_songs
+
+
+@q("ann_lsh_topk")  # rows-only: hyperplane bucketing is engine-seeded
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via hyperplane LSH + exact re-rank
+    (operators/similarity.py:lsh_topk); recall vs the exact oracle
+    query is pinned in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.lsh_topk(emb, queries, k=10, bits=16, bands=4, dims=64)
+
+
+@q("ann_ivf_topk")  # rows-only: centroid codebook is engine-computed
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: k-means-lite codebook, nprobe nearest cells,
+    exact cosine within cells (operators/similarity.py:ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = _sim.kmeans_lite(emb, n_centroids=8, seed=7)
+    return _sim.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
