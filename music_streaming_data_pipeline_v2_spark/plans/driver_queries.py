@@ -2080,3 +2080,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = _sim.kmeans_lite(emb, n_centroids=8, seed=7)
     return _sim.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+
+
+_ORACLE_CURATION = r"""
+WITH feat AS (
+    SELECT doc_id, lang, text,
+           LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')) AS norm,
+           LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')))
+                AS DOUBLE)
+           / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS uniq_ratio
+    FROM documents
+),
+quality AS (
+    SELECT * FROM feat WHERE n_tokens >= 20 AND uniq_ratio >= 0.3
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY norm) AS canonical
+        FROM quality
+    ) WHERE doc_id = canonical
+),
+split AS (
+    SELECT lang, n_tokens,
+           CASE WHEN b < 204 THEN 'train'
+                WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT lang, n_tokens,
+               (INSTR('0123456789abcdef',
+                      SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (INSTR('0123456789abcdef',
+                        SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+        FROM deduped
+    )
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM split
+GROUP BY lang, split
+"""
+
+
+@q("corpus_curation", _ORACLE_CURATION)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the training-data operators: quality
+    gate (token count + uniqueness ratio) → exact dedup (canonical =
+    min doc_id per normalized text) → deterministic train/val/test
+    split → per-(lang, split) corpus stats. Every stage is the engine
+    operator (text.quality features, dedup normalization, sampling
+    split) and the whole chain hash-matches one SQL restatement."""
+    from ..functions.scalar import normalize_text
+    from ..operators.sampling import dataset_split
+    from ..operators.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks("text")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        normalize_text("text").alias("norm"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(F.transform(toks, F.lower))).cast("double")
+         / F.size(toks)).alias("uniq_ratio"),
+    )
+    quality = feat.filter((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.3))
+    w = Window.partitionBy("norm")
+    deduped = quality.withColumn("canonical", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical")
+    )
+    split = dataset_split(deduped, "doc_id")
+    return split.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
