@@ -38,7 +38,10 @@ HEADLINE = [
     "user_sessions",
     "asof_user_setting",
     "dataset_split_counts",
-    "click_purchase_funnel",
+    # JVM-native funnel (lead window); the applyInPandas variant
+    # `click_purchase_funnel` stays in queries() as the Python-kernel
+    # extensibility demo, correctness-checked against the same oracle.
+    "click_purchase_funnel_native",
 ]
 
 

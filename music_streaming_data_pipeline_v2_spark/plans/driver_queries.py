@@ -1059,8 +1059,17 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("simhash_pairs_docs")  # no SQL oracle: xxhash64-based signatures
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming radius 3
-    (operators/dedup.py:simhash_pairs)."""
+    (operators/dedup.py:simhash_pairs).
+
+    The testdata documents table is a single parquet file (one row
+    group), so the scan yields one partition and the token-hash
+    aggregation would run on one core; spread it across the cluster
+    before the CPU-heavy signature build. At real scale the file
+    source provides this parallelism naturally and the repartition
+    collapses to a cheap rebalance."""
     docs = load_table(spark, sf_dir, "documents")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return _dedup.simhash_pairs(docs, max_hamming=3)
 
 
@@ -1906,6 +1915,19 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import transition_counts
 
     return transition_counts(load_events(spark, sf_dir))
+
+
+@q("click_purchase_funnel_native", _ORACLE_FUNNEL)
+def click_purchase_funnel_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native twin of click_purchase_funnel: lead window + sum,
+    whole-stage codegen end to end (operators/funnel.py:
+    transition_counts_native). Same oracle, identical results — this is
+    the production path; the grouped-map Pandas kernel above is the
+    extensibility demo for sequence logic window functions can't
+    express."""
+    from ..operators.funnel import transition_counts_native
+
+    return transition_counts_native(load_events(spark, sf_dir))
 
 
 _ORACLE_PIVOT = """
