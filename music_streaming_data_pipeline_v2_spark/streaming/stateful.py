@@ -58,3 +58,25 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka redelivery,
+    file replays) → exactly-once records downstream (X5 extension,
+    SURVEY.md §2.10).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's event time, so state is bounded by
+    the key cardinality of one watermark horizon — unlike plain
+    ``dropDuplicates`` on a stream, whose state grows without bound.
+    The first arrival of each key is emitted; later replays within the
+    horizon are dropped.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

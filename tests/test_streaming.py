@@ -236,6 +236,57 @@ def test_stateful_running_totals(spark, tmp_path):
     assert last["3"] == (1, 10)
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed event id in a later
+    micro-batch (within the watermark horizon) is emitted exactly once."""
+    from music_streaming_data_pipeline_v2_spark.streaming.stateful import (
+        streaming_dedup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    with open(inp / "stream_1.csv", "w") as f:
+        f.write(
+            "event_id,ts,value\n"
+            "e1,2024-01-01 10:00:00,1\n"
+            "e2,2024-01-01 10:01:00,2\n"
+        )
+    with open(inp / "stream_2.csv", "w") as f:
+        # e1 replayed in the next batch + one new event
+        f.write(
+            "event_id,ts,value\n"
+            "e1,2024-01-01 10:00:00,1\n"
+            "e3,2024-01-01 10:02:00,3\n"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(inp))
+    )
+    deduped = streaming_dedup(stream, key_cols=("event_id",), watermark="1 hour")
+    (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.sql("select event_id from dedup_mem").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == ["e1", "e2", "e3"]
+
+
 def test_parse_kafka_value_shape(spark):
     """Kafka wire-format decode on a batch frame shaped like the kafka
     source output (no broker needed)."""
