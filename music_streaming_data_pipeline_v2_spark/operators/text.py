@@ -128,3 +128,56 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
         "fingerprint_x64", F.xxhash64(norm)
     )
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Three-relation composition, all built-in: per-(doc, token) term
+    frequency; per-token document frequency (an aggregate OF the first
+    aggregate, so the corpus is tokenized once); the corpus size as a
+    broadcast 1-row scalar. ``tfidf = tf * ln(n_docs / doc_freq)``.
+
+    Ranking uses the integer-exact proxy ordering (tf DESC, doc_freq
+    ASC, token ASC) — deterministic and engine-portable, where ordering
+    by the double score could flip near-equal pairs across engines'
+    ``ln`` implementations. The score itself is emitted (rounded) as a
+    value column.
+
+    Scale: two token-keyed shuffles; the document-frequency side is
+    vocabulary-sized (≪ corpus) so AQE broadcasts it when it fits, and
+    hot stop-tokens are 1:1 probes into it, not expanding joins.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
+    )

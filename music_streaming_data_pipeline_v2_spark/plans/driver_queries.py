@@ -1234,6 +1234,45 @@ def day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_ROLLING_RANGE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, date, n,
+       CAST(SUM(n) OVER (
+           PARTITION BY event_type
+           ORDER BY (date - DATE '1970-01-01')
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_7d
+FROM daily
+"""
+
+
+@q("rolling_7d_range", _ORACLE_ROLLING_RANGE)
+def rolling_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregate — the value-based frame form
+    (vs day_over_day's ROWS frames): sum over the trailing 7 calendar
+    DAYS, not 7 rows, so date gaps shrink the window instead of
+    silently widening it. Ordered by integer day number so the frame
+    bounds are engine-portable."""
+    events = load_events(spark, sf_dir)
+    daily = (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("event_type", "date")
+        .agg(F.count("*").alias("n"))
+    )
+    daynum = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(daynum)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "date", "n", F.sum("n").over(w).alias("n_7d")
+    )
+
+
 _ORACLE_VALUE_STATS = """
 SELECT event_type,
        COUNT(*) AS n,
@@ -1508,6 +1547,42 @@ def intersect_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("entity_id")
     )
     return events.intersect(customer)
+
+
+_ORACLE_TFIDF = r"""
+WITH tf AS (
+    SELECT doc_id, LOWER(t.tok) AS token, COUNT(*) AS tf
+    FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, doc_freq,
+       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf,
+       rank
+FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq, n.n_docs,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.token ASC
+           ) AS INTEGER) AS rank
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+WHERE rank <= 3
+"""
+
+
+@q("tfidf_top_terms", _ORACLE_TFIDF)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document
+    (operators/text.py:tfidf_top_terms): tokenize once, aggregate
+    twice (term freq, then document freq over it), broadcast the
+    corpus-size scalar, rank with an integer-exact ordering."""
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
 _ORACLE_TOKEN_FREQ = r"""
