@@ -71,17 +71,28 @@ def decode_stub(content: bytes, fmt: str) -> object:
     )
 
 
-def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature extractor: byte-histogram moments.
+def _byte_histogram_features():
+    """Factory for the stand-in feature extractor (byte-histogram
+    moments). Factory-nested so cloudpickle serializes the function BY
+    VALUE into UDF closures — Python workers then never need this
+    package on their import path (the driver may run from any cwd).
     Real pipelines replace with a model embedding; the Spark plumbing
     (batching, schema, partitioning) is identical."""
-    if not content:
-        return [0.0] * dim
-    buckets = [0] * dim
-    for i, b in enumerate(content):
-        buckets[b % dim] += 1
-    total = float(len(content))
-    return [round(c / total, 6) for c in buckets]
+
+    def features(content: bytes, dim: int = 8) -> list[float]:
+        if not content:
+            return [0.0] * dim
+        buckets = [0] * dim
+        for b in content:
+            buckets[b % dim] += 1
+        total = float(len(content))
+        return [round(c / total, 6) for c in buckets]
+
+    return features
+
+
+#: Module-level alias for direct (driver-side / test) use.
+fake_image_features = _byte_histogram_features()
 
 
 def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
@@ -90,6 +101,11 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     ``mapInPandas`` so one Python worker processes a whole Arrow batch;
     blobs never round-trip through per-row pickling.
     """
+
+    # pickle-by-value copy: the kernel closure must not reference any
+    # module-level symbol of this package (workers may not have it
+    # importable when the driving process runs from another cwd)
+    features = _byte_histogram_features()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -104,7 +120,7 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                     "content_hash": content.map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
-                    "feature": content.map(lambda b: fake_image_features(b or b"")),
+                    "feature": content.map(lambda b: features(b or b"")),
                 }
             )
 

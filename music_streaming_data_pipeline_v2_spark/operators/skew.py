@@ -60,6 +60,37 @@ def salted_aggregate(
     return final
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Replicate-and-salt inner equi-join for skewed join keys.
+
+    The big (skewed) side gets a uniform salt in ``[0, n_salts)``; the
+    small side is replicated once per salt value (``explode`` of the
+    full salt range) so every (key, salt) pair on the big side finds
+    its match. The shuffle key becomes (key, salt): a hot key's rows
+    spread over ``n_salts`` tasks instead of pinning one. The result is
+    exactly the plain inner join — the salt only affects placement.
+
+    AQE's skew-join split (``spark.sql.adaptive.skewJoin.enabled``)
+    handles most cases automatically at runtime; explicit salting
+    remains the answer when AQE is off, when one key alone exceeds
+    what a split partition can hold, or when the small side must stay
+    a shuffle join (too big to broadcast, too hot to leave unsalted).
+    Replication cost: ``n_salts ×`` the small side — size accordingly.
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(replicated, [key, "_salt"], "inner").drop("_salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

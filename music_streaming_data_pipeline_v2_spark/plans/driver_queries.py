@@ -1391,6 +1391,116 @@ def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_SALTED_JOIN = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@q("salted_join_equivalence", _ORACLE_SALTED_JOIN)
+def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation proof for JOINS: the replicate-and-salt join
+    (operators/skew.py:salted_join) hash-matches the plain inner-join
+    oracle. The shuffle key becomes (key, salt) so one hot user cannot
+    pin a single task; the small side pays n_salts× replication. The
+    explicit form of what AQE skew-split does at runtime."""
+    from ..operators.skew import salted_join
+
+    events = load_events(spark, sf_dir)
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(events, customer, "user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum().cast("double").alias("total_value"),
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT event_type,
+       CAST(ts AS DATE) AS date,
+       CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+         + CASE WHEN CAST(ts AS DATE) IS NULL THEN 1 ELSE 0 END AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
+"""
+
+
+@q("grouping_sets_marginals", _ORACLE_GROUPING_SETS)
+def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with NON-hierarchical sets — the two independent
+    marginals (by type, by date) in ONE pass over the fact (Spark
+    expands to a union of aggregates sharing the scan). Distinct from
+    the rollup/cube queries, whose sets are prefix-hierarchical. The
+    grain id is derived from key nullness in both engines (source keys
+    are never null), sidestepping engine-specific grouping_id() bit
+    conventions."""
+    events = load_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("date"), "value"
+    )
+    events.createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, date,
+               CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+                 + CASE WHEN date IS NULL THEN 1 ELSE 0 END AS gid,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type), (date))
+        """
+    )
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+@q("multimodal_features", _ORACLE_MULTIMODAL)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing (operators/multimodal.py) end-to-end on
+    driver testdata: documents' text bytes stand in for media blobs
+    (media_id, modality, content binary, meta struct), the Arrow-batched
+    ``mapInPandas`` kernel computes per-blob size + content hash, and
+    BOTH kernel outputs hash-match the oracle (octet_length/md5 over the
+    same bytes) — proving the binary-column schema contract and batch
+    iteration, not just the built-in expressions around them."""
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").cast("binary").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("utf8-text").alias("format"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select(
+        "media_id", "modality", "n_bytes", "content_hash"
+    )
+
+
 _ORACLE_SESSIONS = """
 WITH ordered AS (
     SELECT user_id, ts,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from music_streaming_data_pipeline_v2_spark.operators.skew import (
     salted_aggregate,
+    salted_join,
     write_bucketed,
 )
 
@@ -38,6 +39,37 @@ def test_salted_aggregate_matches_direct(spark):
         ).collect()
     }
     assert direct == salted
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of the big side lands on k=0
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("name")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = (
+            big.join(small, "k")
+            .groupBy("k", "name")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        salted = (
+            salted_join(big, small, "k", n_salts=8)
+            .groupBy("k", "name")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        as_map = lambda df: {(r.k, r.name): (r.n, r.s) for r in df.collect()}
+        assert as_map(plain) == as_map(salted)
+        # the salted shuffle key spreads the hot key: join key is (k, _salt)
+        plan = salted_join(big, small, "k", n_salts=8)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "_salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_bucketed_join_has_no_exchange(spark):
