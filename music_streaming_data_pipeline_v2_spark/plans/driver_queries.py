@@ -1459,6 +1459,61 @@ def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_GAPFILL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS date,
+           COUNT(*) FILTER (value >= 200) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS mn, MAX(CAST(ts AS DATE)) AS mx FROM events
+),
+spine AS (
+    SELECT CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                       CAST(mx AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS date
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, s.date, COALESCE(d.n, 0) AS n_events
+FROM types t CROSS JOIN spine s
+LEFT JOIN daily d ON d.event_type = t.event_type AND d.date = s.date
+"""
+
+
+@q("daily_gapfill", _ORACLE_GAPFILL)
+def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): a complete daily spine per
+    event type with zero-filled counts for absent (type, day) combos —
+    the shape every downstream charting/forecast consumer wants, and a
+    LEFT join the reference (inner-joins only) never exercises. The
+    spine is ``sequence(min_date, max_date)`` exploded — generated, not
+    scanned — and both spine and type list are tiny, so the fill join
+    broadcasts regardless of fact size. The counted measure is a
+    sparse predicate (value >= 200) so the zero-fill path is real at
+    sf0.01 (46 of 150 output rows are filled zeros)."""
+    events = load_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("date"), "value"
+    )
+    daily = events.groupBy("event_type", "date").agg(
+        F.count_if(F.col("value") >= 200).alias("n")
+    )
+    bounds = events.agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("date")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "date"], "left")
+        .select(
+            "event_type",
+            "date",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT)
