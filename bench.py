@@ -30,11 +30,14 @@ HEADLINE = [
     "order_priority_semi",
     "validate_events",
     "hourly_activity",
+    "grouping_sets_marginals",
+    "daily_gapfill",
     # extension operators (training-data pipeline surface)
     "dedup_exact_docs",
     "minhash_lsh_pairs_docs",
     "simhash_pairs_docs",
     "ann_cosine_topk",
+    "multimodal_features",
     "user_sessions",
     "asof_user_setting",
     "dataset_split_counts",

@@ -289,12 +289,16 @@ def simhash_pairs(
         F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"),
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming is a pure function of the two signatures, so the radius
+    # filter commutes with the pair-dedup — apply it FIRST to shrink
+    # the dropDuplicates shuffle to only the surviving near-dup pairs
+    # (most chunk-bucket candidates are far apart and die here)
     return (
         left.join(right, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
