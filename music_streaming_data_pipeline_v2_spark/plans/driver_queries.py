@@ -2416,3 +2416,228 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows, exact moments, SCD2, merge-upsert (beyond reference:
+# SURVEY §2.4 "not present: median/percentile" neighbors; §2.5 "no analytic")
+# ---------------------------------------------------------------------------
+
+_ORACLE_QUARTILES = """
+WITH totals AS (
+    SELECT c_mktsegment AS segment, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, user_id
+)
+SELECT segment, user_id, total_value,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist,
+       FIRST_VALUE(user_id) OVER w AS segment_top_user,
+       LAST_VALUE(user_id) OVER (PARTITION BY segment
+           ORDER BY total_value DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS segment_bottom_user
+FROM totals
+WINDOW w AS (PARTITION BY segment ORDER BY total_value DESC, user_id)
+"""
+
+
+@q("user_value_quartiles", _ORACLE_QUARTILES)
+def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows — ntile / percent_rank / cume_dist /
+    first_value / last_value-with-explicit-frame — over per-user spend
+    within a market segment. percent_rank and cume_dist are ratios of
+    small integers, so one IEEE double division each is bit-identical
+    across engines; the ordering is made deterministic with a user_id
+    tie-break (SURVEY §2.5 note on row_number nondeterminism applies to
+    every ordered window). last_value needs the full-partition ROWS
+    frame in both engines (the default frame stops at CURRENT ROW)."""
+    totals = (
+        _enriched_events(spark, sf_dir)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "user_id")
+        .agg(_dec_sum().cast("double").alias("total_value"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return totals.select(
+        "segment", "user_id", "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.first("user_id").over(w).alias("segment_top_user"),
+        F.last("user_id").over(w_full).alias("segment_bottom_user"),
+    )
+
+
+# Exact cross-engine statistical moments: stddev/corr accumulate doubles
+# in shuffle order, so calling the built-ins directly would drift between
+# engines. Instead every sufficient statistic (Σx, Σx², Σy, Σy², Σxy, n)
+# is an EXACT decimal/integer sum (value has 2 decimals, hour is an int),
+# and the textbook formulas are then evaluated in double with the SAME
+# operation tree in both engines — deterministic IEEE arithmetic on equal
+# operands gives bit-equal results.
+_ORACLE_MOMENTS = """
+WITH stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(hour(ts)) AS DOUBLE) AS sy,
+           CAST(SUM(hour(ts) * hour(ts)) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * hour(ts)) AS DOUBLE) AS sxy
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       sx / n AS mean_value,
+       sqrt((sxx - (sx * sx) / n) / (n - 1)) AS stddev_value,
+       ((sxy - (sx * sy) / n) / (n - 1))
+           / (sqrt((sxx - (sx * sx) / n) / (n - 1))
+              * sqrt((syy - (sy * sy) / n) / (n - 1))) AS corr_value_hour
+FROM stats
+"""
+
+
+@q("value_moments_by_type", _ORACLE_MOMENTS)
+def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample stddev / Pearson corr(value, hour-of-day) per event
+    type, hash-exact across engines via exact sufficient statistics
+    (see comment above). At 100 TB this is also the RIGHT plan shape:
+    one partial+final hash aggregate of six sums — the same shuffle the
+    built-in stddev/corr would do, with none of their merge-order
+    nondeterminism."""
+    events = load_events(spark, sf_dir)
+    x = F.col("value").cast("decimal(18,2)")
+    y = F.hour("ts")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_x = (sxx - (sx * sx) / n) / (n - 1)
+    var_y = (syy - (sy * sy) / n) / (n - 1)
+    cov = (sxy - (sx * sy) / n) / (n - 1)
+    return stats.select(
+        "event_type", "n",
+        (sx / n).alias("mean_value"),
+        F.sqrt(var_x).alias("stddev_value"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_value_hour"),
+    )
+
+
+_ORACLE_SCD2 = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+    SELECT user_id, event_type, ts AS valid_from
+    FROM ordered
+    WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from) IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+"""
+
+
+@q("scd2_user_state", _ORACLE_SCD2)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build from an event
+    log: lag-based change detection collapses runs of the same
+    event_type, lead supplies each interval's exclusive end, the last
+    interval per user stays open (is_current). The standard dimension-
+    history pattern a warehouse derives from a CDC/event stream; both
+    windows shuffle once on user_id — at 100 TB the log is date-
+    partitioned and the rebuild runs per user-id range with no
+    cross-partition state."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    lead = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        lead.alias("valid_to"),
+        F.when(lead.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+_ORACLE_MERGE = """
+WITH updates AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, custkey) AS custkey,
+       CASE WHEN c_custkey IS NULL THEN 'insert'
+            WHEN custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       CASE WHEN custkey IS NULL THEN c_acctbal ELSE total_spend END
+           AS new_balance,
+       COALESCE(n_orders, 0) AS n_orders
+FROM customer FULL OUTER JOIN updates ON c_custkey = custkey
+"""
+
+
+@q("dim_merge_upsert", _ORACLE_MERGE)
+def dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on a dimension without a table format:
+    full-outer join of the current dim against an aggregated update
+    feed, rows classified insert / update / keep and the new balance
+    resolved per-row — exactly what Delta/Iceberg MERGE INTO compiles
+    to under the hood (outer join + per-row action). At scale the join
+    shuffles both sides on the key once; with the dim bucketed on
+    custkey the shuffle drops to the update side only."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    joined = customer.join(
+        updates, customer.c_custkey == updates.custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("custkey").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("total_spend"))
+        .alias("new_balance"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
