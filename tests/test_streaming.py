@@ -373,3 +373,66 @@ def test_incremental_kv_maintenance(spark, tmp_path):
         (F.col("pk") == "GENRE#rock#DATE#2024-06-25")
         & (F.col("sk") == "METRIC#listen_count")
     ).count() == 1
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (beyond the reference's stream-static
+    X6): impressions ⋈ clicks on ad_id with both sides watermarked and
+    a time-range join condition, so Spark can bound the join state and
+    drop it as the watermark advances — the required shape for an
+    unbounded two-stream join at scale. availableNow drains both file
+    sources in one run."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "imp.csv").write_text(
+        "ad_id,imp_time\n"
+        "a,2024-06-25 10:00:00\n"
+        "b,2024-06-25 10:01:00\n"
+        "c,2024-06-25 10:02:00\n"
+    )
+    (clk_dir / "clk.csv").write_text(
+        "ad_id,click_time\n"
+        "a,2024-06-25 10:00:30\n"   # 30s after impression → joins
+        "b,2024-06-25 11:30:00\n"   # 89min after → outside 1h window
+        "z,2024-06-25 10:03:00\n"   # unknown ad → inner-dropped
+    )
+    imp_schema = T.StructType([
+        T.StructField("ad_id", T.StringType()),
+        T.StructField("imp_time", T.TimestampType()),
+    ])
+    clk_schema = T.StructType([
+        T.StructField("ad_id", T.StringType()),
+        T.StructField("click_time", T.TimestampType()),
+    ])
+    imps = (
+        spark.readStream.schema(imp_schema)
+        .option("header", True).csv(str(imp_dir))
+        .withWatermark("imp_time", "2 hours")
+    )
+    clicks = (
+        spark.readStream.schema(clk_schema)
+        .option("header", True).csv(str(clk_dir))
+        .withWatermark("click_time", "2 hours")
+        .withColumnRenamed("ad_id", "c_ad_id")
+    )
+    joined = imps.join(
+        clicks,
+        F.expr(
+            "ad_id = c_ad_id AND "
+            "click_time BETWEEN imp_time AND imp_time + INTERVAL 1 HOUR"
+        ),
+    ).select("ad_id", "imp_time", "click_time")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = [
+        (r.ad_id, str(r.click_time))
+        for r in spark.sql("select * from ss_join_mem").collect()
+    ]
+    assert got == [("a", "2024-06-25 10:00:30")]
