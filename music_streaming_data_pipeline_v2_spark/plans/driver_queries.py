@@ -2641,3 +2641,105 @@ def dim_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("new_balance"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global top-K and train/test contamination (SURVEY §2.6 "no global ORDER BY
+# in the reference"; training-data pipeline north star)
+# ---------------------------------------------------------------------------
+
+_ORACLE_GLOBAL_TOPK = """
+SELECT o_custkey AS custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, custkey
+LIMIT 20
+"""
+
+
+@q("global_top_spenders", _ORACLE_GLOBAL_TOPK)
+def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — absent from the reference (SURVEY
+    §2.6) but fundamental. Spark compiles orderBy().limit(k) to
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge — no global
+    sort shuffle ever materializes, so this scales to any fact size.
+    Tie-break on custkey makes the LIMIT membership deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+        .orderBy(F.desc("total_spend"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+_SPLIT_BUCKET_SQL = """
+    (INSTR('0123456789abcdef',
+           SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+    + (INSTR('0123456789abcdef',
+             SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+"""
+
+_ORACLE_CONTAMINATION = rf"""
+WITH tok AS (
+    SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b,
+           REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, b,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN(t) - 3),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' ')
+           )) AS shingles
+    FROM tok WHERE LEN(t) >= 5
+),
+train_sh AS (
+    SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE b < 204
+),
+test_e AS (
+    SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE b >= 230
+)
+SELECT doc_id, COUNT(*) AS n_shared_shingles
+FROM test_e JOIN train_sh USING (s)
+GROUP BY doc_id
+"""
+
+
+@q("train_test_contamination", _ORACLE_CONTAMINATION)
+def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the eval-hygiene pass every
+    training-data pipeline needs: which test-split documents share a
+    word 5-gram with ANY train-split document. Plan: deterministic
+    hash split (operators/sampling.py:dataset_split) → shingle both
+    sides → dedup the train side to a distinct-shingle relation (the
+    big shrink: |distinct shingles| ≪ |doc × shingle|) → hash
+    equi-join → per-test-doc count. At 100 TB the join key becomes
+    xxhash64(shingle) (8-byte shuffle rows instead of strings) and the
+    train side is bucketed by that hash so nightly test sweeps reuse
+    the layout; here the raw shingle string keeps the DuckDB twin
+    hash-exact."""
+    from ..operators.dedup import word_shingles
+    from ..operators.sampling import dataset_split
+
+    docs = dataset_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(
+        "doc_id", "split", word_shingles("text", 5).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+    )
+    test_e = sh.filter(F.col("split") == "test").select(
+        "doc_id", F.explode("_sh").alias("s")
+    )
+    return test_e.join(train_sh, "s").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared_shingles")
+    )
