@@ -31,3 +31,47 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    target_rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction for a partitioned table — the maintenance
+    pass every streaming/incremental sink needs at scale: micro-batch
+    writes leave one file per (trigger × partition × task), and scan
+    throughput collapses when a 100 TB table is millions of KB-sized
+    files (per-file open cost + tiny row groups defeat the columnar
+    format).
+
+    Rewrites the dataset with one shuffle keyed on the partition
+    columns, letting ``maxRecordsPerFile`` split oversized partitions
+    into multiple right-sized files. The rewrite goes through a temp
+    sibling directory + atomic-ish rename so a failed compaction never
+    destroys the live data (the same overwrite-safety the reference gets
+    from archive-then-delete, dags/tasks/utils.py:137-211). Dynamic
+    partition overwrite is NOT enough here because compaction must
+    rewrite partitions in place while other readers may list the
+    directory; for table formats (Delta/Iceberg) this whole function is
+    their OPTIMIZE/rewrite_data_files action.
+    """
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compacting"
+    (
+        df.repartition(*partition_by)
+        .write.mode("overwrite")
+        .format(fmt)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(*partition_by)
+        .save(tmp)
+    )
+    old = path.rstrip("/") + "._pre_compact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -52,3 +52,30 @@ def test_parquet_scan_prunes_columns(spark):
     assert m, plan
     cols = [c.split(":")[0] for c in m.group(1).split(",")]
     assert sorted(cols) == ["l_orderkey", "l_returnflag"]
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a fragmented partitioned table (many tiny
+    files per partition, the micro-batch-sink pathology) compacts to one
+    right-sized file per partition with identical content."""
+    import glob
+
+    from music_streaming_data_pipeline_v2_spark.io.sinks import compact_partitions
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).selectExpr("id", "id % 4 AS part")
+    # simulate 8 micro-batch appends → 8 small files per partition
+    for i in range(8):
+        df.filter(f"id % 8 = {i}").write.mode("append").partitionBy(
+            "part"
+        ).parquet(path)
+    before = len(glob.glob(f"{path}/part=*/*.parquet"))
+    assert before >= 32  # fragmented: ≥8 files in each of 4 partitions
+    expected = sorted(
+        (r.id, r.part) for r in spark.read.parquet(path).collect()
+    )
+    compact_partitions(spark, path, ["part"], target_rows_per_file=100_000)
+    after_files = glob.glob(f"{path}/part=*/*.parquet")
+    assert len(after_files) == 4  # one file per partition
+    got = sorted((r.id, r.part) for r in spark.read.parquet(path).collect())
+    assert got == expected
