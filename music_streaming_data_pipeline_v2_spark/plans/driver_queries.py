@@ -648,6 +648,47 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_ARGMAX_ORDER = """
+SELECT n_name,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+       MAX_BY(o_orderkey,
+              CAST(o_totalprice AS DECIMAL(12,2)) * 10000000000 - o_orderkey)
+           AS best_orderkey,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@q("argmax_order_by_nation", _ORACLE_ARGMAX_ORDER)
+def argmax_order_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregate (``max_by``) — the single-pass form of
+    "the row that attains the group max" (vs the window/self-join
+    rewrites): one shuffled hash aggregate, no second pass over the
+    fact. Deterministic under price ties: the ordering value is
+    ``decimal(price)·1e10 − orderkey``, so equal prices resolve to the
+    lowest orderkey, exactly in both engines (pure decimal arithmetic;
+    orderkeys ≪ the 1e8 one-cent step)."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    price = _dec("o_totalprice")
+    ordv = price * F.lit(10000000000) - F.col("o_orderkey")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max(price).cast("double").alias("max_price"),
+            F.max_by("o_orderkey", ordv).alias("best_orderkey"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 _ORACLE_TOP_PARTS = """
 WITH part_rev AS (
     SELECT p_brand, l_partkey, p_name,
