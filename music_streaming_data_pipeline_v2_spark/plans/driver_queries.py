@@ -787,6 +787,42 @@ def inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+_ORACLE_OUTER_ORDER_COUNTS = """
+WITH per_cust AS (
+    SELECT c_custkey, c_nationkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_nationkey
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_inactive,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders
+FROM per_cust
+GROUP BY c_nationkey
+"""
+
+
+@q("customer_order_counts_outer", _ORACLE_OUTER_ORDER_COUNTS)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left OUTER join — the join shape the reference lacks (SURVEY
+    §2.3 "not present"): zero-order customers survive with NULL order
+    keys, counted via COUNT(col)'s ignore-nulls semantics, then rolled
+    up per nation. At scale this is a shuffle join on custkey with the
+    per-customer count as a partial aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") == 0, 1).otherwise(0)).alias("n_inactive"),
+        F.sum("n_orders").alias("total_orders"),
+    )
+
+
 _ORACLE_UNION_DEDUP = """
 SELECT DISTINCT entity_id FROM (
     SELECT user_id AS entity_id FROM events
