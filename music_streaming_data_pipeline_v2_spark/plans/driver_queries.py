@@ -823,6 +823,26 @@ def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_EXCEPT_ENTITIES = """
+SELECT c_custkey AS entity_id FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
+@q("except_entities", _ORACLE_EXCEPT_ENTITIES)
+def except_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 as an explicit EXCEPT (distinct) set operation — the
+    manifest difference (validate.py:193) in relational form; Spark
+    plans it as an aggregate + left-anti under the hood, so it scales
+    the same as the blocking-free anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_events(spark, sf_dir)
+    return customer.select(F.col("c_custkey").alias("entity_id")).subtract(
+        events.select(F.col("user_id").alias("entity_id"))
+    )
+
+
 _ORACLE_UNION_DEDUP = """
 SELECT DISTINCT entity_id FROM (
     SELECT user_id AS entity_id FROM events
