@@ -224,7 +224,11 @@ def simhash_signatures(
     per distinct token, one xxhash64 column, 63 ±1-vote sum aggregates,
     signature reassembled from the vote signs. Bit-identical to
     ``simhash64`` (same votes), ~5× faster (plain column expressions
-    instead of 63 interpreted array folds per document)."""
+    instead of 63 interpreted array folds per document). Documents with
+    zero tokens (empty/whitespace-only text) vanish under explode, so
+    the vote aggregate is left-joined back to the full id set with the
+    signature defaulting to 0 — matching ``simhash64`` exactly on
+    those rows too."""
     toks = F.explode(
         F.array_distinct(F.transform(tokens(text_col), F.lower))
     ).alias("_t")
@@ -246,7 +250,11 @@ def simhash_signatures(
         sig = sig + F.when(
             F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return votes.select("_id", sig.alias("_sim"))
+    sigs = votes.select("_id", sig.alias("_sim"))
+    ids = df.select(F.col(id_col).alias("_id"))
+    return ids.join(sigs, "_id", "left").select(
+        "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
+    )
 
 
 def simhash_pairs(

@@ -38,8 +38,16 @@ def transition_counts(
         n = int(((s[:-1] == from_state) & (s[1:] == to_state)).sum()) if len(s) > 1 else 0
         return pd.DataFrame({entity_col: [pdf[entity_col].iloc[0]], "n_transitions": [n]})
 
+    from pyspark.sql import types as T
+
+    id_field = T.StructField(
+        entity_col, events.schema[entity_col].dataType, True
+    )
+    out_schema = T.StructType(
+        [id_field, T.StructField("n_transitions", T.LongType(), True)]
+    )
     return events.select(entity_col, ts_col, state_col).groupBy(entity_col).applyInPandas(
-        kernel, schema=f"{entity_col} long, n_transitions long"
+        kernel, schema=out_schema
     )
 
 

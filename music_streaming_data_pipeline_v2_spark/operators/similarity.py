@@ -289,8 +289,16 @@ def cosine_topk_pandas(
     q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
-    out_schema = (
-        f"query_id long, neighbor_id long, cosine double"
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType, True
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
 
     def score(batches):

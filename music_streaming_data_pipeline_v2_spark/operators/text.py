@@ -142,11 +142,13 @@ def tfidf_top_terms(
     aggregate, so the corpus is tokenized once); the corpus size as a
     broadcast 1-row scalar. ``tfidf = tf * ln(n_docs / doc_freq)``.
 
-    Ranking uses the integer-exact proxy ordering (tf DESC, doc_freq
-    ASC, token ASC) — deterministic and engine-portable, where ordering
-    by the double score could flip near-equal pairs across engines'
-    ``ln`` implementations. The score itself is emitted (rounded) as a
-    value column.
+    Ranking is by the TF-IDF score itself, made engine-portable by an
+    integer-exact proxy: ``tf * round(ln(n_docs/doc_freq) * 1e6)`` as a
+    BIGINT (ties broken by token ASC). Ordering directly by the raw
+    double could flip near-equal pairs across engines' ``ln``
+    implementations; the scaled-and-rounded integer is stable while
+    preserving the true tf·idf ordering to 6 decimal places of idf.
+    The double score is also emitted (rounded) as a value column.
 
     Scale: two token-keyed shuffles; the document-frequency side is
     vocabulary-sized (≪ corpus) so AQE broadcasts it when it fits, and
@@ -172,10 +174,15 @@ def tfidf_top_terms(
                 6,
             ),
         )
+        .withColumn(
+            "tfidf_i",
+            F.col("tf")
+            * F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("doc_freq")) * 1e6
+            ).cast("bigint"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
-    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_i"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -795,7 +795,7 @@ WITH per_cust AS (
 )
 SELECT c_nationkey,
        COUNT(*) AS n_customers,
-       SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_inactive,
+       CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
        CAST(SUM(n_orders) AS BIGINT) AS total_orders
 FROM per_cust
 GROUP BY c_nationkey
@@ -1828,7 +1828,9 @@ FROM (
     SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq, n.n_docs,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.token ASC
+               ORDER BY tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE)
+                   / dfreq.doc_freq) * 1e6) AS BIGINT) DESC,
+                   tf.token ASC
            ) AS INTEGER) AS rank
     FROM tf JOIN dfreq USING (token) CROSS JOIN n
 )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalar import coerce_timestamp
 from ..operators.validation import validate_streams
 
 
@@ -153,10 +154,16 @@ def run_incremental_pipeline(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         good = validate_streams(batch_df, check_nonempty=False)
         if quarantine_dir is not None:
-            bad = batch_df.join(
-                good.select("user_id", "track_id"), ["user_id", "track_id"], "left_anti"
+            # exact complement of the validation predicate — no join, so
+            # an invalid row whose (user_id, track_id) also appears in a
+            # valid row is still quarantined
+            invalid = (
+                F.col("user_id").isNull()
+                | F.col("track_id").isNull()
+                | F.col("listen_time").isNull()
+                | coerce_timestamp("listen_time").isNull()
             )
-            bad.write.mode("append").parquet(quarantine_dir)
+            batch_df.filter(invalid).write.mode("append").parquet(quarantine_dir)
         good = good.withColumn("date", F.to_date("listen_time"))
         # accumulate validated rows partitioned by date (the long-term
         # fact store the recompute reads from)
