@@ -1193,6 +1193,58 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
 
 
+_ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, lang,
+           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.tok, b.tok))) >= 0.8
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+alldocs AS (
+    SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CAST(doc_id = component AS BIGINT) AS keep
+FROM alldocs
+"""
+
+
+@q("dedup_clusters", _ORACLE_DEDUP_CLUSTERS)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS → per-document keep/drop:
+    connected components by iterative min-label propagation
+    (operators/clustering.py) — the canonical iterative algorithm a
+    one-shot SQL engine can't express (the DuckDB oracle needs a
+    recursive-CTE transitive closure). Converges in O(diameter)
+    rounds (2-3 for near-dup graphs), one co-partitioned shuffle per
+    round, lineage cut by localCheckpoint. ``component`` = min doc_id
+    reachable, so results are deterministic under any partitioning."""
+    from ..operators.clustering import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
+    out = dedup_clusters(docs, pairs)
+    return out.withColumn("keep", F.col("keep").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregation/window breadth beyond the reference surface (SURVEY §2.4
 # "not present: grouping sets / percentiles"; §2.5 "no analytics/frames"

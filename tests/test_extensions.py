@@ -364,3 +364,40 @@ def test_ivf_partitioned_index_prunes(spark, emb, tmp_path):
     assert files and all(
         "centroid_id=0" in f or "centroid_id=2" in f for f in files
     )
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation reaches the far end of a chain (multi-round
+    convergence) and leaves disjoint components separate."""
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_dedup_clusters_keep_one_per_cluster(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 6
+    assert [by_id[i]["component"] for i in range(6)] == [0, 1, 2, 0, 4, 0]
+    assert [by_id[i]["cluster_size"] for i in range(6)] == [3, 1, 1, 3, 1, 3]
+    # exactly one keeper per component, the min id
+    assert [by_id[i]["keep"] for i in range(6)] == [True, True, True, False, True, False]
