@@ -69,3 +69,40 @@ def plays_per_item(
 
 # Alias matching the coarser-grain use (A4).
 plays_per_group = plays_per_item
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    width: float = 10.0,
+    n_buckets: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column, optionally per group.
+
+    Bucket k covers [lo + k*width, lo + (k+1)*width); values below
+    ``lo`` clamp to bucket 0 and values past the top edge clamp to the
+    last bucket (standard overflow-bin semantics). Emits bucket index,
+    inclusive lower edge, and count. One hash-agg shuffle on
+    (group, bucket) — cardinality n_buckets × |groups|, tiny no matter
+    the input scale, which is the whole point: a 100 TB distribution
+    profile reduced map-side to a few hundred rows.
+    """
+    v = F.col(value_col)
+    bucket = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("bigint"), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    )
+    keys = list(group_cols or [])
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("bucket", bucket)
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "bucket_lo", (F.lit(lo) + F.col("bucket") * F.lit(width))
+        )
+    )

@@ -188,3 +188,64 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Token → posting-list inverted index.
+
+    One row per distinct token: document frequency, total term
+    frequency, and the first ``max_postings`` doc ids (sorted) as a
+    comma-joined preview string — the build side of any keyword-search
+    or doc-frequency service over the corpus.
+
+    Plan shape: explode → per-(token, doc) count (map-side partial agg
+    collapses the repeats) → per-token agg with ``collect_set``. One
+    token-keyed shuffle; posting lists are capped so a stop-token's
+    entry stays bounded (the df/tf counts remain exact — only the
+    preview list is truncated). At real scale the full postings would
+    go to a token-bucketed table instead of a string column.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "_id").agg(F.count("*").alias("_tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("_tf").alias("term_freq"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("_id")), 1, max_postings), ","
+            ).alias("postings_preview"),
+        )
+    )
+
+
+def redact_terms(
+    df: DataFrame,
+    deny_terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Denylist scrub — the PII-redaction plumbing with a term
+    denylist standing in for PII regexes (emails/phones/SSNs drop in
+    as alternative patterns; the testdata corpus is synthetic word
+    salad, so the denylist form keeps the operator oracle-checkable).
+
+    Adds ``text_redacted`` (every whole-word denylist hit replaced by
+    ``[REDACTED]``) and ``n_redactions``. Map-only, JVM regex, no
+    shuffle — at 100 TB this is a pure scan→project pass.
+    """
+    pattern = r"\b(" + "|".join(deny_terms) + r")\b"
+    t = F.col(text_col)
+    return df.withColumn(
+        "text_redacted", F.regexp_replace(t, pattern, "[REDACTED]")
+    ).withColumn(
+        "n_redactions",
+        (F.size(F.regexp_extract_all(t, F.lit(pattern), 1))).cast("bigint"),
+    )

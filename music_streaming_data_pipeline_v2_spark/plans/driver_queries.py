@@ -2894,3 +2894,154 @@ def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return test_e.join(train_sh, "s").groupBy("doc_id").agg(
         F.count("*").alias("n_shared_shingles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: pivot, histogram, inverted index, redaction, fuzzy join
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_ORACLE_PIVOT = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@q("pivot_event_type_matrix", _ORACLE_PIVOT)
+def pivot_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide, the inverse of the R1 unpivot): one column per
+    event type, one row per day. The pivot values are DECLARED, not
+    discovered — Spark's two-pass value-discovery scan is skipped and
+    the whole thing is one hash aggregate with conditional counts
+    (identical plan to the SUM(CASE) oracle). Missing cells fill 0."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_ORACLE_HISTOGRAM = """
+SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 23) AS bucket,
+       COUNT(*) AS n,
+       0.0 + LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 23) * 25.0
+           AS bucket_lo
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@q("value_histogram", _ORACLE_HISTOGRAM)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution
+    (operators/aggregates.py:fixed_width_histogram): 24 buckets of
+    width 25 with overflow clamping. The aggregate output is
+    bucket-count sized regardless of input scale — the map-side
+    partial agg does all the reduction."""
+    from ..operators.aggregates import fixed_width_histogram
+
+    events = load_events(spark, sf_dir)
+    return fixed_width_histogram(
+        events, "value", lo=0.0, width=25.0, n_buckets=24
+    ).select("bucket", "n", "bucket_lo")
+
+
+_ORACLE_INVERTED_INDEX = r"""
+WITH tok AS (
+    SELECT doc_id, LOWER(t.tok) AS token
+    FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+),
+per_doc AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT token,
+       COUNT(*) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS term_freq,
+       ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:20], ',') AS postings_preview
+FROM per_doc
+GROUP BY token
+"""
+
+
+@q("inverted_index_tokens", _ORACLE_INVERTED_INDEX)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → posting-list inverted index build
+    (operators/text.py:inverted_index): explode → partial-agg collapse
+    of per-doc repeats → per-token doc/term frequencies + a capped,
+    sorted postings preview (collect_set bounded by the slice, so a
+    stop-token entry can't blow up a reducer)."""
+    from ..operators.text import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_REDACTION = r"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(customer|spark)\b')) AS BIGINT)
+           AS n_redactions,
+       MD5(REGEXP_REPLACE(text, '\b(customer|spark)\b', '[REDACTED]', 'g'))
+           AS redacted_md5
+FROM documents
+"""
+
+
+@q("redacted_docs", _ORACLE_REDACTION)
+def redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrub (operators/text.py:redact_terms) — the PII-
+    redaction plumbing (whole-word regexp_replace + match count),
+    verified by MD5 of the scrubbed text so the oracle proves byte
+    identity of the replacement, not just the counts. Map-only."""
+    from ..operators.text import redact_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = redact_terms(docs, ["customer", "spark"])
+    return out.select(
+        "doc_id", "n_redactions", F.md5("text_redacted").alias("redacted_md5")
+    )
+
+
+_ORACLE_FUZZY_PARTS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@q("fuzzy_part_pairs", _ORACLE_FUZZY_PARTS)
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: edit-distance ≤ 2 name pairs within a brand
+    block. The block key bounds the quadratic comparison to per-block
+    n², the standard entity-resolution shape — at 100 TB the block is
+    whatever cheap key keeps blocks ~10³ rows (brand, sorted-token
+    prefix, LSH bucket), and the blocked join is a plain shuffle
+    equi-join on it; levenshtein runs codegen'd JVM-side."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
