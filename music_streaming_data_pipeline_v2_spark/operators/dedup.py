@@ -196,11 +196,28 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Per-doc distinct-token cap shared by both SimHash forms. Keeps the
+# lane-packed bit-count sums overflow-free (32767 * 0x0001000100010001
+# is the largest multiple that fits a signed long, so ANSI mode can
+# never see an overflow) while leaving any real document untouched —
+# 32k DISTINCT tokens in one doc is a pathological multi-MB blob.
+_SIMHASH_MAX_TOKENS = 32767
+
+# 4 × 16-bit lanes per long: shifting the token hash right by j and
+# masking leaves bits {j, j+16, j+32, j+48} in separate lanes, so ONE
+# long sum accumulates four bit-counts at once (SIMD-within-a-register).
+_LANE_MASK = 0x0001000100010001
+
+
 def simhash64(col: str | Column = "text") -> Column:
     """63-bit SimHash of the whitespace tokens (sign bit unused so the
     value stays non-negative): per-bit majority vote over
     xxhash64(token) bits, built from bitwise ops + aggregate — no UDF."""
-    toks = F.array_distinct(F.transform(tokens(col), F.lower))
+    toks = F.slice(
+        F.array_distinct(F.transform(tokens(col), F.lower)),
+        1,
+        _SIMHASH_MAX_TOKENS,
+    )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_votes = [
         F.aggregate(
@@ -221,36 +238,47 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, signature) via the codegen-friendly explode form: one row
-    per distinct token, one xxhash64 column, 63 ±1-vote sum aggregates,
-    signature reassembled from the vote signs. Bit-identical to
-    ``simhash64`` (same votes), ~5× faster (plain column expressions
-    instead of 63 interpreted array folds per document). Documents with
-    zero tokens (empty/whitespace-only text) vanish under explode, so
-    the vote aggregate is left-joined back to the full id set with the
-    signature defaulting to 0 — matching ``simhash64`` exactly on
-    those rows too."""
+    per distinct token, one xxhash64 column, then LANE-PACKED bit-count
+    aggregation — 16 sums of ``(hash >>> j) & 0x0001000100010001``
+    accumulate all 63 per-bit one-counts four-at-a-time in 16-bit
+    lanes, unpacked after the aggregate (5000 rows, not 250k). The
+    majority vote ``2*ones > n_tokens`` equals the ±1-vote sign, so
+    results are bit-identical to ``simhash64`` while doing 16+1
+    aggregate columns of work instead of 63.
+
+    Documents with zero tokens (empty/whitespace-only text) vanish
+    under explode, so the aggregate is left-joined back to the full id
+    set with the signature defaulting to 0 — matching ``simhash64``
+    exactly on those rows too."""
     toks = F.explode(
-        F.array_distinct(F.transform(tokens(text_col), F.lower))
+        F.slice(
+            F.array_distinct(F.transform(tokens(text_col), F.lower)),
+            1,
+            _SIMHASH_MAX_TOKENS,
+        )
     ).alias("_t")
     hashed = df.select(F.col(id_col).alias("_id"), toks).select(
         "_id", F.xxhash64("_t").alias("_h")
     )
-    votes = hashed.groupBy("_id").agg(
+    packed = hashed.groupBy("_id").agg(
+        F.count("*").alias("_n"),
         *[
             F.sum(
-                F.when(
-                    F.col("_h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"_b{i}")
-            for i in range(63)
-        ]
+                F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(_LANE_MASK))
+            ).alias(f"_s{j}")
+            for j in range(16)
+        ],
     )
     sig = F.lit(0).cast("long")
     for i in range(63):
+        j, k = i % 16, i // 16
+        ones = F.shiftrightunsigned(F.col(f"_s{j}"), 16 * k).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
+        )
         sig = sig + F.when(
-            F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")
+            ones * 2 > F.col("_n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    sigs = votes.select("_id", sig.alias("_sim"))
+    sigs = packed.select("_id", sig.alias("_sim"))
     ids = df.select(F.col(id_col).alias("_id"))
     return ids.join(sigs, "_id", "left").select(
         "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
