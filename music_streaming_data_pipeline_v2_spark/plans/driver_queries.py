@@ -3045,3 +3045,89 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: correlated subqueries (Catalyst decorrelation). These run
+# through spark.sql over registered views — the engine's ANSI-SQL entry
+# point — and DuckDB executes the SAME text, so the oracle doubles as a
+# dialect-compatibility check.
+# ---------------------------------------------------------------------------
+
+_SQL_SCALAR_SUBQ = """
+SELECT p_brand,
+       COUNT(*) AS n_small_orders,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_quantity < (
+      SELECT 0.5 * AVG(CAST(l2.l_quantity AS DECIMAL(12,2)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+GROUP BY p_brand
+"""
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@q("small_qty_orders_scalar_subq", _SQL_SCALAR_SUBQ)
+def small_qty_orders_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (the TPC-H Q17 shape): per-part
+    average quantity as the correlated threshold. Catalyst decorrelates
+    it into an aggregate-then-join — check .explain: no per-row
+    re-execution, one extra shuffle over lineitem grouped by partkey.
+    Same SQL text runs on DuckDB as the oracle."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SQL_SCALAR_SUBQ)
+
+
+_SQL_EXISTS_SUBQ = """
+SELECT c_nationkey, COUNT(*) AS n_multi_order_customers
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders o1
+    WHERE o1.o_custkey = c_custkey
+      AND EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = o1.o_custkey
+            AND o2.o_orderkey <> o1.o_orderkey
+            AND o2.o_orderpriority = o1.o_orderpriority
+      )
+)
+GROUP BY c_nationkey
+"""
+
+
+@q("multi_order_customers_exists", _SQL_EXISTS_SUBQ)
+def multi_order_customers_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested correlated EXISTS (customers with 2+ orders sharing a
+    priority): both levels decorrelate to semi joins — the plan is two
+    hash joins, not nested-loop re-execution."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_EXISTS_SUBQ)
+
+
+_SQL_IN_SUBQ = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%'
+    )
+)
+GROUP BY o_orderpriority
+"""
+
+
+@q("orders_by_nation_block_in", _SQL_IN_SUBQ)
+def orders_by_nation_block_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries (orders from customers in the NATION_1x
+    block):
+    rewritten to semi joins; the inner nation filter is a broadcast."""
+    _register(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_SQL_IN_SUBQ)
