@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def transition_counts(
@@ -77,4 +78,55 @@ def transition_counts_native(
     )
     return flagged.groupBy(entity_col).agg(
         F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_transitions")
+    )
+
+
+def ewma_by_entity(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-entity exponentially-weighted moving average — a true
+    recurrence (``e_i = alpha*x_i + (1-alpha)*e_{i-1}``), which no
+    window frame expresses: each output depends on the previous
+    OUTPUT, not a previous input. The grouped-map kernel is the right
+    tool: one shuffle on the entity key, then a sequential scan per
+    entity (the same bound as any ordered window).
+
+    Determinism: rows are ordered by (ts, order_col) so ties can't
+    reorder, and the recurrence is evaluated in the same IEEE-double
+    operation order as the SQL oracle's recursive CTE — results are
+    bit-exact, not approximately equal.
+    """
+    from pyspark.sql import types as T
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        out = x.copy()
+        for i in range(1, len(out)):
+            out[i] = alpha * x[i] + (1.0 - alpha) * out[i - 1]
+        return pd.DataFrame(
+            {
+                entity_col: pdf[entity_col].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "ewma": out,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(entity_col, events.schema[entity_col].dataType, True),
+            T.StructField(order_col, events.schema[order_col].dataType, True),
+            T.StructField("ewma", T.DoubleType(), True),
+        ]
+    )
+    return (
+        events.select(entity_col, ts_col, order_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(entity_col)
+        .applyInPandas(kernel, schema=schema)
     )

@@ -3131,3 +3131,34 @@ def orders_by_nation_block_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten to semi joins; the inner nation filter is a broadcast."""
     _register(spark, sf_dir, "orders", "customer", "nation")
     return spark.sql(_SQL_IN_SUBQ)
+
+
+_ORACLE_EWMA = """
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    WHERE value IS NOT NULL
+),
+rec(user_id, event_id, rn, ewma) AS (
+    SELECT user_id, event_id, rn, value FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, 0.25 * s.value + 0.75 * rec.ewma
+    FROM seq s JOIN rec ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+)
+SELECT user_id, event_id, ewma FROM rec
+"""
+
+
+@q("ewma_per_user", _ORACLE_EWMA)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/funnel.py:
+    ewma_by_entity) — a true recurrence no window frame expresses,
+    run as a grouped-map Arrow kernel with one entity-keyed shuffle.
+    The DuckDB oracle is a recursive CTE stepping the same recurrence
+    in the same IEEE operation order, so the match is bit-exact —
+    demonstrating that even Python-kernel operators here are held to
+    the hash-exact gate, not a tolerance."""
+    from ..operators.funnel import ewma_by_entity
+
+    return ewma_by_entity(load_events(spark, sf_dir), alpha=0.25)

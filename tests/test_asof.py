@@ -98,3 +98,18 @@ def test_funnel_native_matches_pandas_kernel(spark):
     b = {r.user_id: r.n_transitions for r in transition_counts_native(df).collect()}
     assert a == b
     assert all(v == 2 for v in a.values())  # two click->purchase per user
+
+
+def test_ewma_string_entity_and_recurrence(spark):
+    """EWMA kernel: exact recurrence values, and the output id column
+    inherits the input type (string entities work, not just longs)."""
+    from music_streaming_data_pipeline_v2_spark.operators.funnel import ewma_by_entity
+
+    df = spark.createDataFrame(
+        [("u1", 1, 1, 8.0), ("u1", 2, 2, 4.0), ("u1", 3, 3, 2.0), ("u2", 1, 4, 1.0)],
+        "user_id string, ts long, event_id long, value double",
+    )
+    out = ewma_by_entity(df, alpha=0.5)
+    assert dict(out.dtypes)["user_id"] == "string"
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
+    assert got == {("u1", 1): 8.0, ("u1", 2): 6.0, ("u1", 3): 4.0, ("u2", 4): 1.0}
