@@ -54,10 +54,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # size the loop's shuffles to the MEASURED edge count (the count
+    # also materializes the checkpoint): a few thousand near-dup edges
+    # run on a handful of partitions instead of paying 32-task shuffle
+    # overhead per round, while billions of edges still spread fully.
+    n_edges = sym.count()
+    parts = max(2, min(
+        sym.sparkSession.sparkContext.defaultParallelism,
+        n_edges // 100_000 + 1,
+    ))
+    sym = sym.repartition(parts, "b").localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .repartition(parts, "id")
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -66,25 +77,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
+        # fuse the convergence probe into the same materialization:
+        # carry a changed flag, checkpoint once, sum the flag (a cheap
+        # second pass over the checkpointed partitions)
         new_labels = (
             labels.join(neigh_min, labels.id == neigh_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    "comp", F.coalesce("nmin", F.col("comp"))
-                ).alias("comp"),
+                F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("_new"),
+                (F.coalesce("nmin", F.col("comp")) < F.col("comp"))
+                .cast("long")
+                .alias("_chg"),
             )
+            .withColumnRenamed("_new", "comp")
+            .repartition(parts, "id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     return labels.select("id", F.col("comp").alias("component"))
 

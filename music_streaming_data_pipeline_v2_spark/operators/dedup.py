@@ -350,28 +350,51 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    salt: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard over pairs sharing a blocking key.
 
     The blocking key bounds the join fan-out (per-block ~n_b²); use a
     cheap prefilter (lang, length bucket, LSH band) as the block.
+
+    A low-cardinality block key (e.g. 5 languages) would run the whole
+    quadratic comparison on ≤5 tasks, so the self-join is salted: the
+    left side keys on hash(id) % salt and the right side replicates
+    across all salt values — every pair still meets exactly once (in
+    the left doc's cell), but the work spreads over |blocks| × salt
+    tasks. ``salt`` defaults to the cluster's default parallelism;
+    replication multiplies the right side's shuffle volume by salt,
+    the price of parallelizing an all-pairs comparison.
     """
+    n_salt = salt or df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.array_distinct(F.transform(tokens(text_col), F.lower)).alias("_tok"),
     )
     left = base.select(
-        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_tok").alias("tok_a")
+        F.col("_blk"),
+        F.pmod(F.xxhash64("_id"), F.lit(n_salt)).alias("_salt"),
+        F.col("_id").alias("id_a"),
+        F.col("_tok").alias("tok_a"),
     )
     right = base.select(
-        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_tok").alias("tok_b")
+        F.col("_blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+        F.col("_id").alias("id_b"),
+        F.col("_tok").alias("tok_b"),
     )
     jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
         F.array_union("tok_a", "tok_b")
     )
+    # Spread the probe side across the salt cells EXPLICITLY: with a
+    # small dimension AQE broadcasts the other side and would otherwise
+    # probe from the scan's own partitioning (often 1 file = 1 task) —
+    # and since the quadratic blow-up happens INSIDE the join, input-
+    # size-based planning can't see it.
+    left = left.repartition(n_salt, "_blk", "_salt")
     return (
-        left.join(right, "_blk")
+        left.join(right, ["_blk", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

@@ -3027,22 +3027,30 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever cheap key keeps blocks ~10³ rows (brand, sorted-token
     prefix, LSH bucket), and the blocked join is a plain shuffle
     equi-join on it; levenshtein runs codegen'd JVM-side."""
+    n_salt = spark.sparkContext.defaultParallelism
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_brand").alias("brand"),
+        F.pmod(F.xxhash64("p_partkey"), F.lit(n_salt)).alias("_salt"),
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
-    )
+    ).repartition(n_salt, "brand", "_salt")
     b = part.select(
         F.col("p_brand").alias("brand"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
     )
+    # bounded levenshtein: early-exits once distance exceeds the
+    # threshold (returns -1), ~O(threshold*len) instead of O(len^2);
+    # the length-difference prefilter kills most pairs before even that
+    dist = F.levenshtein("name_a", "name_b", 2)
     return (
-        a.join(b, "brand")
+        a.join(b, ["brand", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
