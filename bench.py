@@ -41,6 +41,16 @@ HEADLINE = [
     "user_sessions",
     "asof_user_setting",
     "dataset_split_counts",
+    # round 2: reshaping/profile/text/SQL-surface breadth
+    "pivot_event_type_matrix",
+    "value_histogram",
+    "inverted_index_tokens",
+    "redacted_docs",
+    "small_qty_orders_scalar_subq",
+    # round 2: entity resolution + iterative graph clustering + kernel
+    "fuzzy_part_pairs",
+    "dedup_clusters",
+    "ewma_per_user",
     # JVM-native funnel (lead window); the applyInPandas variant
     # `click_purchase_funnel` stays in queries() as the Python-kernel
     # extensibility demo, correctness-checked against the same oracle.
