@@ -48,30 +48,28 @@ def connected_components(
     schedule, so results are exactly reproducible (and oracle-able
     against a recursive-CTE transitive closure).
     """
+    # materialize the (possibly expensive) edge-mining plan ONCE before
+    # symmetrizing — the union below reads it twice. The distinct also
+    # re-partitions the symmetric edge list by content hash, which the
+    # per-round joins then reuse from the checkpoint.
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
-    # size the loop's shuffles to the MEASURED edge count (the count
-    # also materializes the checkpoint): a few thousand near-dup edges
-    # run on a handful of partitions instead of paying 32-task shuffle
-    # overhead per round, while billions of edges still spread fully.
-    n_edges = sym.count()
-    parts = max(2, min(
-        sym.sparkSession.sparkContext.defaultParallelism,
-        n_edges // 100_000 + 1,
-    ))
-    sym = sym.repartition(parts, "b").localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .repartition(parts, "id")
         .localCheckpoint()
     )
     for _ in range(max_iterations):
+        # label side is |nodes|-sized (≪ |edges| for dense near-dup
+        # graphs) — AQE broadcasts it while it fits, making each round
+        # one groupBy shuffle; at huge node counts it degrades
+        # gracefully to a sort-merge join. No forced repartition: extra
+        # exchanges per round cost more than they organize.
         neigh_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
@@ -90,7 +88,6 @@ def connected_components(
                 .alias("_chg"),
             )
             .withColumnRenamed("_new", "comp")
-            .repartition(parts, "id")
             .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0]
