@@ -2934,8 +2934,8 @@ def pivot_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_HISTOGRAM = """
 SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 23) AS bucket,
        COUNT(*) AS n,
-       0.0 + LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 23) * 25.0
-           AS bucket_lo
+       CAST(LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 23) * 25.0
+           AS DOUBLE) AS bucket_lo
 FROM events
 WHERE value IS NOT NULL
 GROUP BY 1
