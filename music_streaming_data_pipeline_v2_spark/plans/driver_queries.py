@@ -3170,3 +3170,9 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import ewma_by_entity
 
     return ewma_by_entity(load_events(spark, sf_dir), alpha=0.25)
+
+
+# Register the round-2 analytics batch (cohorts, sliding distinct,
+# basket/collocation mining, winsorized means, interpolation). Imported
+# last so its `from .driver_queries import q` sees a fully-built module.
+from . import analytics_queries  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Semantic tests for the round-2 analytics batch (plans/analytics_queries):
+cohort retention, cumulative distinct, sliding-window distinct,
+market-basket pairs, bigram collocations, winsorized mean, and linear
+interpolation — each verified against a hand-computed tiny fixture (the
+driver's DuckDB gate separately checks them at sf0.01)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_retention_offsets_tiny(spark):
+    # cust 1: first month Jan, active Jan+Mar -> offsets 0, 2
+    # cust 2: first month Feb, active Feb     -> offset 0
+    rows = [
+        (1, dt.datetime(2024, 1, 5)),
+        (1, dt.datetime(2024, 1, 20)),  # same month, deduped
+        (1, dt.datetime(2024, 3, 2)),
+        (2, dt.datetime(2024, 2, 10)),
+    ]
+    df = spark.createDataFrame(rows, "cust long, ts timestamp")
+    o = df.select(
+        "cust", F.to_date(F.date_trunc("month", F.to_date("ts"))).alias("m")
+    )
+    first = o.groupBy("cust").agg(F.min("m").alias("cm"))
+    offset = (
+        (F.year("m") - F.year("cm")) * 12 + (F.month("m") - F.month("cm"))
+    ).cast("long")
+    out = (
+        o.distinct()
+        .join(first, "cust")
+        .groupBy(F.col("cm").alias("cohort_month"), offset.alias("month_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    got = {
+        (r.cohort_month.isoformat(), r.month_offset): r.n_active
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-02-01", 0): 1,
+    }
+
+
+def test_rolling_window_contribution_explode(spark):
+    # Orders: cust A on day 1, cust B on day 3. Window = 3 days here
+    # conceptually; we test the 30-day operator's math at the edges:
+    # day d counts customers with an order in [d-29, d].
+    rows = [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 3))]
+    od = spark.createDataFrame(rows, "cust long, d date")
+    contrib = od.select(
+        "cust",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 29))).alias("day"),
+    )
+    counts = {
+        r.day: r.n
+        for r in contrib.groupBy("day")
+        .agg(F.countDistinct("cust").alias("n"))
+        .collect()
+    }
+    assert counts[dt.date(2024, 1, 1)] == 1  # only A
+    assert counts[dt.date(2024, 1, 3)] == 2  # A and B
+    assert counts[dt.date(2024, 1, 30)] == 2  # day 30: A still in range (d+29)
+    assert counts[dt.date(2024, 1, 31)] == 1  # A aged out, B remains
+    assert dt.date(2024, 2, 2) not in counts  # B aged out too
+
+
+def test_winsorized_mean_decomposition(spark):
+    # values 1..10 with lo=2.5, hi=8.5 -> clamped mean =
+    # (2.5*2 + 3+4+5+6+7+8 + 8.5*2) / 10 = (5 + 33 + 17)/10 = 5.5
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "value double"
+    )
+    lo, hi = 2.5, 8.5
+    v = F.col("value")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(v < lo, True)).alias("n_lo"),
+        F.count(F.when(v > hi, True)).alias("n_hi"),
+        F.coalesce(
+            F.sum(F.when(v.between(lo, hi), v.cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(28,2)"),
+        ).alias("s_mid"),
+    ).collect()[0]
+    wmean = (float(agg.s_mid) + agg.n_lo * lo + agg.n_hi * hi) / agg.n
+    assert agg.n_lo == 2 and agg.n_hi == 2
+    assert abs(wmean - 5.5) < 1e-12
+
+
+def test_linear_interpolation_math(spark):
+    # Series for one user: day1=10, day4=40, days 2-3 missing ->
+    # interpolated 20, 30; leading/trailing edges take nearest value.
+    rows = [
+        (1, dt.date(2024, 1, 1), 10.0),
+        (1, dt.date(2024, 1, 4), 40.0),
+    ]
+    p = spark.createDataFrame(rows, "user_id long, d date, v double")
+    from pyspark.sql import Window
+
+    bounds = p.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = (
+        p.select("user_id")
+        .distinct()
+        .crossJoin(bounds)
+        .select("user_id", F.explode(F.sequence("mind", "maxd")).alias("d"))
+    )
+    s = spine.join(p, ["user_id", "d"], "left")
+    pw = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nw = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    v = F.col("v")
+    w = s.select(
+        "user_id", "d", "v",
+        F.last("v", ignorenulls=True).over(pw).alias("pv"),
+        F.last(F.when(v.isNotNull(), F.col("d")), ignorenulls=True)
+        .over(pw).alias("pd"),
+        F.first("v", ignorenulls=True).over(nw).alias("nv"),
+        F.first(F.when(v.isNotNull(), F.col("d")), ignorenulls=True)
+        .over(nw).alias("nd"),
+    )
+    interp = (
+        F.col("pv") * F.datediff("nd", "d") + F.col("nv") * F.datediff("d", "pd")
+    ) / F.datediff("nd", "pd")
+    out = w.select(
+        "d",
+        F.when(v.isNotNull(), v)
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("vf"),
+    )
+    got = {r.d.day: r.vf for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+
+def test_basket_pairs_per_order_not_per_line(spark):
+    # Order 1 has brand A twice and B once -> pair (A,B) counted ONCE.
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"), (2, "C")]
+    ob = spark.createDataFrame(rows, "ok long, brand string").distinct()
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("x"), F.col("b.brand").alias("y"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r.x, r.y): r.n for r in pairs.collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_bigrams_with_multiplicity(spark):
+    # "a b a b" -> bigrams [a b, b a, a b]: "a b" has count 2.
+    df = spark.createDataFrame([("en", "a b a b")], "lang string, text string")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select("lang", toks.alias("t")).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("t", i + 1, 2)))
+    counts = {
+        r.bigram: r.n
+        for r in base.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"a b": 2, "b a": 1}
