@@ -158,6 +158,41 @@ def test_jaccard_pairs_with_blocking(spark, docs):
     assert pairs[(0, 1)] == pytest.approx(7 / 9)
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_strategies_agree(spark, docs, threshold):
+    """Prefix-filtered join must be LOSSLESS vs the quadratic join."""
+    blocked = docs.withColumn("blk", F.lit(1))
+
+    def run(strategy):
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(
+                blocked, "blk", threshold=threshold, strategy=strategy
+            ).collect()
+        }
+
+    prefix, allpairs = run("prefix"), run("allpairs")
+    assert set(prefix) == set(allpairs)
+    for k in prefix:
+        assert prefix[k] == pytest.approx(allpairs[k])
+
+
+def test_jaccard_prefix_handles_empty_docs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta gamma", blk=1),
+            Row(doc_id=1, text="alpha beta gamma delta", blk=1),
+            Row(doc_id=2, text="   ", blk=1),
+            Row(doc_id=3, text="", blk=1),
+        ]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(df, "blk", threshold=0.5, strategy="prefix").collect()
+    }
+    assert pairs == {(0, 1): pytest.approx(3 / 4)}
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
