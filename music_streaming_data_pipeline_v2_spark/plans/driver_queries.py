@@ -54,24 +54,28 @@ def _utc(spark: SparkSession) -> None:
 # ---------------------------------------------------------------------------
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events fact with its NANOS timestamp made Spark-native.
+    """Load the events fact with its timestamp made Spark-native.
 
-    The driver parquet stores ``ts`` as TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read it as a nanos long (legacy conf) and
-    convert to the engine's µs TimestampType — the same ns→µs downcast
-    the reference does in pandas (dags/tasks/utils.py:73-75).
+    Handles both testdata vintages: ``ts`` stored as TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read as a nanos long via
+    the legacy conf and downcast, the same ns→µs downcast the reference
+    does in pandas, dags/tasks/utils.py:73-75) and ``ts`` stored as
+    TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ).
     """
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
-    # `ts div 1000`: INTEGER division. Epoch nanos (~1.7e18) exceed
-    # double's 2^53 integer range, so a float division here silently
-    # corrupts the microsecond digit. NTZ cast keeps result timestamps
-    # naive (wall-clock UTC), matching the parquet source and DuckDB.
-    return events.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    ts_type = events.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # `ts div 1000`: INTEGER division. Epoch nanos (~1.7e18) exceed
+        # double's 2^53 integer range, so a float division here silently
+        # corrupts the microsecond digit. NTZ cast keeps result timestamps
+        # naive (wall-clock UTC), matching the parquet source and DuckDB.
+        return events.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def _enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
