@@ -3180,3 +3180,4 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # basket/collocation mining, winsorized means, interpolation). Imported
 # last so its `from .driver_queries import q` sees a fully-built module.
 from . import analytics_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
