@@ -3181,3 +3181,83 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last so its `from .driver_queries import q` sees a fully-built module.
 from . import analytics_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate samples the FIRST 50
+# queries in registration order; rounds 1-2 checked the same first 50, so
+# the 46 queries registered later (the LSH brute-force oracle twins, the
+# SQL-subquery surface, the music pipeline, the analytics/pipeline batches,
+# pivot/histogram/SCD2/CDC/fuzzy-join, EWMA, ANN lsh/ivf) never produced a
+# driver CORRECTNESS row despite having oracles and pytest coverage. Rotate
+# them to the front so round 3's checked window is exactly the
+# never-verified set, padded with four flagship re-checks. Every query
+# stays registered — nothing is dropped — and tests/test_oracle_parity.py
+# independently verifies ALL oracle-backed entries regardless of position.
+_CHECK_FIRST = [
+    # LSH brute-force oracle twins (close the no_oracle gap for MinHash/SimHash)
+    "minhash_lsh_oracle",
+    "simhash_oracle",
+    # end-to-end music-schema pipeline
+    "music_pipeline_kpis",
+    "music_pipeline_top_songs",
+    # correlated/scalar/EXISTS/IN subquery SQL surface
+    "small_qty_orders_scalar_subq",
+    "multi_order_customers_exists",
+    "orders_by_nation_block_in",
+    # Python-kernel recurrence held to the bit-exact gate
+    "ewma_per_user",
+    # round-2 pipeline batch
+    "bi_nation_volume",
+    "promo_revenue_share",
+    "disjunctive_part_revenue",
+    "idle_rich_customers",
+    "incremental_daily_agg",
+    "cdc_latest_state",
+    "doc_repetition_filter",
+    "source_mix_weights",
+    "embedding_quantize_codes",
+    # round-2 analytics batch
+    "monthly_retention_cohorts",
+    "cumulative_unique_buyers",
+    "rolling_30d_distinct_customers",
+    "brand_basket_pairs",
+    "bigram_collocations",
+    "winsorized_means",
+    "interpolated_purchase_series",
+    # remaining never-checked relational / text / reshape surface
+    "intersect_entities",
+    "tfidf_top_terms",
+    "token_frequencies",
+    "views_near_clicks",
+    "dataset_split_counts",
+    "pivot_daily_types",
+    "pivot_event_type_matrix",
+    "value_histogram",
+    "inverted_index_tokens",
+    "redacted_docs",
+    "fuzzy_part_pairs",
+    "corpus_curation",
+    "user_value_quartiles",
+    "value_moments_by_type",
+    "scd2_user_state",
+    "dim_merge_upsert",
+    "global_top_spenders",
+    "train_test_contamination",
+    "click_purchase_funnel_native",
+    "click_purchase_funnel",
+    # rows-only ANN variants (recall-tested in pytest; driver records rows)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # flagship re-checks (pad the 50-slot window with proven core queries)
+    "daily_kpis",
+    "top_users_per_type_day",
+    "top_types_per_day",
+    "kv_table",
+]
+
+_missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
+assert not _missing, f"_CHECK_FIRST names not in REGISTRY: {_missing}"
+_reordered = {n: REGISTRY[n] for n in _CHECK_FIRST}
+_reordered.update({n: v for n, v in REGISTRY.items() if n not in _reordered})
+REGISTRY.clear()
+REGISTRY.update(_reordered)
