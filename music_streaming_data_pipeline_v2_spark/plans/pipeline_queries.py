@@ -223,7 +223,9 @@ SELECT c_mktsegment,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
 FROM customer, avg_bal
 WHERE c_acctbal > threshold
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
 GROUP BY c_mktsegment
 """
 
@@ -232,15 +234,26 @@ GROUP BY c_mktsegment
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers whose balance exceeds the average
     positive balance (uncorrelated scalar subquery → broadcast 1-row
-    relation) and who never ordered (NOT EXISTS → left_anti join),
-    aggregated per market segment.
+    relation) and with no RECENT order (NOT EXISTS over a filtered
+    orders subquery → left_anti join), aggregated per market segment.
 
     The threshold is CAST(decimal-sum AS DOUBLE)/COUNT — one division,
     identical operands in both engines, so the > comparison partitions
-    customers identically."""
+    customers identically. "Idle" means no order since 2000-01-01
+    (ADVICE r2): every testdata customer has SOME order, so the
+    original unfiltered NOT EXISTS was vacuously false and the
+    anti-join path never saw data; the recency cut makes the predicate
+    genuinely selective at every gate scale factor (5 rows at sf0.001,
+    55 at sf0.01) while keeping the same plan shape — and pushing the
+    date filter below the anti-join shrinks its build side, exactly
+    what you want at 100 TB."""
     _utc(spark)
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("threshold")
     )
@@ -363,7 +376,7 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_REPETITION = """
 WITH t AS (
     SELECT doc_id, source,
-           list_filter(string_split_regex(trim(text), '\\s+'),
+           list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
                        x -> x <> '') AS w
     FROM documents
 ),
@@ -394,11 +407,16 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely narrow (per-row array ops — tokenize, slide a 3-window
     via `transform(sequence(...))`, `array_distinct`): zero shuffles,
     zero UDFs, scales linearly with bytes scanned. rep_ratio is one
-    double division of two exact integers, so hash-exact."""
+    double division of two exact integers, so hash-exact.
+
+    Tokenizer uses the explicit class [ \\t\\n\\r\\f]+ instead of \\s+
+    (ADVICE r2): Java's \\s includes \\x0B but RE2's (DuckDB) does not,
+    so the same class is spelled out in both engines to make the split
+    engine-independent by construction."""
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.trim(F.col("text")), "[ \t\n\r\f]+"), lambda t: t != F.lit("")
     )
     d = docs.select("doc_id", "source", toks.alias("w")).filter(
         F.size("w") >= 3
