@@ -73,12 +73,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Per-query time = min of 2 timed passes: the min is robust to
+    # transient co-tenant load on the bench host (a loaded single pass
+    # masqueraded as a 1.5x regression in BENCH_r02), while still
+    # measuring full plan execution each pass.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.monotonic() - t0, 3)
+            timings[name] = min(elapsed, timings.get(name, elapsed))
 
     print(
         json.dumps(
