@@ -35,11 +35,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cc_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find on the driver for a below-threshold edge list.
+
+    The same cost-based escape hatch a broadcast join is: when the
+    small side fits in driver memory, shipping it beats N distributed
+    rounds of shuffle+checkpoint overhead. Min-label semantics match
+    the distributed path exactly (component = min node id)."""
+    import pandas as pd
+
+    edges_pd = pairs.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges_pd["a"], edges_pd["b"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = pd.DataFrame(
+        {
+            "id": list(parent.keys()),
+            "component": [comp_min[find(n)] for n in parent],
+        }
+    )
+    spark = pairs.sparkSession
+    schema = (
+        f"id {pairs.schema['a'].dataType.simpleString()}, "
+        f"component {pairs.schema['b'].dataType.simpleString()}"
+    )
+    if out.empty:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``.
 
@@ -47,12 +98,27 @@ def connected_components(
     component — deterministic regardless of partitioning or iteration
     schedule, so results are exactly reproducible (and oracle-able
     against a recursive-CTE transitive closure).
+
+    Physical strategy is cost-based, mirroring how Spark itself picks
+    broadcast vs shuffle joins: the edge list is materialized once
+    (needed by every downstream variant), counted, and if it holds ≤
+    ``driver_edge_threshold`` edges (default 2M ≈ tens of MB — the
+    same order as a broadcast-join build side) the components are
+    solved by driver union-find in one pass — O(E α(E)) with zero
+    further cluster work. Above the threshold, iterative distributed
+    min-label propagation takes over. After near-dup contraction
+    (dedup_clusters_exact) most real corpora's similarity graphs fall
+    under the threshold; adversarially huge edge sets still get the
+    O(diameter)-round distributed path. Set
+    ``driver_edge_threshold=0`` to force distributed.
     """
     # materialize the (possibly expensive) edge-mining plan ONCE before
     # symmetrizing — the union below reads it twice. The distinct also
     # re-partitions the symmetric edge list by content hash, which the
     # per-round joins then reuse from the checkpoint.
     pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    if driver_edge_threshold and pairs.count() <= driver_edge_threshold:
+        return _cc_driver(pairs)
     sym = (
         pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -95,6 +161,80 @@ def connected_components(
         if not changed:
             break
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters_exact(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard dedup clusters with identical-set contraction.
+
+    Same result as ``dedup_clusters(docs, jaccard_pairs(docs, ...))``
+    but fused: documents whose token SETS are identical (after the
+    same distinct+lower normalization jaccard_pairs applies) are
+    contracted to one representative — the group's min id — BEFORE
+    the quadratic similarity mining, because identical sets have
+    Jaccard 1 with each other and identical Jaccard to every third
+    set. The expensive pair mining and the iterative components run
+    on representatives only; members inherit their representative's
+    component. Exactness argument:
+
+    - within a group every pair has J = 1 ≥ threshold, so the group is
+      connected in the full pair graph (the contraction loses nothing);
+    - for docs i, j in different groups, J(i, j) = J(rep_i, rep_j), so
+      a cross edge exists in the full graph iff the rep edge exists;
+    - the component label is the min doc id reachable, and every doc's
+      rep is ≤ it, so min-over-reps = min-over-docs in each component.
+
+    Group key is the full sorted token array hashed to 128 bits
+    (md5 of the JSON encoding) — at 64 bits a multi-billion-doc corpus
+    has non-negligible birthday collision odds, which would silently
+    merge distinct clusters; at 128 bits the odds stay ≪ 1e-18 even at
+    10^12 docs, so the contraction is collision-safe at 100 TB scale.
+
+    Scale notes: the contraction costs one (block, fingerprint)
+    shuffle of id-sized rows; it removes the duplicate mass (the bulk
+    of a crawl corpus) from the O(n²)-within-block mining AND from the
+    components' per-round joins — the denser the duplication, the
+    bigger the win. Empty-token docs are excluded from mining (J is
+    NULL against everything, matching the SQL semantics 0/0 → NULL)
+    and come back as singletons.
+    """
+    from .dedup import _jaccard_base, _jaccard_pairs_from_base
+
+    base = (
+        _jaccard_base(docs, block_col, text_col, id_col)
+        .filter(F.size("_tok") > 0)
+        .withColumn("_fp", F.md5(F.to_json(F.array_sort("_tok"))))
+        .persist()
+    )
+    grp = base.groupBy("_blk", "_fp").agg(F.min("_id").alias("_rep"))
+    doc_rep = base.select("_id", "_blk", "_fp").join(grp, ["_blk", "_fp"])
+    rep_base = (
+        base.join(grp, ["_blk", "_fp"])
+        .filter(F.col("_id") == F.col("_rep"))
+        .select("_id", "_blk", "_tok")
+    )
+    rep_pairs = _jaccard_pairs_from_base(rep_base, threshold)
+    comp = connected_components(rep_pairs, src="id_a", dst="id_b")
+    doc_comp = doc_rep.join(comp, doc_rep._rep == comp.id, "left").select(
+        F.col("_id").alias("_doc"),
+        F.coalesce("component", F.col("_rep")).alias("component"),
+    )
+    w = Window.partitionBy("component")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(doc_comp, F.col("doc_id") == doc_comp._doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
 
 
 def dedup_clusters(

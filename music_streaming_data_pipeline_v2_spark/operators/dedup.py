@@ -427,11 +427,50 @@ def jaccard_pairs(
             df, block_col, text_col, id_col, threshold, salt
         )
 
-    eps = 1e-9
     base = _jaccard_base(df, block_col, text_col, id_col).filter(
         F.size("_tok") > 0
     )
+    return _jaccard_pairs_from_base(base, threshold, strategy, salt)
+
+
+def _jaccard_pairs_from_base(
+    base: DataFrame,
+    threshold: float,
+    strategy: str = "auto",
+    salt: int | None = None,
+) -> DataFrame:
+    """prefix/auto strategy body over a prebuilt (_id, _blk, _tok)
+    relation — shared by ``jaccard_pairs`` and the identical-set
+    contraction path in clustering.dedup_clusters_exact.
+
+    ``auto`` probes a third physical strategy first: when every
+    block's distinct-token vocabulary fits in 64 symbols, each token
+    SET is dictionary-encoded into one 64-bit bitmask and Jaccard
+    becomes ``bit_count(a & b) / bit_count(a | b)`` — whole-stage-
+    codegen integer ops, no per-pair array walks. Small vocabularies
+    are exactly the corpora where prefix filtering degenerates
+    (postings ≈ n, candidates ≈ n²), so the two strategies cover
+    opposite ends: Zipfian text → prefix filter; dense categorical /
+    tag-like token sets → bitmask all-pairs. The vocabulary probe is
+    one tiny aggregate over the distinct (block, token) relation."""
+    eps = 1e-9
     base = base.persist()  # read for prefix build + both verify sides
+
+    if strategy == "auto":
+        vocab_max = (
+            base.select("_blk", F.explode("_tok").alias("_t"))
+            .groupBy("_blk")
+            .agg(F.count_distinct("_t").alias("v"))
+            .agg(F.max("v"))
+            .first()[0]
+            or 0
+        )
+        if 0 < vocab_max <= 64:
+            return _jaccard_bitmask_allpairs(
+                base,
+                threshold,
+                salt or base.sparkSession.sparkContext.defaultParallelism,
+            )
 
     t = base.select(
         "_id", "_blk", F.size("_tok").alias("_n"), F.explode("_tok").alias("_t")
@@ -469,7 +508,7 @@ def jaccard_pairs(
             return _jaccard_allpairs_join(
                 base,
                 threshold,
-                salt or df.sparkSession.sparkContext.defaultParallelism,
+                salt or base.sparkSession.sparkContext.defaultParallelism,
             )
 
     a = pre.select(
@@ -544,10 +583,69 @@ def _jaccard_allpairs_join(
     # and since the quadratic blow-up happens INSIDE the join, input-
     # size-based planning can't see it.
     left = left.repartition(n_salt, "_blk", "_salt")
+    # Length prefilter BEFORE the set ops: J(x,y) ≥ t requires
+    # t·|x| ≤ |y| ≤ |x|/t, and comparing two ints is ~100× cheaper
+    # than intersecting two token arrays. eps-loosened so rounding can
+    # only admit extra candidates (the exact filter removes them).
+    eps = 1e-9
+    len_ok = (
+        F.size("tok_a") >= F.lit(threshold) * F.size("tok_b") - F.lit(eps)
+    ) & (F.size("tok_b") >= F.lit(threshold) * F.size("tok_a") - F.lit(eps))
+    return (
+        left.join(right, ["_blk", "_salt"])
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_bitmask_allpairs(
+    base: DataFrame, threshold: float, n_salt: int
+) -> DataFrame:
+    """Salted all-pairs Jaccard over 64-bit token-set bitmasks.
+
+    Preconditions (checked by the caller): per-block vocabulary ≤ 64.
+    Each block gets a dense token dictionary (alphabetic order — any
+    deterministic order works, ids only need to be consistent within
+    the block); a document's token set becomes ``sum(1 << id)``, which
+    equals the bitwise OR because ``_tok`` is already distinct. The
+    pair compare is then two bit_counts on longs — no array
+    materialization crosses the shuffle (masks are 8 bytes vs ~hundreds
+    for token arrays), so shuffle volume drops by the same factor as
+    compare cost. Exact: |x ∩ y| = popcount(a & b), |x ∪ y| =
+    popcount(a | b) under any injective token→bit mapping.
+    """
+    toks = base.select("_blk", F.col("_id"), F.explode("_tok").alias("_t"))
+    dict_w = Window.partitionBy("_blk").orderBy("_t")
+    vocab = (
+        toks.select("_blk", "_t")
+        .distinct()
+        .withColumn("_bit", F.row_number().over(dict_w) - 1)
+    )
+    masks = (
+        toks.join(vocab, ["_blk", "_t"])
+        .groupBy("_blk", "_id")
+        .agg(F.sum(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
+    )
+    left = masks.select(
+        "_blk",
+        F.pmod(F.xxhash64("_id"), F.lit(n_salt)).alias("_salt"),
+        F.col("_id").alias("id_a"),
+        F.col("_mask").alias("mask_a"),
+    ).repartition(n_salt, "_blk", "_salt")
+    right = masks.select(
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+        F.col("_id").alias("id_b"),
+        F.col("_mask").alias("mask_b"),
+    )
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
     return (
         left.join(right, ["_blk", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

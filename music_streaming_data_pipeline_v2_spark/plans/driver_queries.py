@@ -1234,13 +1234,18 @@ FROM alldocs
 @q("dedup_clusters", _ORACLE_DEDUP_CLUSTERS)
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS → per-document keep/drop:
-    connected components by iterative min-label propagation
-    (operators/clustering.py) — the canonical iterative algorithm a
-    one-shot SQL engine can't express (the DuckDB oracle needs a
-    recursive-CTE transitive closure). Converges in O(diameter)
-    rounds (2-3 for near-dup graphs), one co-partitioned shuffle per
-    round, lineage cut by localCheckpoint. ``component`` = min doc_id
-    reachable, so results are deterministic under any partitioning."""
+    connected components (operators/clustering.py) — the canonical
+    iterative algorithm a one-shot SQL engine can't express (the
+    DuckDB oracle needs a recursive-CTE transitive closure).
+    Physical strategy is cost-based twice over: pair mining picks
+    bitmask/prefix/all-pairs from measured vocabulary and candidate
+    stats (operators/dedup.py:jaccard_pairs), and components run as
+    driver union-find below a broadcast-sized edge threshold or
+    O(diameter)-round distributed min-label propagation above it.
+    ``component`` = min doc_id reachable, so results are
+    deterministic under any partitioning. See also
+    clustering.dedup_clusters_exact — the identical-set contraction
+    variant for duplicate-heavy corpora at scale."""
     from ..operators.clustering import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")

@@ -175,6 +175,12 @@ def test_jaccard_strategies_agree(spark, docs, threshold):
     assert set(prefix) == set(allpairs)
     for k in prefix:
         assert prefix[k] == pytest.approx(allpairs[k])
+    # auto on this tiny-vocab corpus takes the 64-bit bitmask path —
+    # must agree exactly with both explicit strategies
+    auto = run("auto")
+    assert set(auto) == set(allpairs)
+    for k in auto:
+        assert auto[k] == pytest.approx(allpairs[k])
 
 
 def test_jaccard_prefix_handles_empty_docs(spark):
@@ -413,13 +419,42 @@ def test_connected_components_chain_and_singleton(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
         "src long, dst long",
     )
-    got = {
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    # driver union-find (default, below threshold) and distributed
+    # label propagation (forced) must agree exactly
+    got_driver = {
         (r["id"], r["component"])
         for r in connected_components(edges).collect()
     }
-    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
-            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
-    assert got == want
+    got_dist = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, driver_edge_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
+
+
+def test_dedup_clusters_exact_matches_pairwise_path(spark):
+    """Identical-set contraction (dedup_clusters_exact) must produce
+    byte-identical clusters to the mine-all-pairs-then-cluster path."""
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        dedup_clusters,
+        dedup_clusters_exact,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {
+        tuple(r) for r in dedup_clusters_exact(
+            docs, "lang", "text", "doc_id", 0.8
+        ).collect()
+    }
+    pairwise = {
+        tuple(r) for r in dedup_clusters(
+            docs, dedup.jaccard_pairs(docs, "lang", threshold=0.8)
+        ).collect()
+    }
+    assert fused == pairwise
 
 
 def test_dedup_clusters_keep_one_per_cluster(spark):
