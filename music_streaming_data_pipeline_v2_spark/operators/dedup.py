@@ -94,7 +94,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
     persist_shingles: bool = True,
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """Near-duplicate pairs via MinHash banding.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and exact-verified
@@ -106,6 +107,19 @@ def minhash_lsh_pairs(
     verification) — shingling is the dominant per-row cost, so this
     nearly halves wall-clock. Disable when the shingled corpus exceeds
     cluster cache capacity; the plan then recomputes from the scan.
+
+    ``with_stats=True`` returns ``(pairs_df, stats_df)`` where
+    ``stats_df`` is one row quantifying what the ``max_bucket`` cap
+    discarded: ``dropped_buckets``, ``dropped_rows`` (doc×band
+    postings in those buckets) and ``dropped_candidate_pairs``
+    (Σ c·(c−1)/2 — the candidate comparisons skipped). The cap is the
+    standard boilerplate defense (a shingle shared by 10M docs would
+    otherwise create a 10M-wide bucket ≈ 5·10¹³ candidates), but at
+    100 TB an unreported cap makes recall claims unfalsifiable — the
+    stats side-output is how a pipeline decides whether dropped mass
+    needs a second pass (e.g. exact-dedup the boilerplate first). It
+    is derived from the bucket-size relation the filter already
+    computes, so the extra cost is one tiny aggregate.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -162,6 +176,16 @@ def minhash_lsh_pairs(
         bucket_sizes.filter(F.col("_bn") <= max_bucket).select("band_id", "band_hash"),
         ["band_id", "band_hash"],
     )
+    drop_stats = (
+        bucket_sizes.filter(F.col("_bn") > max_bucket)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("_bn"), F.lit(0)).alias("dropped_rows"),
+            F.coalesce(
+                F.sum(F.expr("_bn * (_bn - 1) / 2")).cast("long"), F.lit(0)
+            ).alias("dropped_candidate_pairs"),
+        )
+    )
 
     cand = (
         banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
@@ -184,11 +208,14 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
         F.array_union("_sh_a", "_sh_b")
     )
-    return (
+    pairs = (
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if with_stats:
+        return pairs, drop_stats
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,37 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert set(pairs) == set(truth)
 
 
+def test_minhash_lsh_drop_stats_surface_capped_buckets(spark):
+    """max_bucket silently capping recall must be observable: a
+    boilerplate shingle shared by every doc overflows its bucket and
+    the stats side-output reports the dropped mass."""
+    n = 40
+    # every doc shares the identical leading sentence (one boilerplate
+    # shingle set) plus a unique tail so they aren't exact dups
+    rows = [
+        Row(doc_id=i, text="the same boilerplate header sentence here unique" + f" tail{i} word{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    pairs, stats = dedup.minhash_lsh_pairs(
+        df, num_hashes=8, bands=4, shingle_k=3,
+        jaccard_threshold=0.9, max_bucket=10, with_stats=True,
+    )
+    s = stats.collect()[0]
+    assert s["dropped_buckets"] > 0
+    assert s["dropped_rows"] > 10  # at least one full overflowing bucket
+    assert s["dropped_candidate_pairs"] >= 10 * 9 // 2
+    # with the cap lifted nothing is dropped
+    _, stats_uncapped = dedup.minhash_lsh_pairs(
+        df, num_hashes=8, bands=4, shingle_k=3,
+        jaccard_threshold=0.9, max_bucket=10_000, with_stats=True,
+    )
+    s2 = stats_uncapped.collect()[0]
+    assert s2["dropped_buckets"] == 0
+    assert s2["dropped_rows"] == 0
+    assert s2["dropped_candidate_pairs"] == 0
+
+
 def test_simhash_exact_dup_and_near(docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
