@@ -120,6 +120,7 @@ def run_incremental_pipeline(
     archive_dir: str | None = None,
     quarantine_dir: str | None = None,
     maintain_kv: bool = False,
+    max_isin_dates: int = 100,
 ) -> None:
     """The full incremental slice, batch-correct: file stream →
     validate (coerce-and-drop) → recompute affected days → partitioned
@@ -170,11 +171,26 @@ def run_incremental_pipeline(
         good.write.mode("append").partitionBy("date").parquet(validated_dir)
 
         # recompute ONLY the dates touched by this batch from the full
-        # validated store — the reference's recompute-a-day semantics
-        dates = [r["date"] for r in good.select("date").distinct().collect()]
+        # validated store — the reference's recompute-a-day semantics.
+        # The driver-side date list is count-capped: a normal batch
+        # touches a handful of days (collect is a few rows), but a
+        # pathological backfill spanning years would turn isin() into a
+        # giant OR — past the cap, switch to a broadcast semi-join on
+        # the distinct-dates frame, which prunes the date-partitioned
+        # store at runtime via dynamic partition pruning instead.
+        dates_df = good.select("date").distinct()
+        dates = [
+            r["date"] for r in dates_df.limit(max_isin_dates + 1).collect()
+        ]
         if not dates:
             return
-        full = spark.read.parquet(validated_dir).filter(F.col("date").isin(dates))
+
+        def only_touched(df: DataFrame) -> DataFrame:
+            if len(dates) <= max_isin_dates:
+                return df.filter(F.col("date").isin(dates))
+            return df.join(F.broadcast(dates_df), "date", "semi")
+
+        full = only_touched(spark.read.parquet(validated_dir))
         dim_cols = ["track_id", "track_genre", "duration_ms"] + (
             ["track_name", "artists"] if maintain_kv else []
         )
@@ -201,9 +217,7 @@ def run_incremental_pipeline(
             from ..operators.reshape import build_kv_table
             from ..operators.topk import top_k_per_group
 
-            kpis_back = spark.read.parquet(kpi_dir).filter(
-                F.col("date").isin(dates)
-            )
+            kpis_back = only_touched(spark.read.parquet(kpi_dir))
             song_counts = plays_per_item(
                 enriched,
                 ["track_genre", "date", "track_id", "track_name", "artists"],

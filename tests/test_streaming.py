@@ -98,6 +98,35 @@ def test_incremental_exactly_once_and_recompute(spark, dims, tmp_path):
     assert spark.read.parquet(str(quar)).count() == 1
 
 
+def test_backfill_many_dates_uses_join_path(spark, dims, tmp_path):
+    """A backfill batch touching more dates than max_isin_dates must
+    recompute through the semi-join path, with identical results."""
+    songs, users = dims
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    inp.mkdir()
+
+    # one batch spanning 8 distinct days, cap forced down to 3
+    rows = [
+        f"{u % 3},t{u % 4},2024-06-{10 + d:02d} 1{u}:00:00"
+        for d in range(8)
+        for u in range(2)
+    ]
+    _write_stream_csv(str(inp / "stream_backfill.csv"), rows)
+    run_incremental_pipeline(
+        spark, str(inp), songs, users,
+        output_dir=str(out), checkpoint_dir=str(ckpt),
+        max_isin_dates=3,
+    )
+    kpis = spark.read.parquet(str(out / "genre_kpis"))
+    dates = {str(r.date) for r in kpis.select("date").distinct().collect()}
+    assert dates == {f"2024-06-{10 + d:02d}" for d in range(8)}
+    # per-day counts correct: 2 plays/day split by genre parity of t
+    total = kpis.agg(F.sum("listen_count")).first()[0]
+    assert total == 16
+
+
 def test_streaming_daily_kpis_window(spark, dims, tmp_path):
     songs, users = dims
     inp = tmp_path / "in"
