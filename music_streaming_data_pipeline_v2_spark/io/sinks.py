@@ -33,6 +33,87 @@ def write_partitioned(
     writer.save(path)
 
 
+def write_kv_batched(
+    df: DataFrame,
+    client_factory,
+    batch_size: int = 25,
+) -> None:
+    """Push a KV relation to an external store, client-batched per
+    partition — the reference's DynamoDB load loop
+    (glue_jobs/dynamodb-ingestion.py:133-167: ``batch_writer`` flushing
+    25 items per request) re-expressed as a distributed sink.
+
+    ``client_factory`` is a zero-argument picklable callable invoked
+    ONCE PER PARTITION on the executor (never ship a live connection
+    from the driver — sockets don't pickle); it returns an object with
+    ``put_batch(items: list[dict]) -> None``. Rows stream through a
+    fixed-size buffer, so executor memory per task is O(batch_size),
+    not O(partition).
+
+    Scale notes: parallelism = #partitions (repartition the KV frame to
+    match the store's write-capacity sharding); per-batch retries/
+    backoff belong in the client object, where boto3's batch_writer
+    puts them; idempotency comes from pk/sk upserts, so replaying a
+    micro-batch after a failure converges (same as the reference's
+    overwrite-recompute model). ``toLocalIterator`` is deliberately NOT
+    used — it would serialize the write through the driver.
+    """
+
+    def write_partition(rows) -> None:
+        client = client_factory()
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row.asDict())
+            if len(buf) >= batch_size:
+                client.put_batch(buf)
+                buf = []
+        if buf:
+            client.put_batch(buf)
+
+    df.foreachPartition(write_partition)
+
+
+class JsonDirKvClient:
+    """File-backed KV-store fake with real client batching semantics.
+
+    Stands in for a DynamoDB/Redis client in environments without one
+    (this container): each ``put_batch`` appends one JSON line — the
+    whole batch — to a process-unique file under ``root``, so a test
+    can assert exactly how items were batched across executors.
+    ``read_all``/``read_batches`` aggregate the directory back; last
+    write wins per (pk, sk) is NOT modeled (append-only log), which is
+    fine for the sink contract test.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def put_batch(self, items: list[dict]) -> None:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, f"{os.getpid()}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(items, default=str) + "\n")
+
+    def read_batches(self) -> list[list[dict]]:
+        import json
+        import os
+
+        out: list[list[dict]] = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in sorted(os.listdir(self.root)):
+            with open(os.path.join(self.root, name)) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+        return out
+
+    def read_all(self) -> list[dict]:
+        return [item for batch in self.read_batches() for item in batch]
+
+
 def compact_partitions(
     spark,
     path: str,

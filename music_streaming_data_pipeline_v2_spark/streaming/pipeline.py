@@ -121,6 +121,7 @@ def run_incremental_pipeline(
     quarantine_dir: str | None = None,
     maintain_kv: bool = False,
     max_isin_dates: int = 100,
+    kv_client_factory=None,
 ) -> None:
     """The full incremental slice, batch-correct: file stream →
     validate (coerce-and-drop) → recompute affected days → partitioned
@@ -136,7 +137,11 @@ def run_incremental_pipeline(
     ``maintain_kv=True`` additionally rebuilds the KV serving rows
     (METRIC#/SONG#/GENRE_RANK#) for the touched dates — the S9 KV sink
     kept continuously up to date, date-partitioned so each batch
-    replaces only its days' serving entries.
+    replaces only its days' serving entries. With ``kv_client_factory``
+    set, the same rows are also pushed to an external KV store through
+    the client-batched ``write_kv_batched`` sink (the reference's
+    25-per-request DynamoDB batch_writer loop,
+    glue_jobs/dynamodb-ingestion.py:133-167).
     """
     raw_schema = schema or T.StructType(
         [
@@ -243,6 +248,10 @@ def run_incremental_pipeline(
             kv.sortWithinPartitions("pk", "sk").write.mode("overwrite").partitionBy(
                 "date"
             ).parquet(os.path.join(output_dir, "kv"))
+            if kv_client_factory is not None:
+                from ..io.sinks import write_kv_batched
+
+                write_kv_batched(kv, kv_client_factory)
 
     (
         stream.writeStream.foreachBatch(process_batch)

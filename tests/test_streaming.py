@@ -404,6 +404,60 @@ def test_incremental_kv_maintenance(spark, tmp_path):
     ).count() == 1
 
 
+def test_kv_client_batched_sink(spark, tmp_path):
+    """S9 completion: the KV rows are pushed through the
+    foreachPartition client-batched writer (the reference's 25-items-
+    per-request DynamoDB batch_writer loop) — every item arrives
+    exactly once and no client call exceeds the batch size."""
+    from music_streaming_data_pipeline_v2_spark.io.sinks import (
+        JsonDirKvClient,
+        write_kv_batched,
+    )
+
+    kv_dir = str(tmp_path / "kvstore")
+
+    songs = spark.createDataFrame(
+        [
+            Row(track_id=f"t{i}", track_name=f"name{i}", artists=f"a{i}",
+                track_genre="rock" if i % 2 == 0 else "jazz",
+                duration_ms=100000 + i)
+            for i in range(4)
+        ]
+    )
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "1,t0,2024-06-25 11:00:00",
+         "2,t1,2024-06-25 12:00:00", "0,t2,2024-06-26 09:00:00"],
+    )
+    run_incremental_pipeline(
+        spark, str(inp), songs, users,
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        maintain_kv=True,
+        kv_client_factory=lambda: JsonDirKvClient(kv_dir),
+    )
+
+    client = JsonDirKvClient(kv_dir)
+    pushed = client.read_all()
+    stored = spark.read.parquet(str(tmp_path / "out" / "kv"))
+    # exactly-once per item: pushed set == stored kv table
+    assert len(pushed) == stored.count()
+    assert {(d["pk"], d["sk"]) for d in pushed} == {
+        (r.pk, r.sk) for r in stored.collect()
+    }
+    assert all(len(b) <= 25 for b in client.read_batches())
+
+    # batching respected with a small batch size: 7 items per call max
+    kv_dir2 = str(tmp_path / "kvstore2")
+    write_kv_batched(stored, lambda: JsonDirKvClient(kv_dir2), batch_size=7)
+    batches = JsonDirKvClient(kv_dir2).read_batches()
+    assert sum(len(b) for b in batches) == stored.count()
+    assert all(len(b) <= 7 for b in batches)
+    assert any(len(b) == 7 for b in batches)
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """Stream-stream inner join (beyond the reference's stream-static
     X6): impressions ⋈ clicks on ad_id with both sides watermarked and
