@@ -135,37 +135,31 @@ def minhash_lsh_pairs(
     # array_min(transform(...)) per hash walks the shingle array K
     # times through interpreted higher-order functions (~10× slower
     # measured at sf0.1). Same exact signature values.
+    # Wide column lists built as SQL strings — one py4j parse per
+    # expression instead of per node; see simhash_signatures for the
+    # measured plan-build cost rationale. Same expressions exactly.
     exploded = base.select("_id", F.explode("_sh").alias("_s"))
     hashed = exploded.select(
-        "_id", *[F.xxhash64("_s", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        "_id",
+        *[F.expr(f"xxhash64(_s, {i}) AS _h{i}") for i in range(num_hashes)],
     )
     sig = hashed.groupBy("_id").agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(_h{i}) AS _h{i}") for i in range(num_hashes)]
     )
 
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64(concat_ws(',', {cols})) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(_h{i} AS string)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sig.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"_h{i}").cast("string")
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
+        F.expr(f"explode(array({band_structs}))").alias("_band"),
     ).select("_id", "_band.band_id", "_band.band_hash")
 
     # drop pathological buckets (boilerplate): cap candidate fan-out
@@ -287,25 +281,27 @@ def simhash_signatures(
     hashed = df.select(F.col(id_col).alias("_id"), toks).select(
         "_id", F.xxhash64("_t").alias("_h")
     )
+    # Wide expressions are built as SQL strings parsed in ONE py4j
+    # round-trip each: constructing the 63-term majority-vote column
+    # (and the 16 lane sums) node-by-node through the Python Column API
+    # costs hundreds of driver→JVM calls — measured >1s of pure
+    # plan-build time per run at any data size. Identical expressions,
+    # just assembled JVM-side.
     packed = hashed.groupBy("_id").agg(
-        F.count("*").alias("_n"),
+        F.expr("count(*) AS _n"),
         *[
-            F.sum(
-                F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(_LANE_MASK))
-            ).alias(f"_s{j}")
+            F.expr(
+                f"sum(shiftrightunsigned(_h, {j}) & {_LANE_MASK}L) AS _s{j}"
+            )
             for j in range(16)
         ],
     )
-    sig = F.lit(0).cast("long")
-    for i in range(63):
-        j, k = i % 16, i // 16
-        ones = F.shiftrightunsigned(F.col(f"_s{j}"), 16 * k).bitwiseAND(
-            F.lit(0xFFFF).cast("long")
-        )
-        sig = sig + F.when(
-            ones * 2 > F.col("_n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    sigs = packed.select("_id", sig.alias("_sim"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN (shiftrightunsigned(_s{i % 16}, {16 * (i // 16)})"
+        f" & 65535L) * 2 > _n THEN {1 << i}L ELSE 0L END)"
+        for i in range(63)
+    )
+    sigs = packed.select("_id", F.expr(sig_sql).alias("_sim"))
     ids = df.select(F.col(id_col).alias("_id"))
     return ids.join(sigs, "_id", "left").select(
         "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
