@@ -1165,12 +1165,12 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata documents table is a single parquet file (one row
     group), so the scan yields one partition and the token-hash
     aggregation would run on one core; spread it across the cluster
-    before the CPU-heavy signature build. At real scale the file
-    source provides this parallelism naturally and the repartition
-    collapses to a cheap rebalance."""
+    before the CPU-heavy signature build. Unconditional: a redundant
+    rebalance of the pre-explode narrow rows costs far less than the
+    signature stage it feeds, and avoids probing the RDD API for a
+    partition count from an otherwise DataFrame-pure plan."""
     docs = load_table(spark, sf_dir, "documents")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return _dedup.simhash_pairs(docs, max_hamming=3)
 
 
