@@ -1,0 +1,105 @@
+"""Context-window chunking and sequence packing for LLM training data.
+
+Two standard shapes a training-data pipeline applies between curation
+and tokenizer sharding (north-star extension, SURVEY.md §7 phase 6):
+
+- **Chunking**: split each document into fixed-token windows with
+  overlap (the context-length split every pretraining/RAG pipeline
+  performs). Map-only — ``sequence``+``slice`` explode, no shuffle, no
+  UDF; scales linearly with bytes scanned.
+- **Packing**: concat-and-split assignment of documents to fixed token
+  budgets (GPT-style example packing): documents are laid end-to-end in
+  a deterministic order and each one is assigned the bin its first
+  token lands in. One window cumsum per stratum — the shuffle is on
+  the stratum key, and strata (sources/shards) parallelize across the
+  cluster. A global (unstratified) pack would serialize through one
+  task; at scale you pack per shard, which is exactly what the
+  stratum column expresses.
+
+Tokenization uses the explicit class ``[ \\t\\n\\r\\f]+`` so Spark
+(Java regex) and any oracle engine (RE2 etc.) split identically —
+Java's ``\\s`` includes vertical tab, RE2's does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def engine_safe_tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens with an engine-portable separator class."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), "[ \t\n\r\f]+"), lambda t: t != F.lit(""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into overlapping fixed-size token windows.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; starts run
+    ``0, stride, …`` up to the last start that leaves more than
+    ``overlap`` tokens (so no chunk is a pure suffix of the previous
+    one), and an empty/short document yields exactly one chunk.
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = engine_safe_tokens(text_col)
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_w")).withColumn(
+        "_n", F.size("_w")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    d = d.select("doc_id", "_w", "_n", F.explode(starts).alias("_start"))
+    piece = F.slice("_w", F.col("_start") + 1, F.lit(chunk_tokens))
+    return d.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    stratum_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split packing: assign each document the bin its first
+    token lands in when documents are concatenated in ``order_col``
+    order within each stratum and split every ``budget`` tokens.
+
+    Deterministic (pure function of content + ordering), exact integer
+    arithmetic, one window shuffle per stratum. Returns
+    (stratum, doc_id, n_tokens, bin_id, bin_offset).
+    """
+    d = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(order_col).alias("doc_id"),
+        F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    start = F.sum("n_tokens").over(
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - F.col("n_tokens")
+    return d.select(
+        "stratum",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / budget).alias("bin_id"),
+        (start % budget).alias("bin_offset"),
+    )

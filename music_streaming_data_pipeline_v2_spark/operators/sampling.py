@@ -69,3 +69,31 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling via ``sampleBy`` (seeded, Spark-side)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def balanced_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Deterministically downsample every stratum to (approximately)
+    the smallest stratum's size — the hash-threshold version of
+    uniform domain rebalancing (the action behind
+    plans/pipeline_queries.py:source_mix_weights).
+
+    Per stratum the keep fraction is ``min_count / n_s``; a row is
+    kept iff its content-hash bucket satisfies ``b < frac * 256``, so
+    membership is a pure function of (content, corpus composition):
+    reproducible across engines and partitionings, and rerunning after
+    corpus growth only moves rows whose stratum fraction changed.
+    One count aggregate + a broadcast join of |strata| rows — the data
+    itself is scanned once, map-only.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min"))
+    frac = counts.crossJoin(F.broadcast(min_n)).select(
+        stratum_col, (F.col("_min") / F.col("_n")).alias("_frac")
+    )
+    return df.join(F.broadcast(frac), stratum_col).filter(
+        hash_bucket(key_col) < F.col("_frac") * 256
+    )

@@ -249,3 +249,67 @@ def redact_terms(
         "n_redactions",
         (F.size(F.regexp_extract_all(t, F.lit(pattern), 1))).cast("bigint"),
     )
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """Distinct word n-grams using the engine-portable whitespace class
+    (see operators/packing.py:engine_safe_tokens for why not ``\\s``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.filter(F.split(F.trim(c), "[ \t\n\r\f]+"), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(empty))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination check: for each test document,
+    how many of its distinct word n-grams appear in ANY training
+    document, and how many training documents share at least one.
+
+    Shape: explode both sides to distinct (doc, gram) postings and
+    equi-join on the gram — the shuffle is gram-keyed, never doc×doc.
+    The standard n=13 makes collisions essentially impossible by
+    chance, so every hit is real leakage. A boilerplate gram shared by
+    millions of training docs would still fan out; ``max_gram_df``
+    caps the training-side document frequency (drop grams with df >
+    cap) — like the LSH ``max_bucket``, a recall-for-bound trade that
+    should be REPORTED when used, so it is off (exact) by default.
+
+    Returns (doc_id, n_shared_grams, n_train_docs_hit) for
+    contaminated test docs only; clean docs are absent (left-join and
+    coalesce at the call site if a full roster is needed).
+    """
+    tg = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    if max_gram_df is not None:
+        small = (
+            tg.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("gram")
+        )
+        tg = tg.join(small, "gram")
+    sg = test.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    return (
+        sg.join(tg, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("train_id").alias("n_train_docs_hit"),
+        )
+    )

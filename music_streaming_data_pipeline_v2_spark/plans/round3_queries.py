@@ -1,0 +1,168 @@
+"""Round-3 training-data pipeline batch: context-window chunking,
+sequence packing, n-gram decontamination, balanced source sampling.
+
+The between-curation-and-tokenizer shapes every LLM data pipeline runs
+(operators/packing.py, text.py:ngram_contamination,
+sampling.py:balanced_sample), each with a DuckDB oracle twin. All
+tokenization uses the engine-portable whitespace class
+``[ \\t\\n\\r\\f]+`` (ADVICE r2) so Spark/DuckDB split identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .driver_queries import _utc, q
+
+_W = r"LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'), x -> x <> '')"
+
+_BUCKET = (
+    "(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_ORACLE_CHUNKS = f"""
+WITH t AS (
+    SELECT doc_id, {_W} AS w FROM documents
+),
+s AS (
+    SELECT doc_id, w,
+           UNNEST(GENERATE_SERIES(0, GREATEST(LEN(w) - 9, 0), 16)) AS start
+    FROM t
+)
+SELECT doc_id,
+       start // 16 AS chunk_id,
+       CAST(LEN(w[start + 1 : start + 24]) AS BIGINT) AS n_chunk_tokens,
+       ARRAY_TO_STRING(w[start + 1 : start + 24], ' ') AS chunk_text
+FROM s
+"""
+
+
+@q("doc_chunks", _ORACLE_CHUNKS)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping 24-token windows, stride 16
+    (operators/packing.py:chunk_documents). Map-only sequence+slice
+    explode — no shuffle, linear in bytes scanned."""
+    from ..operators.packing import chunk_documents
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=24, overlap=8)
+    return out.withColumn(
+        "n_chunk_tokens", F.col("n_chunk_tokens").cast("long")
+    )
+
+
+_ORACLE_PACKING = f"""
+WITH t AS (
+    SELECT source AS stratum, doc_id,
+           CAST(LEN({_W}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT stratum, doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY stratum ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS start
+    FROM t
+)
+SELECT stratum, doc_id, n_tokens,
+       start // 64 AS bin_id,
+       start % 64 AS bin_offset
+FROM c
+"""
+
+
+@q("sequence_packing", _ORACLE_PACKING)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split example packing into 64-token bins per source
+    (operators/packing.py:pack_sequences): each document is assigned
+    the bin its first token lands in. One window shuffle per stratum;
+    strata parallelize (a global pack would serialize — at scale you
+    pack per shard, which the stratum expresses)."""
+    from ..operators.packing import pack_sequences
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=64)
+
+
+_ORACLE_DECONTAM = f"""
+WITH b AS (
+    SELECT doc_id, text, {_BUCKET} AS bkt FROM documents
+),
+g AS (
+    SELECT doc_id, bkt,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN({_W}) - 3),
+               i -> ARRAY_TO_STRING(({_W})[i : i + 4], ' ')
+           )) AS grams
+    FROM b WHERE LEN({_W}) >= 5
+),
+tg AS (SELECT doc_id AS train_id, UNNEST(grams) AS gram FROM g WHERE bkt < 204),
+sg AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE bkt >= 230)
+SELECT sg.doc_id,
+       COUNT(DISTINCT sg.gram) AS n_shared_grams,
+       COUNT(DISTINCT tg.train_id) AS n_train_docs_hit
+FROM sg JOIN tg ON sg.gram = tg.gram
+GROUP BY sg.doc_id
+"""
+
+
+@q("ngram_decontamination", _ORACLE_DECONTAM)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style decontamination over the engine's own hash split:
+    distinct word 5-grams of each test-split document joined against
+    the train split's grams (text.py:ngram_contamination) — the
+    shuffle is gram-keyed, never doc×doc. n=13 is the published
+    standard; n=5 here because the synthetic docs are ~23 tokens."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import ngram_contamination
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return ngram_contamination(
+        docs.filter(b < 204), docs.filter(b >= 230), n=5
+    )
+
+
+_ORACLE_BALANCED = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+m AS (SELECT MIN(n) AS mn FROM c),
+k AS (
+    SELECT d.source, COUNT(*) AS n_after
+    FROM documents d JOIN c USING (source), m
+    WHERE {_BUCKET} < (m.mn / c.n) * 256
+    GROUP BY d.source
+)
+SELECT c.source, c.n AS n_before, COALESCE(k.n_after, 0) AS n_after
+FROM c LEFT JOIN k USING (source)
+"""
+
+
+@q("balanced_source_sample", _ORACLE_BALANCED)
+def balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform domain rebalancing: every source deterministically
+    downsampled toward the smallest source's size by content-hash
+    threshold (sampling.py:balanced_sample) — membership is a pure
+    function of content + corpus composition, reproducible across
+    engines and partitionings. Reports per-source before/after."""
+    from ..operators.sampling import balanced_sample
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    before = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    after = (
+        balanced_sample(docs, "source", "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return before.join(after, "source", "left").select(
+        "source",
+        "n_before",
+        F.coalesce("n_after", F.lit(0).cast("long")).alias("n_after"),
+    )
