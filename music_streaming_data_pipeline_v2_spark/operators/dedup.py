@@ -577,7 +577,12 @@ def jaccard_pairs_allpairs(
     the price of parallelizing an all-pairs comparison.
     """
     n_salt = salt or df.sparkSession.sparkContext.defaultParallelism
-    base = _jaccard_base(df, block_col, text_col, id_col)
+    # empty token sets can never reach a positive threshold and their
+    # 0/0 Jaccard is NULL in SQL (and a divide-by-zero under ANSI) —
+    # exclude them up front, matching the prefix path's semantics
+    base = _jaccard_base(df, block_col, text_col, id_col).filter(
+        F.size("_tok") > 0
+    )
     return _jaccard_allpairs_join(base, threshold, n_salt)
 
 

@@ -1,0 +1,98 @@
+"""Property-based equivalence of cost-selected physical strategies.
+
+The operator-level planners (jaccard_pairs' bitmask/prefix/allpairs,
+connected_components' driver/distributed) must be RESULT-INVARIANT:
+whatever strategy the stats pick, the relation is identical. Hypothesis
+drives randomized corpora/graphs through every path and compares.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators import dedup
+from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+    connected_components,
+)
+
+# small vocab → auto picks the bitmask path; the token universe is
+# fixed so doc sets overlap heavily (worst case for pruning)
+_SMALL_VOCAB = [f"w{i}" for i in range(12)]
+# large sparse vocab → prefix path stays competitive
+_BIG_VOCAB = [f"tok{i}" for i in range(300)]
+
+
+@st.composite
+def corpus(draw, vocab):
+    n_docs = draw(st.integers(min_value=2, max_value=14))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=10)
+        )
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+def _pairs(spark, rows, strategy, threshold):
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "blk", F.lit(1)
+    )
+    got = dedup.jaccard_pairs(
+        df, "blk", threshold=threshold, strategy=strategy
+    ).collect()
+    return {(r.id_a, r.id_b): round(r.jaccard, 12) for r in got}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus(_SMALL_VOCAB), threshold=st.sampled_from([0.34, 0.61, 0.8]))
+def test_jaccard_strategies_agree_small_vocab(spark, rows, threshold):
+    auto = _pairs(spark, rows, "auto", threshold)       # bitmask path
+    allp = _pairs(spark, rows, "allpairs", threshold)   # array path
+    assert auto == allp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus(_BIG_VOCAB), threshold=st.sampled_from([0.34, 0.8]))
+def test_jaccard_strategies_agree_big_vocab(spark, rows, threshold):
+    prefix = _pairs(spark, rows, "prefix", threshold)
+    allp = _pairs(spark, rows, "allpairs", threshold)
+    assert prefix == allp
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_driver_equals_distributed(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in connected_components(df, driver_edge_threshold=0).collect()
+    }
+    assert drv == dist
