@@ -55,6 +55,12 @@ HEADLINE = [
     # `click_purchase_funnel` stays in queries() as the Python-kernel
     # extensibility demo, correctness-checked against the same oracle.
     "click_purchase_funnel_native",
+    # round 3: LLM curation batch (chunking / packing / decontamination /
+    # rebalancing)
+    "doc_chunks",
+    "sequence_packing",
+    "ngram_decontamination",
+    "balanced_source_sample",
 ]
 
 
