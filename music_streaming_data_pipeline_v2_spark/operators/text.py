@@ -282,14 +282,16 @@ def word_ngram_postings(
     are tokens, the HOF cost is per gram × per token)."""
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), "[ \t\n\r\f]+"),
-        lambda t: t != F.lit(""),
-    )
+    # plain split + post-explode row filter: the higher-order
+    # F.filter(lambda) array form is interpreted; filtering exploded
+    # ROWS stays in codegen. lead() orders by _pos, not indexes it, so
+    # dropping an empty token (only possible for empty input text)
+    # still yields grams over consecutive surviving tokens.
+    toks = F.split(F.trim(F.col(text_col)), "[ \t\n\r\f]+")
     w = Window.partitionBy("_id").orderBy("_pos")
     base = df.select(
         F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
-    )
+    ).filter(F.col("_t") != "")
     gram = F.concat_ws(
         " ", F.col("_t"), *[F.lead("_t", i).over(w) for i in range(1, n)]
     )
