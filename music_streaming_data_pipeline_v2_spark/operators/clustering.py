@@ -237,6 +237,50 @@ def dedup_clusters_exact(
     )
 
 
+def dedup_clusters_auto(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    dup_ratio_threshold: float = 3.0,
+) -> DataFrame:
+    """Cost-based front door for exact-Jaccard dedup clustering.
+
+    The pairwise path (mine all pairs → components) is fastest on
+    mostly-distinct corpora but its pair list grows QUADRATICALLY with
+    duplication — replicating a corpus 10× turned 759k pairs into 76M
+    and OOM'd the local harness (SCALE.md). The contraction path
+    (`dedup_clusters_exact`) is duplication-invariant but pays extra
+    fingerprint shuffles that don't amortize when documents are mostly
+    unique. One cheap probe — corpus rows vs distinct normalized token
+    sets — measures the duplication ratio and picks: ratio ≥
+    ``dup_ratio_threshold`` → contraction; below → pairwise. Results
+    are identical either way (equality-tested + property-fuzzed), so
+    the choice is purely physical, like every other auto strategy
+    here.
+    """
+    from .dedup import _jaccard_base, jaccard_pairs
+
+    base = _jaccard_base(docs, block_col, text_col, id_col).filter(
+        F.size("_tok") > 0
+    )
+    n_docs, n_sets = (
+        base.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(
+                "_blk", F.md5(F.to_json(F.array_sort("_tok")))
+            ).alias("s"),
+        ).first()
+    )
+    if n_sets and n_docs / n_sets >= dup_ratio_threshold:
+        return dedup_clusters_exact(docs, block_col, text_col, id_col, threshold)
+    pairs = jaccard_pairs(
+        docs, block_col, text_col, id_col, threshold=threshold
+    )
+    return dedup_clusters(docs, pairs, id_col=id_col)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1243,14 +1243,14 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver union-find below a broadcast-sized edge threshold or
     O(diameter)-round distributed min-label propagation above it.
     ``component`` = min doc_id reachable, so results are
-    deterministic under any partitioning. See also
-    clustering.dedup_clusters_exact — the identical-set contraction
-    variant for duplicate-heavy corpora at scale."""
-    from ..operators.clustering import dedup_clusters
+    deterministic under any partitioning. A third probe (corpus rows
+    vs distinct token sets) routes duplicate-heavy corpora through
+    identical-set contraction, whose runtime is duplication-invariant
+    where the pair list grows quadratically (SCALE.md 10× stress)."""
+    from ..operators.clustering import dedup_clusters_auto
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
-    out = dedup_clusters(docs, pairs)
+    out = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8)
     return out.withColumn("keep", F.col("keep").cast("bigint"))
 
 

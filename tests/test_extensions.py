@@ -488,6 +488,40 @@ def test_dedup_clusters_exact_matches_pairwise_path(spark):
     assert fused == pairwise
 
 
+def test_dedup_clusters_auto_routes_and_matches(spark):
+    """The duplication-ratio probe routes mostly-distinct corpora to
+    pairwise and replica-heavy corpora to contraction — results are
+    identical to the explicit paths in both branches."""
+    import pyspark.sql.functions as F
+
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        dedup_clusters,
+        dedup_clusters_auto,
+        dedup_clusters_exact,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # branch 1: ~unique corpus (ratio < 3) → must equal pairwise path
+    auto = {tuple(r) for r in dedup_clusters_auto(docs).collect()}
+    pairwise = {
+        tuple(r) for r in dedup_clusters(
+            docs, dedup.jaccard_pairs(docs, "lang", threshold=0.8)
+        ).collect()
+    }
+    assert auto == pairwise
+    # branch 2: 5× replicas (ratio ≥ 3) → must equal contraction path
+    big = None
+    for k in range(5):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000))
+        big = c if big is None else big.union(c)
+    auto_big = {tuple(r) for r in dedup_clusters_auto(big).collect()}
+    exact_big = {
+        tuple(r) for r in dedup_clusters_exact(big, "lang", "text", "doc_id", 0.8).collect()
+    }
+    assert auto_big == exact_big
+    assert len(auto_big) == 5 * docs.count()
+
+
 def test_dedup_clusters_keep_one_per_cluster(spark):
     from music_streaming_data_pipeline_v2_spark.operators.clustering import (
         dedup_clusters,
