@@ -84,6 +84,68 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _band_postings_from_base(
+    base: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(_id, band_id, band_hash) LSH index rows from a (_id, _sh)
+    shingle relation.
+
+    Signature via explode → flat per-(doc, shingle) rows → K hash
+    COLUMNS → groupBy(doc) with K min aggregates. This whole-stage-
+    codegens (plain column expressions), where the equivalent
+    array_min(transform(...)) per hash walks the shingle array K
+    times through interpreted higher-order functions (~10× slower
+    measured at sf0.1). Wide column lists built as SQL strings — one
+    py4j parse per expression instead of per node; see
+    simhash_signatures for the measured plan-build cost rationale.
+    """
+    rows_per_band = num_hashes // bands
+    exploded = base.select("_id", F.explode("_sh").alias("_s"))
+    hashed = exploded.select(
+        "_id",
+        *[F.expr(f"xxhash64(_s, {i}) AS _h{i}") for i in range(num_hashes)],
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.expr(f"min(_h{i}) AS _h{i}") for i in range(num_hashes)]
+    )
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64(concat_ws(',', {cols})) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(_h{i} AS string)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "_id",
+        F.expr(f"explode(array({band_structs}))").alias("_band"),
+    ).select("_id", "_band.band_id", "_band.band_hash")
+
+
+def minhash_band_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Public LSH index builder: (doc_id, band_id, band_hash) rows for
+    ``df``'s documents — what an incremental near-dup index persists
+    per batch (streaming/dedup_ingest.py). Deterministic given the
+    same hash parameters, so postings built in different batches/runs
+    are comparable."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    return _band_postings_from_base(base, num_hashes, bands).withColumnRenamed(
+        "_id", id_col
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -121,7 +183,6 @@ def minhash_lsh_pairs(
     is derived from the bucket-size relation the filter already
     computes, so the extra cost is one tiny aggregate.
     """
-    rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_k).alias("_sh"),
@@ -129,38 +190,7 @@ def minhash_lsh_pairs(
     if persist_shingles:
         base = base.persist()
 
-    # Signature via explode → flat per-(doc, shingle) rows → K hash
-    # COLUMNS → groupBy(doc) with K min aggregates. This whole-stage-
-    # codegens (plain column expressions), where the equivalent
-    # array_min(transform(...)) per hash walks the shingle array K
-    # times through interpreted higher-order functions (~10× slower
-    # measured at sf0.1). Same exact signature values.
-    # Wide column lists built as SQL strings — one py4j parse per
-    # expression instead of per node; see simhash_signatures for the
-    # measured plan-build cost rationale. Same expressions exactly.
-    exploded = base.select("_id", F.explode("_sh").alias("_s"))
-    hashed = exploded.select(
-        "_id",
-        *[F.expr(f"xxhash64(_s, {i}) AS _h{i}") for i in range(num_hashes)],
-    )
-    sig = hashed.groupBy("_id").agg(
-        *[F.expr(f"min(_h{i}) AS _h{i}") for i in range(num_hashes)]
-    )
-
-    band_structs = ", ".join(
-        "struct({b} AS band_id, xxhash64(concat_ws(',', {cols})) AS band_hash)".format(
-            b=b,
-            cols=", ".join(
-                f"cast(_h{i} AS string)"
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "_id",
-        F.expr(f"explode(array({band_structs}))").alias("_band"),
-    ).select("_id", "_band.band_id", "_band.band_hash")
+    banded = _band_postings_from_base(base, num_hashes, bands)
 
     # drop pathological buckets (boilerplate): cap candidate fan-out
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(

@@ -1,3 +1,4 @@
+from .dedup_ingest import run_incremental_dedup
 from .pipeline import (
     stream_file_source,
     streaming_daily_kpis,

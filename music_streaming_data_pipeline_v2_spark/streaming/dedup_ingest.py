@@ -1,0 +1,155 @@
+"""Dedup-at-ingest: an incrementally maintained MinHash-LSH index.
+
+Batch near-dup mining (operators/dedup.py) rescans the corpus; an
+ingest pipeline cannot — each arriving micro-batch must be checked
+against everything seen so far WITHOUT re-mining history. The standard
+design, expressed Spark-first:
+
+1. the accumulated state is two append-only Parquet relations — the
+   document store and the LSH **band-posting index**
+   (doc_id, band_id, band_hash), built by
+   ``dedup.minhash_band_postings`` with fixed hash parameters so
+   postings from any batch are comparable;
+2. per micro-batch (``foreachBatch``): build the batch's postings,
+   equi-join them against index ∪ batch-postings on
+   (band_id, band_hash) — candidates therefore always include a NEW
+   document, old×old pairs are never re-examined;
+3. exact-verify candidates with word-shingle Jaccard (store ∪ batch
+   texts joined by candidate id only), append verified pairs with the
+   batch id, then append the batch's docs + postings to the state.
+
+Scale: per-batch work is ∝ batch postings × matching bucket width,
+not corpus size; the index is partition-prunable on band_id and the
+equi-join shuffles only posting rows (3 longs each). The file-source
+checkpoint gives exactly-once batch processing, so the append-only
+state is replay-safe (a re-run without new files touches nothing).
+``max_bucket`` caps boilerplate buckets exactly as in the batch
+operator (same observability argument — see minhash_lsh_pairs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    schema: T.StructType | None = None,
+) -> None:
+    """Drain ``input_path`` (CSV doc files) through the incremental
+    near-dup index under ``work_dir`` (docs/, index/, pairs/, ckpt/)."""
+    from ..operators.dedup import minhash_band_postings, word_shingles
+
+    docs_dir = os.path.join(work_dir, "docs")
+    index_dir = os.path.join(work_dir, "index")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("header", "true")
+        .format("csv")
+        .load(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        if batch.isEmpty():
+            batch.unpersist()
+            return
+        new_post = minhash_band_postings(
+            batch, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        ).persist()
+
+        have_index = os.path.isdir(index_dir)
+        old_post = (
+            spark.read.parquet(index_dir)
+            if have_index
+            else spark.createDataFrame(
+                [], "doc_id long, band_id int, band_hash long"
+            )
+        )
+        all_post = old_post.unionByName(new_post)
+        # cap pathological buckets by CURRENT total bucket width
+        bucket_ok = (
+            all_post.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        cand = (
+            new_post.join(bucket_ok, ["band_id", "band_hash"])
+            .select("band_id", "band_hash", F.col("doc_id").alias("_new"))
+            .join(
+                all_post.select(
+                    "band_id", "band_hash", F.col("doc_id").alias("_any")
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("_new") != F.col("_any"))
+            .select(
+                F.least("_new", "_any").alias("id_a"),
+                F.greatest("_new", "_any").alias("id_b"),
+            )
+            .distinct()
+        )
+
+        old_docs = (
+            spark.read.parquet(docs_dir)
+            if os.path.isdir(docs_dir)
+            else spark.createDataFrame([], batch.schema)
+        )
+        texts = old_docs.unionByName(batch).select(
+            F.col("doc_id").alias("_id"),
+            word_shingles("text", shingle_k).alias("_sh"),
+        )
+        jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
+            F.array_union("_sh_a", "_sh_b")
+        )
+        verified = (
+            cand.join(
+                texts.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
+                "id_a",
+            )
+            .join(
+                texts.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+                "id_b",
+            )
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select(
+                "id_a", "id_b", "jaccard", F.lit(batch_id).alias("batch_id")
+            )
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        new_post.write.mode("append").parquet(index_dir)
+        batch.write.mode("append").parquet(docs_dir)
+        new_post.unpersist()
+        batch.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

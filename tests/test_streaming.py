@@ -575,3 +575,55 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert last["1"] == (3, 600)
     assert last["2"] == (1, 50)
     assert last["3"] == (1, 10)
+
+
+def test_incremental_dedup_index(spark, tmp_path):
+    """Dedup-at-ingest: the LSH index accumulates across batches,
+    each batch's near-dups are found against ALL history without
+    re-mining old×old pairs, and replays are no-ops (exactly-once)."""
+    from music_streaming_data_pipeline_v2_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    kwargs = dict(jaccard_threshold=0.5, num_hashes=16, bands=8, shingle_k=2)
+
+    (inp / "docs1.csv").write_text(
+        "doc_id,lang,text\n"
+        "1,en,the quick brown fox jumps over the lazy dog\n"
+        "2,en,the quick brown fox jumps over the lazy cat\n"
+        "3,en,completely different content about spark engines\n"
+    )
+    run_incremental_dedup(spark, str(inp), str(work), **kwargs)
+    pairs1 = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(str(work / "pairs")).collect()
+    }
+    assert pairs1 == {(1, 2)}  # within-batch near-dup found
+
+    # batch 2: one doc near-dups a BATCH-1 doc, one is novel
+    (inp / "docs2.csv").write_text(
+        "doc_id,lang,text\n"
+        "4,en,the quick brown fox jumps over the lazy dog today\n"
+        "5,en,unrelated text about distributed query planning\n"
+    )
+    run_incremental_dedup(spark, str(inp), str(work), **kwargs)
+    pairs2 = spark.read.parquet(str(work / "pairs"))
+    got = {(r.id_a, r.id_b) for r in pairs2.collect()}
+    assert (1, 4) in got and (2, 4) in got  # cross-batch vs history
+    assert (1, 2) in got
+    # old×old pairs not re-emitted: (1,2) appears exactly once
+    assert pairs2.filter("id_a = 1 and id_b = 2").count() == 1
+
+    # replay with no new files: nothing changes anywhere
+    n_pairs = pairs2.count()
+    n_index = spark.read.parquet(str(work / "index")).count()
+    run_incremental_dedup(spark, str(inp), str(work), **kwargs)
+    assert spark.read.parquet(str(work / "pairs")).count() == n_pairs
+    assert spark.read.parquet(str(work / "index")).count() == n_index
+    # index covers all 5 docs
+    idx_docs = {
+        r.doc_id for r in spark.read.parquet(str(work / "index")).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 3, 4, 5}
