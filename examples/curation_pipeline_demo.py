@@ -1,0 +1,115 @@
+"""End-to-end LLM training-data curation demo on the testdata corpus.
+
+The operators a 100 TB curation pipeline runs, composed in their
+canonical order — every stage is an engine operator with its own
+oracle-checked query, and the stage boundaries are plain DataFrames:
+
+1. quality gate      — Gopher/C4-style score filter (operators/text.py)
+2. exact dedup       — md5-fingerprint groupBy (operators/dedup.py)
+3. near-dup dedup    — exact-Jaccard clusters, cost-based routing
+                       (operators/clustering.py:dedup_clusters_auto)
+4. decontamination   — n-gram overlap vs the eval split
+                       (operators/text.py:ngram_contamination)
+5. domain rebalance  — hash-threshold downsample to the smallest
+                       source (operators/sampling.py:balanced_sample)
+6. chunk + pack      — context windows then fixed-budget bins
+                       (operators/packing.py)
+7. split             — contamination-safe content-hash train/val/test
+                       (operators/sampling.py:dataset_split)
+
+Run:  python examples/curation_pipeline_demo.py  [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+    dedup_clusters_auto,
+)
+from music_streaming_data_pipeline_v2_spark.operators.dedup import exact_dedup
+from music_streaming_data_pipeline_v2_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+    balanced_sample,
+    dataset_split,
+    hash_bucket,
+)
+from music_streaming_data_pipeline_v2_spark.operators.text import (
+    ngram_contamination,
+    quality_score,
+)
+from music_streaming_data_pipeline_v2_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_demo"
+    spark = get_spark("curation-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. quality gate
+    scored = quality_score(docs)
+    good = scored.filter(F.col("quality_score") >= 0.3).drop("quality_score")
+    n1 = good.count()
+
+    # 2. exact dedup (keep min doc_id per identical normalized text)
+    keep_exact = exact_dedup(good).select("doc_id")
+    good = good.join(keep_exact, "doc_id")
+    n2 = good.count()
+
+    # 3. near-dup clusters → keep one doc per cluster
+    clusters = dedup_clusters_auto(good, "lang", "text", "doc_id", 0.8)
+    good = good.join(clusters.filter("keep").select("doc_id"), "doc_id")
+    n3 = good.count()
+
+    # 4. decontamination vs the held-out split (content-hash test slice)
+    b = hash_bucket("doc_id")
+    train_side, eval_side = good.filter(b < 230), good.filter(b >= 230)
+    leaked = ngram_contamination(train_side, eval_side, n=5).select(
+        F.col("doc_id").alias("leak_id")
+    )
+    # drop *eval* docs that leak from train (conservative direction)
+    good = good.join(leaked, good.doc_id == leaked.leak_id, "left_anti")
+    n4 = good.count()
+
+    # 5. rebalance sources toward uniform
+    good = balanced_sample(good, "source", "doc_id")
+    n5 = good.count()
+
+    # 6. chunk to context windows, pack into token budgets
+    chunks = chunk_documents(good, chunk_tokens=24, overlap=8)
+    packed = pack_sequences(good, budget=256)
+    n_chunks, n_bins = chunks.count(), packed.select("stratum", "bin_id").distinct().count()
+
+    # 7. contamination-safe split, written partitioned by split
+    final = dataset_split(good, "doc_id")
+    out = os.path.join(workdir, "corpus")
+    final.write.mode("overwrite").partitionBy("split").parquet(out)
+    splits = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    print(f"corpus:        {n0} docs")
+    print(f"quality gate:  {n1} kept")
+    print(f"exact dedup:   {n2} kept")
+    print(f"near-dup:      {n3} kept")
+    print(f"decontam:      {n4} kept")
+    print(f"rebalanced:    {n5} kept")
+    print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
+    print(f"splits:        {splits} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,9 @@ def balanced_sample(
     frac = counts.crossJoin(F.broadcast(min_n)).select(
         stratum_col, (F.col("_min") / F.col("_n")).alias("_frac")
     )
-    return df.join(F.broadcast(frac), stratum_col).filter(
-        hash_bucket(key_col) < F.col("_frac") * 256
+    return (
+        df.join(F.broadcast(frac), stratum_col)
+        .filter(hash_bucket(key_col) < F.col("_frac") * 256)
+        .drop("_frac")
+        .select(*df.columns)
     )
