@@ -122,6 +122,7 @@ def run_incremental_pipeline(
     maintain_kv: bool = False,
     max_isin_dates: int = 100,
     kv_client_factory=None,
+    strict: bool = False,
 ) -> None:
     """The full incremental slice, batch-correct: file stream →
     validate (coerce-and-drop) → recompute affected days → partitioned
@@ -159,16 +160,28 @@ def run_incremental_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         good = validate_streams(batch_df, check_nonempty=False)
-        if quarantine_dir is not None:
-            # exact complement of the validation predicate — no join, so
-            # an invalid row whose (user_id, track_id) also appears in a
-            # valid row is still quarantined
-            invalid = (
-                F.col("user_id").isNull()
-                | F.col("track_id").isNull()
-                | F.col("listen_time").isNull()
-                | coerce_timestamp("listen_time").isNull()
-            )
+        # exact complement of the validation predicate — no join, so
+        # an invalid row whose (user_id, track_id) also appears in a
+        # valid row is still quarantined
+        invalid = (
+            F.col("user_id").isNull()
+            | F.col("track_id").isNull()
+            | F.col("listen_time").isNull()
+            | coerce_timestamp("listen_time").isNull()
+        )
+        if strict:
+            # the reference's FAIL_ON_VALIDATION_ERROR mode
+            # (dags/tasks/validate.py:34, 229-252): abort the batch on
+            # the first invalid row, BEFORE any output is written — the
+            # raise fails the streaming query, the checkpoint does not
+            # commit this batch, and a rerun reprocesses the same files
+            # after the data is fixed.
+            n_bad = batch_df.filter(invalid).count()
+            if n_bad:
+                raise ValueError(
+                    f"strict validation: {n_bad} invalid row(s) in batch {batch_id}"
+                )
+        elif quarantine_dir is not None:
             batch_df.filter(invalid).write.mode("append").parquet(quarantine_dir)
         good = good.withColumn("date", F.to_date("listen_time"))
         # accumulate validated rows partitioned by date (the long-term

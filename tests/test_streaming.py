@@ -627,3 +627,34 @@ def test_incremental_dedup_index(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(work / "index")).select("doc_id").distinct().collect()
     }
     assert idx_docs == {1, 2, 3, 4, 5}
+
+
+def test_strict_mode_aborts_batch_before_outputs(spark, dims, tmp_path):
+    """X4 strict mode (reference FAIL_ON_VALIDATION_ERROR): one bad row
+    aborts the whole batch before any output commit; fixing the data
+    and rerunning processes everything exactly once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    songs, users = dims
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "0,t1,garbage-timestamp"],
+    )
+    kwargs = dict(output_dir=str(out), checkpoint_dir=str(ckpt), strict=True)
+    with pytest.raises(StreamingQueryException, match="strict validation"):
+        run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    assert not (out / "genre_kpis").exists()  # nothing committed
+
+    # fix the file in place; the uncommitted batch is reprocessed
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "0,t1,2024-06-25 11:00:00"],
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    kpis = {r.track_genre: r.listen_count
+            for r in spark.read.parquet(str(out / "genre_kpis")).collect()}
+    assert kpis == {"rock": 1, "jazz": 1}
