@@ -214,6 +214,17 @@ def test_jaccard_strategies_agree(spark, docs, threshold):
         assert auto[k] == pytest.approx(allpairs[k])
 
 
+def test_jaccard_auto_picks_bitmask_plan_for_small_vocab(spark, docs):
+    """Strategy selection is observable in the physical plan: a ≤64
+    token vocabulary must produce the bitmask join (bit_count on longs,
+    no array set ops anywhere in the plan)."""
+    blocked = docs.withColumn("blk", F.lit(1))
+    df = dedup.jaccard_pairs(blocked, "blk", threshold=0.5, strategy="auto")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan
+    assert "array_intersect" not in plan
+
+
 def test_jaccard_prefix_handles_empty_docs(spark):
     df = spark.createDataFrame(
         [
