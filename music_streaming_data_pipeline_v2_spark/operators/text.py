@@ -362,3 +362,67 @@ def ngram_contamination(
             F.count_distinct("train_id").alias("n_train_docs_hit"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (Schleimer et al.,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS sketch).
+
+    Slide a window of ``window`` consecutive word-``k``-gram hashes
+    over each document and keep each window's MINIMUM hash; the
+    distinct kept values are the document's sketch. The winnowing
+    guarantee: any substring of at least ``window + k − 1`` shared
+    tokens contributes at least one common fingerprint to both
+    sketches — unlike whole-document hashing (``fingerprint``) this
+    detects PARTIAL overlap, and unlike MinHash the sketch is LOCAL
+    (positions far apart can't mask each other).
+
+    Shape: k-gram hashes via the codegen posexplode+lead form, one
+    rolling MIN window, DISTINCT — a single doc-keyed shuffle, sketch
+    size ≤ n_tokens per doc. ``hash_fn`` defaults to ``xxhash64``;
+    pass an engine-portable hash (md5 hex arithmetic) when the sketch
+    must be oracle-comparable. Documents shorter than
+    ``window + k − 1`` tokens have no complete window and are absent.
+    """
+    from pyspark.sql import Window as W
+
+    hash_fn = hash_fn or F.xxhash64
+    toks = F.split(F.trim(F.col(text_col)), "[ \t\n\r\f]+")
+    w_doc = W.partitionBy("_id").orderBy("_pos")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
+    ).filter(F.col("_t") != "")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(w_doc) for i in range(1, k)]
+    )
+    grams = (
+        base.select(
+            "_id",
+            "_pos",
+            gram.alias("_g"),
+            F.lead("_t", k - 1).over(w_doc).alias("_lasttok"),
+        )
+        .filter(F.col("_lasttok").isNotNull())
+        .select("_id", "_pos", hash_fn(F.col("_g")).alias("_h"))
+    )
+    roll = (
+        W.partitionBy("_id").orderBy("_pos").rowsBetween(-(window - 1), 0)
+    )
+    return (
+        grams.select(
+            "_id",
+            F.min("_h").over(roll).alias("fp"),
+            F.row_number().over(W.partitionBy("_id").orderBy("_pos")).alias("_rn"),
+        )
+        .filter(F.col("_rn") >= window)  # complete windows only
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )

@@ -166,3 +166,54 @@ def balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before",
         F.coalesce("n_after", F.lit(0).cast("long")).alias("n_after"),
     )
+
+
+_WINNOW_HASH = (
+    "((INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 1, 1)) - 1) * 4096"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 2, 1)) - 1) * 256"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 3, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 4, 1)) - 1))"
+)
+
+_ORACLE_WINNOW = f"""
+WITH t AS (
+    SELECT doc_id, {_W} AS w FROM documents
+),
+s AS (
+    SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) - 1)) AS i
+    FROM t WHERE LEN(w) >= 3
+),
+g AS (
+    SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i : i + 2], ' ') AS gram
+    FROM s
+),
+h AS (SELECT doc_id, pos, {_WINNOW_HASH} AS hv FROM g),
+r AS (
+    SELECT doc_id,
+           MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM h
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM r WHERE rn >= 4
+"""
+
+
+@q("winnowed_fingerprints", _ORACLE_WINNOW)
+def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowed rolling-hash sketches (word 3-grams, window
+    4 — text.py:winnow_fingerprints): every 4-gram-hash window
+    contributes its minimum, so any ≥6-token shared substring shows up
+    in both documents' sketches — the LOCAL fingerprinting primitive
+    whole-document hashing and MinHash both lack. Hash is the
+    engine-portable md5 hex arithmetic (seed 7) so the sketch is
+    value-exact against the oracle."""
+    from ..operators.text import winnow_fingerprints
+    from .driver_queries import _md5int16_col
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(
+        docs, k=3, window=4, hash_fn=lambda c: _md5int16_col(c, 7)
+    )
+    return out.withColumn("fp", F.col("fp").cast("long"))

@@ -91,3 +91,29 @@ def test_balanced_sample_downsamples_majority_stratum(spark):
     # deterministic: same input → identical sample
     again = {r.doc_id for r in balanced_sample(docs, "source", "doc_id").collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words here {shared} closing remarks"),
+            Row(doc_id=2, text=f"{shared} totally different tail content now"),
+            Row(doc_id=3, text="just five little tokens here"),  # < w+k-1=6
+            Row(doc_id=4, text=f"intro words here {shared} closing remarks"),
+        ]
+    )
+    out = winnow_fingerprints(docs, k=3, window=4)
+    sk = {}
+    for r in out.collect():
+        sk.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: >= (window+k-1)-token overlap → shared fp
+    assert sk[1] & sk[2]
+    # identical docs → identical sketches
+    assert sk[1] == sk[4]
+    # doc 3 has 5 tokens: grams exist (3) but no complete 4-window
+    assert 3 not in sk
