@@ -217,3 +217,60 @@ def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, window=4, hash_fn=lambda c: _md5int16_col(c, 7)
     )
     return out.withColumn("fp", F.col("fp").cast("long"))
+
+
+_ORACLE_WINNOW_PAIRS = f"""
+WITH t AS (
+    SELECT doc_id, {_W} AS w FROM documents
+),
+s AS (
+    SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) - 1)) AS i
+    FROM t WHERE LEN(w) >= 3
+),
+g AS (
+    SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i : i + 2], ' ') AS gram
+    FROM s
+),
+h AS (SELECT doc_id, pos, {_WINNOW_HASH} AS hv FROM g),
+r AS (
+    SELECT doc_id,
+           MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM h
+),
+sk AS (SELECT DISTINCT doc_id, fp FROM r WHERE rn >= 4)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_fps
+FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 8
+"""
+
+
+@q("winnow_overlap_pairs", _ORACLE_WINNOW_PAIRS)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from the winnowed sketches:
+    documents sharing ≥ 8 fingerprints (fp-keyed equi-join of the
+    sketch relation, never doc×doc) — how a curation pipeline finds
+    documents that EMBED each other's passages without being global
+    near-dups. The 16-bit demo hash space makes chance collisions
+    nonzero, hence the ≥8 threshold; production uses 64-bit hashes
+    where any shared fp is meaningful."""
+    from ..operators.text import winnow_fingerprints
+    from .driver_queries import _md5int16_col
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sk = winnow_fingerprints(
+        docs, k=3, window=4, hash_fn=lambda c: _md5int16_col(c, 7)
+    )
+    a = sk.select(F.col("doc_id").alias("id_a"), "fp")
+    b = sk.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 8)
+    )
