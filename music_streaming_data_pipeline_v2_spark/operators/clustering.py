@@ -260,7 +260,7 @@ def dedup_clusters_auto(
     the choice is purely physical, like every other auto strategy
     here.
     """
-    from .dedup import _jaccard_base, jaccard_pairs
+    from .dedup import _jaccard_base, _jaccard_pairs_from_base
 
     base = _jaccard_base(docs, block_col, text_col, id_col).filter(
         F.size("_tok") > 0
@@ -275,9 +275,8 @@ def dedup_clusters_auto(
     )
     if n_sets and n_docs / n_sets >= dup_ratio_threshold:
         return dedup_clusters_exact(docs, block_col, text_col, id_col, threshold)
-    pairs = jaccard_pairs(
-        docs, block_col, text_col, id_col, threshold=threshold
-    )
+    # reuse the probe's token relation for mining (it persists inside)
+    pairs = _jaccard_pairs_from_base(base, threshold)
     return dedup_clusters(docs, pairs, id_col=id_col)
 
 
