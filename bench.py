@@ -56,11 +56,13 @@ HEADLINE = [
     # extensibility demo, correctness-checked against the same oracle.
     "click_purchase_funnel_native",
     # round 3: LLM curation batch (chunking / packing / decontamination /
-    # rebalancing)
+    # rebalancing / winnowed local fingerprints)
     "doc_chunks",
     "sequence_packing",
     "ngram_decontamination",
     "balanced_source_sample",
+    "winnowed_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 

@@ -168,12 +168,30 @@ def balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 24-bit md5-hex hash (6 digits): wide enough that chance fp
+# collisions are rare (16.7M values), so the overlap join's buckets
+# stay thin; identical hex arithmetic in both engines.
+_WINNOW_DIGITS = 6
+
 _WINNOW_HASH = (
-    "((INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 1, 1)) - 1) * 4096"
-    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 2, 1)) - 1) * 256"
-    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 3, 1)) - 1) * 16"
-    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), 4, 1)) - 1))"
+    "("
+    + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING(MD5('7|' || gram), {j + 1}, 1)) - 1)"
+        f" * {16 ** (_WINNOW_DIGITS - 1 - j)}"
+        for j in range(_WINNOW_DIGITS)
+    )
+    + ")"
 )
+
+
+def _winnow_hash_col(c: F.Column) -> F.Column:
+    """Spark twin of ``_WINNOW_HASH`` — same hex-digit arithmetic."""
+    h = F.md5(F.concat(F.lit("7|"), c))
+    out = F.lit(0).cast("long")
+    for j in range(_WINNOW_DIGITS):
+        hv = F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - 1
+        out = out + hv.cast("long") * (16 ** (_WINNOW_DIGITS - 1 - j))
+    return out
 
 _ORACLE_WINNOW = f"""
 WITH t AS (
@@ -206,16 +224,13 @@ def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes its minimum, so any ≥6-token shared substring shows up
     in both documents' sketches — the LOCAL fingerprinting primitive
     whole-document hashing and MinHash both lack. Hash is the
-    engine-portable md5 hex arithmetic (seed 7) so the sketch is
-    value-exact against the oracle."""
+    engine-portable 24-bit md5 hex arithmetic (seed 7) so the sketch
+    is value-exact against the oracle."""
     from ..operators.text import winnow_fingerprints
-    from .driver_queries import _md5int16_col
 
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = winnow_fingerprints(
-        docs, k=3, window=4, hash_fn=lambda c: _md5int16_col(c, 7)
-    )
+    out = winnow_fingerprints(docs, k=3, window=4, hash_fn=_winnow_hash_col)
     return out.withColumn("fp", F.col("fp").cast("long"))
 
 
@@ -244,7 +259,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        COUNT(*) AS n_shared_fps
 FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
-HAVING COUNT(*) >= 8
+HAVING COUNT(*) >= 3
 """
 
 
@@ -254,17 +269,16 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ≥ 8 fingerprints (fp-keyed equi-join of the
     sketch relation, never doc×doc) — how a curation pipeline finds
     documents that EMBED each other's passages without being global
-    near-dups. The 16-bit demo hash space makes chance collisions
-    nonzero, hence the ≥8 threshold; production uses 64-bit hashes
-    where any shared fp is meaningful."""
+    near-dups. The 24-bit hash keeps chance fp collisions rare (and
+    the join buckets thin); ≥3 shared fingerprints guards the
+    residue. Production uses 64-bit hashes where any shared fp is
+    meaningful."""
     from ..operators.text import winnow_fingerprints
-    from .driver_queries import _md5int16_col
 
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sk = winnow_fingerprints(
-        docs, k=3, window=4, hash_fn=lambda c: _md5int16_col(c, 7)
-    )
+    # both join sides read the sketch — materialize it once
+    sk = winnow_fingerprints(docs, k=3, window=4, hash_fn=_winnow_hash_col).persist()
     a = sk.select(F.col("doc_id").alias("id_a"), "fp")
     b = sk.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -272,5 +286,5 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= 8)
+        .filter(F.col("n_shared_fps") >= 3)
     )
