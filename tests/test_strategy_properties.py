@@ -96,3 +96,41 @@ def test_connected_components_driver_equals_distributed(spark, edges):
         for r in connected_components(df, driver_edge_threshold=0).collect()
     }
     assert drv == dist
+
+
+@st.composite
+def _doc_pair_with_overlap(draw):
+    """Two random docs sharing a random >= 6-token substring."""
+    vocab = [f"v{i}" for i in range(50)]
+    shared = draw(st.lists(st.sampled_from(vocab), min_size=6, max_size=12))
+    pre_a = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    post_a = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    pre_b = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    post_b = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    return (
+        " ".join(pre_a + shared + post_a),
+        " ".join(pre_b + shared + post_b),
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=_doc_pair_with_overlap())
+def test_winnow_overlap_guarantee_fuzz(spark, pair):
+    """Winnowing guarantee (Schleimer et al.): any shared substring of
+    >= window + k - 1 tokens must contribute >= 1 common fingerprint,
+    for ANY surrounding context."""
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    a, b = pair
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=3, window=4)
+    sk = {}
+    for r in out.collect():
+        sk.setdefault(r.doc_id, set()).add(r.fp)
+    assert sk.get(1, set()) & sk.get(2, set())
