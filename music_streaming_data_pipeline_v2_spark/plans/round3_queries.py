@@ -288,3 +288,52 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 3)
     )
+
+
+_ORACLE_RANK_ANALYTICS = """
+WITH spend AS (
+    SELECT o_custkey AS user_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY 1
+)
+SELECT user_id, total_spend,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, user_id ASC)
+"""
+
+
+@q("spend_rank_analytics", _ORACLE_RANK_ANALYTICS)
+def spend_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking trio over per-customer spend: NTILE(4) /
+    PERCENT_RANK / CUME_DIST on one shared window (beyond the
+    reference's row_number-only §2.5 surface). The window's total
+    order is tie-broken by user_id so every rank-derived value is
+    deterministic, and pct_rank/cume are single divisions of the same
+    integers in both engines — hash-exact despite being doubles.
+
+    Scale note: an un-partitioned window totally orders the relation
+    through ONE task — fine for a |customers|-sized aggregate, wrong
+    for raw facts; Spark's WindowGroupLimit/TakeOrdered optimizations
+    don't apply to ntile, so at larger scale bucket via
+    approx-quantile cuts instead (see user_value_quartiles)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("user_id"))
+    return spend.select(
+        "user_id",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
