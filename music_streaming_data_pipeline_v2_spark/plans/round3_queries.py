@@ -337,3 +337,32 @@ def spend_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+_ORACLE_PROFILE = """
+SELECT user_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS event_types,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@q("user_event_type_profile", _ORACLE_PROFILE)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation profile: each user's sorted distinct event
+    types as one canonical string (collect_set → sort_array →
+    concat_ws — the set-valued aggregate surface). Sorting before
+    joining makes the value deterministic under any partitioning, so
+    a collection-typed result is still hash-exact cross-engine."""
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
