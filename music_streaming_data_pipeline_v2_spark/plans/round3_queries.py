@@ -366,3 +366,26 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("n_types"),
         F.count("*").alias("n_events"),
     )
+
+
+@q("minhash_drop_stats")  # rows-only: counters over xxhash-seeded buckets
+def minhash_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH bucket-cap observability side-output as a
+    one-row relation (dedup.py minhash_lsh_pairs with_stats=True):
+    dropped_buckets / dropped_rows / dropped_candidate_pairs under an
+    intentionally tight max_bucket, so the recall trade-off the cap
+    makes is a measured, driver-recorded quantity rather than a silent
+    truncation. max_bucket=2 because this corpus's band buckets are
+    thin (near-dup groups are small) — the cap must actually bite at
+    gate scale factors or the counters are vacuously zero (ADVICE r2's
+    idle_rich lesson). No SQL oracle (buckets come from the
+    engine-seeded xxhash family); the counters' arithmetic is
+    unit-tested against a synthetic boilerplate corpus."""
+    from ..operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    _pairs, stats = _dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_k=3,
+        jaccard_threshold=0.3, max_bucket=2, with_stats=True,
+    )
+    return stats
