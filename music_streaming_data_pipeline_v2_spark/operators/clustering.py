@@ -76,10 +76,21 @@ def _cc_driver(pairs: DataFrame) -> DataFrame:
         }
     )
     spark = pairs.sparkSession
-    schema = (
-        f"id {pairs.schema['a'].dataType.simpleString()}, "
-        f"component {pairs.schema['b'].dataType.simpleString()}"
-    )
+    # One common endpoint type for BOTH output columns, matching the
+    # distributed path (which unions src and dst into a single id column
+    # and lets Spark promote to the wider numeric type). Without this,
+    # int-src/long-dst edges would give the driver path an
+    # `id int, component bigint` schema the distributed path never has.
+    sa = pairs.schema["a"].dataType.simpleString()
+    sb = pairs.schema["b"].dataType.simpleString()
+    if sa == sb:
+        common = sa
+    else:
+        _widening = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+        if sa not in _widening or sb not in _widening:
+            raise TypeError(f"incompatible edge endpoint types: {sa} vs {sb}")
+        common = max(sa, sb, key=_widening.index)
+    schema = f"id {common}, component {common}"
     if out.empty:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(out, schema)

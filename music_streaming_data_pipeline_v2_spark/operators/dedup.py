@@ -206,7 +206,11 @@ def minhash_lsh_pairs(
             F.count("*").alias("dropped_buckets"),
             F.coalesce(F.sum("_bn"), F.lit(0)).alias("dropped_rows"),
             F.coalesce(
-                F.sum(F.expr("_bn * (_bn - 1) / 2")).cast("long"), F.lit(0)
+                # integer DIV keeps the SUM in long arithmetic: SQL `/` is
+                # double division, and a double-accumulated count loses
+                # exactness past 2^53 — reachable, since one pathological
+                # bucket can contribute ~5e13 candidate pairs.
+                F.sum(F.expr("(_bn * (_bn - 1)) DIV 2")), F.lit(0).cast("long")
             ).alias("dropped_candidate_pairs"),
         )
     )

@@ -266,7 +266,7 @@ HAVING COUNT(*) >= 3
 @q("winnow_overlap_pairs", _ORACLE_WINNOW_PAIRS)
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap candidate pairs from the winnowed sketches:
-    documents sharing ≥ 8 fingerprints (fp-keyed equi-join of the
+    documents sharing ≥ 3 fingerprints (fp-keyed equi-join of the
     sketch relation, never doc×doc) — how a curation pipeline finds
     documents that EMBED each other's passages without being global
     near-dups. The 24-bit hash keeps chance fp collisions rare (and

@@ -20,11 +20,19 @@ design, expressed Spark-first:
 
 Scale: per-batch work is ∝ batch postings × matching bucket width,
 not corpus size; the index is partition-prunable on band_id and the
-equi-join shuffles only posting rows (3 longs each). The file-source
-checkpoint gives exactly-once batch processing, so the append-only
-state is replay-safe (a re-run without new files touches nothing).
+equi-join shuffles only posting rows (3 longs each).
 ``max_bucket`` caps boilerplate buckets exactly as in the batch
 operator (same observability argument — see minhash_lsh_pairs).
+
+Delivery semantics: ``foreachBatch`` is **at-least-once** — a crash
+after a state write but before checkpoint commit replays the batch.
+All three state relations are therefore partitioned by ``batch_id``
+and each batch OVERWRITES exactly its own partition, so a replay
+rewrites identical content instead of appending duplicates (which
+would otherwise inflate bucket widths toward the ``max_bucket`` cap
+and re-emit verified pairs). Reads of prior state filter
+``batch_id < current`` — partition-pruned, and immune to leftovers
+from a crashed attempt at the current batch.
 """
 
 from __future__ import annotations
@@ -71,6 +79,21 @@ def run_incremental_dedup(
         .load(input_path)
     )
 
+    def read_state(state_dir: str, empty_schema, before_batch: int) -> DataFrame:
+        """Prior-batch state only: partition-pruned ``batch_id <`` read
+        that also excludes any partial partition a crashed attempt at
+        the CURRENT batch may have left behind."""
+        has_parts = os.path.isdir(state_dir) and any(
+            n.startswith("batch_id=") for n in os.listdir(state_dir)
+        )
+        if not has_parts:
+            return spark.createDataFrame([], empty_schema)
+        return (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id") < F.lit(before_batch))
+            .drop("batch_id")
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         if batch.isEmpty():
@@ -80,13 +103,8 @@ def run_incremental_dedup(
             batch, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
         ).persist()
 
-        have_index = os.path.isdir(index_dir)
-        old_post = (
-            spark.read.parquet(index_dir)
-            if have_index
-            else spark.createDataFrame(
-                [], "doc_id long, band_id int, band_hash long"
-            )
+        old_post = read_state(
+            index_dir, "doc_id long, band_id int, band_hash long", batch_id
         )
         all_post = old_post.unionByName(new_post)
         # cap pathological buckets by CURRENT total bucket width
@@ -113,11 +131,7 @@ def run_incremental_dedup(
             .distinct()
         )
 
-        old_docs = (
-            spark.read.parquet(docs_dir)
-            if os.path.isdir(docs_dir)
-            else spark.createDataFrame([], batch.schema)
-        )
+        old_docs = read_state(docs_dir, batch.schema, batch_id)
         texts = old_docs.unionByName(batch).select(
             F.col("doc_id").alias("_id"),
             word_shingles("text", shingle_k).alias("_sh"),
@@ -136,13 +150,16 @@ def run_incremental_dedup(
             )
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= jaccard_threshold)
-            .select(
-                "id_a", "id_b", "jaccard", F.lit(batch_id).alias("batch_id")
-            )
+            .select("id_a", "id_b", "jaccard")
         )
-        verified.write.mode("append").parquet(pairs_dir)
-        new_post.write.mode("append").parquet(index_dir)
-        batch.write.mode("append").parquet(docs_dir)
+        # idempotent commit: each batch owns the `batch_id=N` partition
+        # of every state relation and overwrites it wholesale, so an
+        # at-least-once replay rewrites the same content (batch_id is
+        # carried by the partition directory, not a data column)
+        part = f"batch_id={batch_id}"
+        verified.write.mode("overwrite").parquet(os.path.join(pairs_dir, part))
+        new_post.write.mode("overwrite").parquet(os.path.join(index_dir, part))
+        batch.write.mode("overwrite").parquet(os.path.join(docs_dir, part))
         new_post.unpersist()
         batch.unpersist()
 
