@@ -309,17 +309,29 @@ WINDOW w AS (ORDER BY total_spend DESC, user_id ASC)
 @q("spend_rank_analytics", _ORACLE_RANK_ANALYTICS)
 def spend_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic ranking trio over per-customer spend: NTILE(4) /
-    PERCENT_RANK / CUME_DIST on one shared window (beyond the
-    reference's row_number-only §2.5 surface). The window's total
-    order is tie-broken by user_id so every rank-derived value is
-    deterministic, and pct_rank/cume are single divisions of the same
-    integers in both engines — hash-exact despite being doubles.
+    PERCENT_RANK / CUME_DIST on one shared global order (beyond the
+    reference's row_number-only §2.5 surface).
 
-    Scale note: an un-partitioned window totally orders the relation
-    through ONE task — fine for a |customers|-sized aggregate, wrong
-    for raw facts; Spark's WindowGroupLimit/TakeOrdered optimizations
-    don't apply to ntile, so at larger scale bucket via
-    approx-quantile cuts instead (see user_value_quartiles)."""
+    Scale design — two-phase global ranking, NO single-partition
+    window: a naive ``Window.orderBy(...)`` with no partitionBy pulls
+    the whole relation through one task (Spark warns exactly that).
+    Instead:
+
+    1. range-partition on the ORDER BY key (so partition *i* holds
+       strictly higher-ranked rows than partition *i+1*) and rank
+       LOCALLY with a window partitioned by the physical partition id
+       — every partition ranks in parallel;
+    2. ship only the per-partition row COUNTS to the driver (≤
+       shuffle-partitions rows), prefix-sum them into offsets, and
+       broadcast the offsets back as a literal map;
+    3. global position = offset[pid] + local row_number, from which
+       ntile/percent_rank/cume_dist are pure integer/IEEE arithmetic
+       (the order is total — user_id tie-break — so rank = position
+       and there are no peer groups; pct_rank/cume are the same two
+       bigint divisions DuckDB performs, hence hash-exact doubles).
+
+    The only serial structure left is the prefix sum over ≤ n_parts
+    counts — O(n_parts) driver work at any data scale."""
     from pyspark.sql import Window
 
     _utc(spark)
@@ -329,13 +341,51 @@ def spend_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("user_id"))
-    return spend.select(
-        "user_id",
-        "total_spend",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = (
+        spend.repartitionByRange(
+            n_parts, F.desc("total_spend"), F.asc("user_id")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the partitioning: the counts job and the final job must
+        # observe the SAME physical layout
+        .persist()
+    )
+    cnt_rows = ranked.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    n_total = sum(r["c"] for r in cnt_rows)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(cnt_rows, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["c"]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.desc("total_spend"), F.asc("user_id")
+    )
+    pos = (off_map[F.col("_pid")] + F.row_number().over(w_local)).cast("long")
+
+    # NTILE(4) from global position: the first (n mod 4) buckets get
+    # ceil(n/4) rows, the rest floor(n/4) — integer DIV keeps it exact
+    quot, rem = divmod(n_total, 4)
+    if quot == 0:  # fewer rows than buckets: bucket i = row i
+        quartile = F.col("_pos")
+    else:
+        big = (quot + 1) * rem  # rows covered by the larger buckets
+        quartile = F.when(
+            F.col("_pos") <= big,
+            F.expr(f"(_pos + {quot}) DIV {quot + 1}"),
+        ).otherwise(F.expr(f"{rem} + (_pos - {big} + {quot - 1}) DIV {quot}"))
+    return (
+        ranked.withColumn("_pos", pos)
+        .select(
+            "user_id",
+            "total_spend",
+            quartile.cast("long").alias("quartile"),
+            ((F.col("_pos") - 1) / F.lit(max(n_total - 1, 1))).alias("pct_rank"),
+            (F.col("_pos") / F.lit(n_total)).alias("cume"),
+        )
     )
 
 

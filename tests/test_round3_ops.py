@@ -117,3 +117,34 @@ def test_winnow_guarantee_and_short_docs(spark):
     assert sk[1] == sk[4]
     # doc 3 has 5 tokens: grams exist (3) but no complete 4-window
     assert 3 not in sk
+
+
+def test_spend_rank_analytics_has_no_global_window(spark):
+    """The two-phase global ranking must never fall back to an
+    un-partitioned window (single-task total order): every WindowExec
+    in the physical plan has to be partitioned by the physical
+    partition id, and the result must still be a correct global
+    ranking (positions 1..n exactly once)."""
+    from music_streaming_data_pipeline_v2_spark.plans.round3_queries import (
+        spend_rank_analytics,
+    )
+
+    out = spend_rank_analytics(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert windows, "expected the local ranking window in the plan"
+    for ln in windows:
+        assert "_pid" in ln, f"un-partitioned (single-task) window: {ln}"
+
+    rows = out.collect()
+    n = len(rows)
+    # global positions reconstructed from cume = pos/n are a permutation
+    positions = sorted(round(r.cume * n) for r in rows)
+    assert positions == list(range(1, n + 1))
+    # quartile bucket sizes follow the NTILE contract
+    from collections import Counter
+
+    sizes = Counter(r.quartile for r in rows)
+    q, rem = divmod(n, 4)
+    expected = {i + 1: q + (1 if i < rem else 0) for i in range(4) if q + (1 if i < rem else 0) > 0}
+    assert dict(sizes) == expected
