@@ -235,10 +235,14 @@ def ivf_topk(
     tagged = assign_centroid(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
     )
+    # prio = -i makes the descending sort prefer the LOWER centroid id
+    # on score ties — the same (score DESC, cid ASC) order a SQL replay
+    # uses, so probe sets are deterministic and cross-engine stable
     cents = F.array(
         *[
             F.struct(
                 cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(-i).alias("prio"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(centroids)

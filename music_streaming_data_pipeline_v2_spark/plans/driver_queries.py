@@ -3187,6 +3187,7 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import analytics_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import round3_queries  # noqa: E402,F401
+from . import round4_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50

@@ -1,0 +1,317 @@
+"""Round-4 batch: driver-gateable ANN — the approximate similarity
+surface held to the same hash-exact DuckDB gate as everything else.
+
+Round 3 left exactly two registry entries without oracles
+(`ann_lsh_topk`, `ann_ivf_topk` — approximate-by-design, seeded inside
+the engine). The fix here mirrors what `minhash_lsh_oracle` did for
+MinHash: make every source of randomness *engine-portable* so DuckDB
+can replay the entire approximate pipeline —
+
+- LSH: the hyperplanes were always driver-generated literals
+  (operators/similarity.py:random_hyperplanes, seeded Mersenne
+  Twister); inline the SAME 16×64 weights into the oracle SQL and
+  DuckDB reproduces signatures → band buckets → candidates → exact
+  re-rank bit-for-bit (sign bits come from identical sequential-order
+  IEEE folds on identical literals).
+- IVF: the k-means codebook is engine-computed, so the oracled twin
+  uses a *seed-only* codebook — the 8 corpus vectors with the smallest
+  md5(vec_id) — which both engines derive identically with no FP
+  aggregation at all; assignment/probing are pure (cos DESC, cid ASC)
+  argmins over data vectors.
+
+On top of the two full top-k replays, `ann_lsh_recall` /
+`ann_ivf_recall` reduce approximate-vs-exact agreement to one row of
+counts (n_queries, k, n_exact, n_hits) — recall@k as an in-engine,
+driver-hashable quantity (SURVEY §7 hard part (e)); the oracle replays
+BOTH sides, so the counts are deterministic, not a pinned threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators import similarity as _sim
+from .driver_queries import q
+
+_DIMS, _BITS, _BANDS, _K, _NPROBE, _NCENT = 64, 16, 4, 10, 3, 8
+_PLANES = _sim.random_hyperplanes(_DIMS, _BITS, seed=42)
+_PER_BAND = _BITS // _BANDS
+
+
+def _dot_w_sql(vec: str, weights: list[float]) -> str:
+    """DuckDB dot(vec, literal weights) — sequential list fold, the
+    same summation order as the Spark side's F.aggregate."""
+    lst = "[" + ", ".join(repr(w) for w in weights) + "]"
+    return (
+        f"list_aggregate(list_transform(list_zip({vec}, {lst}), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) — identical op order to similarity.cosine."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / "
+        f"(SQRT(list_aggregate(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+        f"SQRT(list_aggregate(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+def _topk_sql(scored_cte: str) -> str:
+    """Rank rows of a (query_id, neighbor_id, cos) CTE to top-K."""
+    return f"""(
+    SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM {scored_cte}
+) WHERE rank <= {_K}"""
+
+
+_PROJ_COLS = ",\n           ".join(
+    f"{_dot_w_sql('embedding', p)} AS p{j}" for j, p in enumerate(_PLANES)
+)
+
+_BUCKET_COLS = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN p{b * _PER_BAND + i} >= 0 THEN 1 ELSE 0 END)"
+        f" * {1 << (_PER_BAND - 1 - i)}"
+        for i in range(_PER_BAND)
+    )
+    + f") AS b{b}"
+    for b in range(_BANDS)
+)
+
+_BANDED_UNION = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_id, b{b} AS bucket FROM sig"
+    for b in range(_BANDS)
+)
+
+# Shared CTE block replaying lsh_topk: signatures → band buckets →
+# bucket-join candidates (dedup) → exact cosine re-rank.
+_LSH_CTES = f"""
+proj AS (
+    SELECT vec_id, {_PROJ_COLS}
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, {_BUCKET_COLS} FROM proj
+),
+banded AS (
+    {_BANDED_UNION}
+),
+lsh_cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM banded cb
+    JOIN banded qb ON cb.band_id = qb.band_id AND cb.bucket = qb.bucket
+    WHERE qb.vec_id < 5
+),
+lsh_scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
+    FROM lsh_cand c
+    JOIN embeddings qe ON qe.vec_id = c.query_id
+    JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+lsh_top AS (
+    SELECT * FROM {_topk_sql('lsh_scored')}
+)"""
+
+# Exact brute-force side (same shape as ann_cosine_topk's oracle).
+_EXACT_CTES = f"""
+exact_scored AS (
+    SELECT qx.vec_id AS query_id, ex.vec_id AS neighbor_id,
+           {_cos_sql('qx.embedding', 'ex.embedding')} AS cos
+    FROM embeddings ex
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) qx
+),
+exact_top AS (
+    SELECT * FROM {_topk_sql('exact_scored')}
+)"""
+
+_ORACLE_LSH_TOPK = f"""
+WITH {_LSH_CTES}
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine FROM lsh_top
+"""
+
+
+@q("ann_lsh_oracle", _ORACLE_LSH_TOPK)
+def ann_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (operators/similarity.py:
+    lsh_topk), hash-exact against a FULL DuckDB replay of the pipeline
+    — the hyperplanes are the same inlined literals on both sides, so
+    signatures, candidate sets, and the exact re-rank all reproduce.
+    Closes round 3's `ann_lsh_topk: no_oracle` gap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _sim.lsh_topk(
+        emb, queries, k=_K, bits=_BITS, bands=_BANDS, seed=42, dims=_DIMS
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_ORACLE_LSH_RECALL = f"""
+WITH {_LSH_CTES},
+{_EXACT_CTES}
+SELECT (SELECT COUNT(DISTINCT query_id) FROM exact_top) AS n_queries,
+       {_K} AS k,
+       (SELECT COUNT(*) FROM exact_top) AS n_exact,
+       (SELECT COUNT(*) FROM exact_top e
+        JOIN lsh_top l ON e.query_id = l.query_id
+                      AND e.neighbor_id = l.neighbor_id) AS n_hits
+"""
+
+
+@q("ann_lsh_recall", _ORACLE_LSH_RECALL)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of LSH vs exact brute force as an in-engine reduction
+    (SURVEY §7 hard part (e)): semi-join the approximate top-k against
+    the exact top-k and count agreements. One row of integers — the
+    approximate surface's quality is a driver-hashed quantity, and the
+    oracle REPLAYS both sides rather than pinning a threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _sim.cosine_topk(emb, queries, k=_K)
+    approx = _sim.lsh_topk(
+        emb, queries, k=_K, bits=_BITS, bands=_BANDS, seed=42, dims=_DIMS
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select("n_queries", F.lit(_K).alias("k"), "n_exact", "n_hits")
+    )
+
+
+# IVF with a seed-only codebook: the 8 corpus vectors of smallest
+# md5(vec_id), cid = rank in that order. No FP aggregation anywhere in
+# codebook construction, so both engines hold bit-identical centroids.
+_SEED_CTES = f"""
+seeds AS (
+    SELECT embedding AS cv,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS cid
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_NCENT}
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC,
+                            s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT qp.vec_id AS query_id, qp.embedding AS qv, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qp.vec_id
+                   ORDER BY {_cos_sql('qp.embedding', 's.cv')} DESC,
+                            s.cid ASC) AS prn
+        FROM embeddings qp CROSS JOIN seeds s
+        WHERE qp.vec_id < 5
+    ) WHERE prn <= {_NPROBE}
+),
+ivf_scored AS (
+    SELECT p.query_id, a.neighbor_id,
+           {_cos_sql('p.qv', 'a.embedding')} AS cos
+    FROM assigned a JOIN probes p USING (cid)
+),
+ivf_top AS (
+    SELECT * FROM {_topk_sql('ivf_scored')}
+)"""
+
+
+def _md5_seed_codebook(emb: DataFrame) -> list[list[float]]:
+    """Collect the md5-seeded codebook (tiny: n_centroids × dims) in
+    the SAME order the oracle's ROW_NUMBER assigns cids."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_NCENT)
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+_ORACLE_IVF_TOPK = f"""
+WITH {_SEED_CTES}
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine FROM ivf_top
+"""
+
+
+@q("ann_ivf_oracle", _ORACLE_IVF_TOPK)
+def ann_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 with the md5-seeded codebook
+    (operators/similarity.py:ivf_topk — same assignment/probe/re-rank
+    machinery as the k-means variant, codebook swapped for the
+    engine-portable one), hash-exact against a full DuckDB replay.
+    Closes round 3's `ann_ivf_topk: no_oracle` gap; the k-means-lite
+    codebook variant stays registered as the production path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _sim.ivf_topk(
+        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_ORACLE_IVF_RECALL = f"""
+WITH {_SEED_CTES},
+{_EXACT_CTES}
+SELECT (SELECT COUNT(DISTINCT query_id) FROM exact_top) AS n_queries,
+       {_K} AS k,
+       (SELECT COUNT(*) FROM exact_top) AS n_exact,
+       (SELECT COUNT(*) FROM exact_top e
+        JOIN ivf_top i ON e.query_id = i.query_id
+                      AND e.neighbor_id = i.neighbor_id) AS n_hits
+"""
+
+
+@q("ann_ivf_recall", _ORACLE_IVF_RECALL)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of seeded-codebook IVF vs exact brute force — same
+    one-row reduction as ann_lsh_recall, oracle replays both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _sim.cosine_topk(emb, queries, k=_K)
+    approx = _sim.ivf_topk(
+        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select("n_queries", F.lit(_K).alias("k"), "n_exact", "n_hits")
+    )
