@@ -62,12 +62,40 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def pillow_available() -> bool:
+    """True when Pillow is importable — the image path auto-upgrades."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(content: bytes):
+    """Decode image bytes to a PIL Image when Pillow is importable;
+    otherwise raise NotImplementedError (this container ships no codec
+    libraries — the byte-histogram stand-in below proves the Spark
+    plumbing either way). ffmpeg-backed audio/video decode follows the
+    same gate-on-import pattern in a real deployment."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env without Pillow
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed; "
+            "the byte-histogram kernel remains the default"
+        ) from e
+    return Image.open(io.BytesIO(content))
+
+
 def decode_stub(content: bytes, fmt: str) -> object:
-    """Placeholder for a real codec (Pillow/ffmpeg). The container has
-    no media libraries; real deployments replace this kernel."""
+    """Placeholder for non-image codecs (ffmpeg). Real deployments
+    replace this kernel; images use :func:`decode_image`."""
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; swap decode_stub for a Pillow/ffmpeg kernel"
+        "audio/video decoding requires codec libraries not present in "
+        "this environment; swap decode_stub for an ffmpeg kernel"
     )
 
 
@@ -91,24 +119,73 @@ def _byte_histogram_features():
     return features
 
 
+def _pillow_image_features(dim: int = 8):
+    """Factory for the REAL image kernel (Pillow): decode → grayscale →
+    dim×dim resize → column-mean luminance in [0,1], a dim-length
+    vector with the same shape contract as the byte-histogram stand-in.
+    Factory-nested and self-importing for the same pickle-by-value
+    reason as _byte_histogram_features."""
+
+    def features(content: bytes) -> list[float]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).convert("L").resize((dim, dim))
+        cols = [0.0] * dim
+        for i, v in enumerate(img.getdata()):
+            cols[i % dim] += v
+        return [round(c / (dim * 255.0), 6) for c in cols]
+
+    return features
+
+
 #: Module-level alias for direct (driver-side / test) use.
 fake_image_features = _byte_histogram_features()
 
 
-def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_size: int = 64, image_kernel: str = "bytes"
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas`` so one Python worker processes a whole Arrow batch;
     blobs never round-trip through per-row pickling.
-    """
 
-    # pickle-by-value copy: the kernel closure must not reference any
+    ``image_kernel``: ``"bytes"`` (default — deterministic byte
+    histogram, environment-independent, what the oracle query pins),
+    ``"pillow"`` (decode real images via Pillow; raises
+    NotImplementedError if Pillow is missing), or ``"auto"`` (Pillow
+    when importable, else bytes). Under the pillow kernel, image rows
+    that fail to decode (corrupt/non-image payloads) fall back to the
+    byte histogram rather than failing the batch; non-image modalities
+    always use the byte histogram.
+    """
+    if image_kernel not in ("bytes", "pillow", "auto"):
+        raise ValueError(f"unknown image_kernel: {image_kernel!r}")
+    if image_kernel == "auto":
+        image_kernel = "pillow" if pillow_available() else "bytes"
+    if image_kernel == "pillow" and not pillow_available():
+        raise NotImplementedError(
+            "image_kernel='pillow' requires Pillow, which is not installed"
+        )
+
+    # pickle-by-value copies: the kernel closure must not reference any
     # module-level symbol of this package (workers may not have it
     # importable when the driving process runs from another cwd)
     features = _byte_histogram_features()
+    img_features = _pillow_image_features() if image_kernel == "pillow" else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        def featurize(content: bytes, modality: str) -> list[float]:
+            if img_features is not None and modality == "image" and content:
+                try:
+                    return img_features(content)
+                except Exception:
+                    pass  # undecodable payload → deterministic fallback
+            return features(content or b"")
 
         for pdf in batches:
             content = pdf["content"]
@@ -120,7 +197,10 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                     "content_hash": content.map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
-                    "feature": content.map(lambda b: features(b or b"")),
+                    "feature": [
+                        featurize(b, m)
+                        for b, m in zip(content, pdf["modality"])
+                    ],
                 }
             )
 

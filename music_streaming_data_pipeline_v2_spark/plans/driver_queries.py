@@ -2330,31 +2330,34 @@ def click_purchase_funnel_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts_native(load_events(spark, sf_dir))
 
 
-_ORACLE_PIVOT = """
+_ORACLE_PIVOT_USERS = """
 SELECT CAST(ts AS DATE) AS date,
-       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+       COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
+       COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
+       COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
+       COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS view
 FROM events
 GROUP BY CAST(ts AS DATE)
 """
 
 
-@q("pivot_daily_types", _ORACLE_PIVOT)
+@q("pivot_daily_types", _ORACLE_PIVOT_USERS)
 def pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide) — the inverse of the R1 unpivot, completing
-    the reshape pair: one count column per event type per day. The
-    explicit value list keeps the plan single-pass (no distinct-values
-    pre-query) and the output schema static."""
+    """Pivot with a DISTINCT aggregate: daily active users per event
+    type (long→wide). Complements pivot_event_type_matrix — that one
+    is the conditional-count pivot (one hash aggregate); a distinct
+    aggregate inside a pivot expands to per-column count_distinct,
+    which Spark plans as expand + two-level aggregate — a genuinely
+    different physical shape worth pinning separately. The explicit
+    value list still keeps it single-pass (no value-discovery scan)."""
     events = load_events(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     return (
         events.withColumn("date", F.to_date("ts"))
         .groupBy("date")
         .pivot("event_type", types)
-        .count()
+        .agg(F.count_distinct("user_id"))
         .na.fill(0, types)
     )
 

@@ -426,6 +426,63 @@ def test_multimodal_decode_stub_raises():
         decode_stub(b"bytes", "jpeg")
 
 
+def test_multimodal_pillow_gate_without_pillow(spark):
+    """Environment-gated codec (like the protobuf TWS twin): when
+    Pillow is absent the pillow kernel refuses loudly, 'auto' falls
+    back to the byte histogram, and the default is unchanged."""
+    from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
+
+    import pytest as _pytest
+
+    if mm.pillow_available():
+        _pytest.skip("Pillow installed — covered by the decode test")
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+    with _pytest.raises(NotImplementedError):
+        mm.extract_features(mm.synthetic_media(spark, n=3), image_kernel="pillow")
+    auto = mm.extract_features(mm.synthetic_media(spark, n=6), image_kernel="auto")
+    default = mm.extract_features(mm.synthetic_media(spark, n=6))
+    assert [r.feature for r in auto.collect()] == [
+        r.feature for r in default.collect()
+    ]
+
+
+def test_multimodal_pillow_kernel_decodes_real_images(spark):
+    """Runs only where Pillow exists: real PNGs decode through the
+    pillow kernel (column-mean luminance), corrupt payloads fall back
+    to the byte histogram, non-image modalities are untouched."""
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
+
+    def png_bytes(shade: int) -> bytes:
+        buf = io.BytesIO()
+        PIL_Image.new("L", (16, 16), color=shade).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, modality="image", content=png_bytes(0), meta=None),
+            Row(media_id=2, modality="image", content=png_bytes(255), meta=None),
+            Row(media_id=3, modality="image", content=b"not an image", meta=None),
+            Row(media_id=4, modality="audio", content=b"not an image", meta=None),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.extract_features(media, image_kernel="pillow").collect()}
+    # uniform black → all-zero luminance; uniform white → all-one
+    assert rows[1].feature == [0.0] * 8
+    assert rows[2].feature == [1.0] * 8
+    # decode failure and non-image rows share the byte-histogram fallback
+    assert rows[3].feature == rows[4].feature
+    assert mm.decode_image(png_bytes(7)).size == (16, 16)
+
+
 def test_ivf_partitioned_index_prunes(spark, emb, tmp_path):
     """SCALE.md claim: embeddings written partitioned by centroid_id
     give partition-pruned candidate fetches (the ANN 'index')."""
