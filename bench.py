@@ -66,6 +66,119 @@ HEADLINE = [
 ]
 
 
+def _stage_waves(spark, df, staged: str, waves: int, tag: str) -> list[list[str]]:
+    """Write df as CSV part files split into ``waves`` deterministic
+    hash-waves under ``staged`` (untimed setup; NOT inside the watched
+    directory), returning per-wave file lists to move into the watched
+    directory between drains."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    out: list[list[str]] = []
+    key = F.abs(F.hash(*df.columns)) % waves
+    for w in range(waves):
+        wdir = os.path.join(staged, f"w{w}")
+        df.filter(key == w).repartition(4).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(wdir)
+        files = []
+        for i, part in enumerate(sorted(glob.glob(os.path.join(wdir, "*.csv")))):
+            dst = os.path.join(staged, f"{tag}_w{w}_{i}.csv")
+            shutil.move(part, dst)
+            files.append(dst)
+        out.append(files)
+    return out
+
+
+def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
+    """Multi-batch replays of the two incremental (Structured
+    Streaming, availableNow) pipelines — each wave of files is moved
+    into the watched directory and drained as its own run, mirroring
+    the reference's per-arrival operation. Timed: the drains (discovery
+    + validate + recompute/index maintenance + state commit); untimed:
+    synthesizing the CSV waves from the sf tables."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        _music_tables,
+        load_table,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming import (
+        run_incremental_dedup,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.pipeline import (
+        run_incremental_pipeline,
+    )
+
+    timings: dict[str, float] = {}
+    for attempt in range(2):  # min-of-2, fresh state each pass
+        work = os.path.join(work_root, f"pass{attempt}")
+
+        # --- incremental KPI pipeline over music-shaped event waves
+        streams, songs, users = _music_tables(spark, sf_dir)
+        pipe_in = os.path.join(work, "pipe", "in")
+        os.makedirs(pipe_in, exist_ok=True)
+        waves = _stage_waves(
+            spark,
+            streams.select(
+                "user_id",
+                "track_id",
+                F.date_format("listen_time", "yyyy-MM-dd HH:mm:ss").alias(
+                    "listen_time"
+                ),
+            ),
+            os.path.join(work, "pipe", "staged"),
+            waves=3,
+            tag="stream",
+        )
+        songs, users = songs.localCheckpoint(), users.localCheckpoint()
+        t0 = time.monotonic()
+        for files in waves:
+            for f in files:
+                shutil.move(f, pipe_in)
+            run_incremental_pipeline(
+                spark,
+                pipe_in,
+                songs,
+                users,
+                os.path.join(work, "pipe", "out"),
+                os.path.join(work, "pipe", "ckpt"),
+            )
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_pipeline"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental near-dup index over document waves
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        dd_in = os.path.join(work, "dedup", "in")
+        os.makedirs(dd_in, exist_ok=True)
+        waves = _stage_waves(
+            spark, docs, os.path.join(work, "dedup", "staged"), waves=3, tag="docs"
+        )
+        t0 = time.monotonic()
+        for files in waves:
+            for f in files:
+                shutil.move(f, dd_in)
+            run_incremental_dedup(
+                spark,
+                dd_in,
+                os.path.join(work, "dedup", "work"),
+                jaccard_threshold=0.5,
+                num_hashes=32,
+                bands=16,
+                shingle_k=3,
+            )
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_dedup"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,6 +206,17 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.monotonic() - t0, 3)
             timings[name] = min(elapsed, timings.get(name, elapsed))
+
+    # Streaming path: multi-batch availableNow replays with real file
+    # movement and checkpoint state (fresh temp dirs per pass).
+    import shutil
+    import tempfile
+
+    work_root = tempfile.mkdtemp(prefix="bench_streaming_")
+    try:
+        timings.update(bench_streaming(spark, sf_dir, work_root))
+    finally:
+        shutil.rmtree(work_root, ignore_errors=True)
 
     print(
         json.dumps(

@@ -478,12 +478,25 @@ def _kv_union(
 @q("kv_table", _ORACLE_KV_CTE + "SELECT * FROM kv")
 def kv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified sparse single-table KV serving relation (union of
-    the three projections, reference §2.12)."""
-    # persist=False at bench scale: materializing the plays grain costs
-    # more than recomputing it when the fact table is small. At cluster
-    # scale (the grain >> memory of one recompute), call _kv_union with
-    # persist=True — the knob exists for exactly that switch.
-    return _kv_union(spark, sf_dir, persist=False)
+    the three projections, reference §2.12).
+
+    persist=True: the shared plays grain (enrichment join + one
+    shuffle) materializes ONCE and all three projection branches read
+    it from memory — without it the executed plan runs the full
+    scan→join→aggregate tree three times (round-3 plan audit counted
+    14 exchanges; AQE's exchange reuse does not dedupe them because
+    each branch pushes different partial aggregates beneath its copy).
+    Wall-time at sf0.1 is a wash (recompute is cheap when the fact
+    table is small) but at cluster scale the grain recompute IS the
+    query cost, so one materialization is the right default. Spark's
+    CacheManager keys cache entries by canonicalized plan, so repeated
+    kv_table invocations in one session share a single entry rather
+    than leaking copies. Probed alternatives, measured at sf0.1:
+    localCheckpoint (4 exchanges but +0.4 s — eager job + block-store
+    write) and a repartition(event_type, date) grain hoping for
+    ReusedExchange (7 exchanges, +0.3 s, AQE plans the branches
+    separately) — both rejected."""
+    return _kv_union(spark, sf_dir, persist=True)
 
 
 # The 9 DynamoDB key-condition shapes (queries/dynamo_query.txt:6-70),
