@@ -3207,75 +3207,74 @@ from . import round4_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
-# queries in registration order; rounds 1-2 checked the same first 50, so
-# the 46 queries registered later (the LSH brute-force oracle twins, the
-# SQL-subquery surface, the music pipeline, the analytics/pipeline batches,
-# pivot/histogram/SCD2/CDC/fuzzy-join, EWMA, ANN lsh/ivf) never produced a
-# driver CORRECTNESS row despite having oracles and pytest coverage. Rotate
-# them to the front so round 3's checked window is exactly the
-# never-verified set, padded with four flagship re-checks. Every query
-# stays registered — nothing is dropped — and tests/test_oracle_parity.py
-# independently verifies ALL oracle-backed entries regardless of position.
+# queries in registration order. Window policy (round 4, per ADVICE r3: an
+# ALTERNATING window, not a one-way rotation):
+#   1. every oracled query that has NEVER produced a driver CORRECTNESS
+#      row (round-3 late registrants + this round's ANN batch) — after
+#      this round, all oracled registry entries have a driver row;
+#   2. queries whose implementation or semantics CHANGED this round
+#      (kv_table's persisted grain, pivot_daily_types' distinct pivot);
+#   3. the remaining slots re-verify the STALEST previously-green set
+#      (driver row from round 1/2 only — rotated out in round 3).
+# tests/test_registry_window.py enforces the invariant behind this:
+# every oracled entry is either already driver-proven or inside the
+# current window. tests/test_oracle_parity.py still checks ALL oracled
+# entries at sf0.001 on every pytest run regardless of position.
 _CHECK_FIRST = [
-    # LSH brute-force oracle twins (close the no_oracle gap for MinHash/SimHash)
-    "minhash_lsh_oracle",
-    "simhash_oracle",
-    # end-to-end music-schema pipeline
-    "music_pipeline_kpis",
-    "music_pipeline_top_songs",
-    # correlated/scalar/EXISTS/IN subquery SQL surface
-    "small_qty_orders_scalar_subq",
-    "multi_order_customers_exists",
-    "orders_by_nation_block_in",
-    # Python-kernel recurrence held to the bit-exact gate
-    "ewma_per_user",
-    # round-2 pipeline batch
-    "bi_nation_volume",
-    "promo_revenue_share",
-    "disjunctive_part_revenue",
-    "idle_rich_customers",
-    "incremental_daily_agg",
-    "cdc_latest_state",
-    "doc_repetition_filter",
-    "source_mix_weights",
-    "embedding_quantize_codes",
-    # round-2 analytics batch
-    "monthly_retention_cohorts",
-    "cumulative_unique_buyers",
-    "rolling_30d_distinct_customers",
-    "brand_basket_pairs",
-    "bigram_collocations",
-    "winsorized_means",
-    "interpolated_purchase_series",
-    # remaining never-checked relational / text / reshape surface
-    "intersect_entities",
-    "tfidf_top_terms",
-    "token_frequencies",
-    "views_near_clicks",
-    "dataset_split_counts",
-    "pivot_daily_types",
-    "pivot_event_type_matrix",
-    "value_histogram",
-    "inverted_index_tokens",
-    "redacted_docs",
-    "fuzzy_part_pairs",
-    "corpus_curation",
-    "user_value_quartiles",
-    "value_moments_by_type",
-    "scd2_user_state",
-    "dim_merge_upsert",
-    "global_top_spenders",
-    "train_test_contamination",
-    "click_purchase_funnel_native",
-    "click_purchase_funnel",
-    # rows-only ANN variants (recall-tested in pytest; driver records rows)
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # flagship re-checks (pad the 50-slot window with proven core queries)
-    "daily_kpis",
-    "top_users_per_type_day",
-    "top_types_per_day",
+    # -- 1. never driver-checked: round-3 late registrants
+    "doc_chunks",
+    "sequence_packing",
+    "ngram_decontamination",
+    "balanced_source_sample",
+    "winnowed_fingerprints",
+    "winnow_overlap_pairs",
+    "spend_rank_analytics",
+    "user_event_type_profile",
+    # -- 1. never driver-checked: round-4 ANN replay/recall batch
+    "ann_lsh_oracle",
+    "ann_lsh_recall",
+    "ann_ivf_oracle",
+    "ann_ivf_recall",
+    # -- 2. changed this round
     "kv_table",
+    "pivot_daily_types",
+    # -- 3. stalest re-checks (last driver row: round 1/2)
+    "kv_metrics",
+    "kv_top_users",
+    "kv_top_types",
+    "serving_metrics_prefix",
+    "serving_metric_exact",
+    "pricing_summary",
+    "revenue_by_nation",
+    "argmax_order_by_nation",
+    "top_parts_per_brand",
+    "order_priority_semi",
+    "inactive_customers_anti",
+    "customer_order_counts_outer",
+    "validate_events",
+    "json_extract_agg",
+    "hourly_activity",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "quality_by_source",
+    "ann_cosine_topk",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "rollup_revenue",
+    "cube_activity",
+    "percentiles_by_type",
+    "rolling_7d_range",
+    "value_stats_by_type",
+    "embedding_near_dups_exact",
+    "salted_agg_equivalence",
+    "salted_join_equivalence",
+    "grouping_sets_marginals",
+    "daily_gapfill",
+    "multimodal_features",
+    "user_sessions",
+    "asof_user_setting",
+    "brand_stats_having",
+    "type_share_of_day",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]

@@ -1,0 +1,60 @@
+"""Window-regression guard (VERDICT r3 #8): the driver's correctness
+gate only samples the FIRST ``WINDOW`` registry entries, so an oracled
+query registered past the window with no prior green CORRECTNESS row
+would silently never be driver-verified. This test makes that state
+unrepresentable: every oracled entry must either already have a green
+driver row in some committed ``CORRECTNESS_r*.json`` or sit inside the
+current ``_CHECK_FIRST`` window.
+"""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50  # the driver gate's sample size
+
+
+def _driver_proven() -> set[str]:
+    proven = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("err") is None and row.get("hash_match"):
+                    proven.add(name)
+    return proven
+
+
+def test_every_oracled_query_is_driver_proven_or_windowed():
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    windowed = set(list(REGISTRY)[:WINDOW])
+    proven = _driver_proven()
+    missing = [
+        name
+        for name, entry in REGISTRY.items()
+        if entry.oracle is not None
+        and name not in proven
+        and name not in windowed
+    ]
+    assert not missing, (
+        "oracled queries that will never see the driver gate — rotate "
+        f"them into _CHECK_FIRST: {missing}"
+    )
+
+
+def test_window_is_exactly_the_gate_sample():
+    """_CHECK_FIRST must fill the whole gate window with oracled
+    entries — a short list or a rows-only entry inside it wastes gate
+    slots (round-3's two no_oracle rows came from exactly that)."""
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        _CHECK_FIRST,
+        REGISTRY,
+    )
+
+    assert len(_CHECK_FIRST) == WINDOW
+    assert len(set(_CHECK_FIRST)) == WINDOW
+    rows_only = [n for n in _CHECK_FIRST if REGISTRY[n].oracle is None]
+    assert not rows_only, f"rows-only entries waste gate slots: {rows_only}"
