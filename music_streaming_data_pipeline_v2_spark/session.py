@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Whole-stage-codegen class cache. The default (100 entries)
+        # evicts constantly under a multi-query analytics workload —
+        # with ~35 headline queries in flight, wide generated classes
+        # (32-column MinHash signatures, pivot matrices) recompile on
+        # every run, ~0.5-1 s per affected query (measured at sf0.1).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
