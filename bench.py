@@ -66,17 +66,31 @@ HEADLINE = [
 ]
 
 
-def _stage_waves(spark, df, staged: str, waves: int, tag: str) -> list[list[str]]:
+def _stage_waves(
+    spark, df, staged: str, waves: int, tag: str, wave_key=None
+) -> list[list[str]]:
     """Write df as CSV part files split into ``waves`` deterministic
-    hash-waves under ``staged`` (untimed setup; NOT inside the watched
+    waves under ``staged`` (untimed setup; NOT inside the watched
     directory), returning per-wave file lists to move into the watched
-    directory between drains."""
+    directory between drains.
+
+    ``wave_key`` is a Column in [0, waves) assigning each row's wave;
+    default is a row-hash split (order-free corpora, e.g. documents).
+    Time-ordered sources should pass a chronological key — real file
+    arrivals deliver each day's data together, and a hash split would
+    make every wave touch every date, defeating (and mis-measuring)
+    the touched-dates-only recompute the incremental pipeline prunes
+    by."""
     import glob
     import shutil
 
     from pyspark.sql import functions as F
     out: list[list[str]] = []
-    key = F.abs(F.hash(*df.columns)) % waves
+    key = (
+        wave_key
+        if wave_key is not None
+        else F.abs(F.hash(*df.columns)) % waves
+    )
     for w in range(waves):
         wdir = os.path.join(staged, f"w{w}")
         df.filter(key == w).repartition(4).write.mode("overwrite").option(
@@ -121,6 +135,18 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         streams, songs, users = _music_tables(spark, sf_dir)
         pipe_in = os.path.join(work, "pipe", "in")
         os.makedirs(pipe_in, exist_ok=True)
+        # chronological thirds: each wave carries a contiguous date
+        # range, like real daily file arrivals — so each drain's
+        # recompute touches only its own dates (the pruning the
+        # pipeline is designed around), not the full history
+        d0, d1 = streams.select(
+            F.min(F.to_date("listen_time")), F.max(F.to_date("listen_time"))
+        ).first()
+        span = max((d1 - d0).days + 1, 1)
+        chrono = F.least(
+            F.lit(2),
+            F.floor(F.datediff(F.to_date("listen_time"), F.lit(d0)) * 3 / span),
+        ).cast("int")
         waves = _stage_waves(
             spark,
             streams.select(
@@ -133,6 +159,7 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
             os.path.join(work, "pipe", "staged"),
             waves=3,
             tag="stream",
+            wave_key=chrono,
         )
         songs, users = songs.localCheckpoint(), users.localCheckpoint()
         t0 = time.monotonic()

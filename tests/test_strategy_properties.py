@@ -134,3 +134,54 @@ def test_winnow_overlap_guarantee_fuzz(spark, pair):
     for r in out.collect():
         sk.setdefault(r.doc_id, set()).add(r.fp)
     assert sk.get(1, set()) & sk.get(2, set())
+
+
+@st.composite
+def _shingle_corpus(draw):
+    vocab = [f"w{i}" for i in range(25)]
+    n_docs = draw(st.integers(min_value=1, max_value=10))
+    rows = []
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=20))
+        rows.append((i, " ".join(toks)))
+    return rows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_shingle_corpus(), k=st.sampled_from([2, 3, 5]))
+def test_hashed_shingles_match_string_shingles(spark, rows, k):
+    """hashed_word_shingles must be a bijective image of word_shingles
+    on any real corpus: same per-doc distinct COUNT (so every Jaccard
+    numerator/denominator is identical), and equal string shingle sets
+    imply equal hashed sets across docs (so pair mining sees the same
+    candidate geometry). A 64-bit collision would break the count
+    equality; this fuzz guards the equivalence claim the MinHash
+    pipeline now rests on."""
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = df.select(
+        "doc_id",
+        dedup.word_shingles("text", k).alias("s"),
+        dedup.hashed_word_shingles("text", k).alias("h"),
+    ).collect()
+    str_sets = {}
+    hash_sets = {}
+    for r in both:
+        assert len(set(r.s)) == len(set(r.h)), "collision or drift"
+        str_sets[r.doc_id] = frozenset(r.s)
+        hash_sets[r.doc_id] = frozenset(r.h)
+    for a in str_sets:
+        for b in str_sets:
+            # equal string sets <=> equal hashed sets (both directions)
+            assert (str_sets[a] == str_sets[b]) == (
+                hash_sets[a] == hash_sets[b]
+            )
+            # jaccard equality on every pair
+            sa, sb = str_sets[a], str_sets[b]
+            ha, hb = hash_sets[a], hash_sets[b]
+            if sa | sb:
+                assert len(sa & sb) == len(ha & hb)
+                assert len(sa | sb) == len(ha | hb)
