@@ -6,23 +6,27 @@ against everything seen so far WITHOUT re-mining history. The standard
 design, expressed Spark-first:
 
 1. the accumulated state is two append-only Parquet relations — the
-   document store and the LSH **band-posting index**
-   (doc_id, band_id, band_hash), built by
-   ``dedup.minhash_band_postings`` with fixed hash parameters so
-   postings from any batch are comparable;
-2. per micro-batch (``foreachBatch``): build the batch's postings,
-   equi-join them against index ∪ batch-postings on
-   (band_id, band_hash) — candidates therefore always include a NEW
-   document, old×old pairs are never re-examined;
-3. exact-verify candidates with word-shingle Jaccard (store ∪ batch
-   texts joined by candidate id only), append verified pairs with the
-   batch id, then append the batch's docs + postings to the state.
+   document store (text + its hashed-shingle sketch, computed ONCE at
+   ingest) and the LSH **band-posting index** (doc_id, band_id,
+   band_hash), built with fixed hash parameters so postings from any
+   batch are comparable;
+2. per micro-batch (``foreachBatch``): shingle the batch once, derive
+   its postings from those shingles, equi-join against index ∪
+   batch-postings on (band_id, band_hash) — candidates therefore
+   always include a NEW document, old×old pairs are never re-examined;
+3. exact-verify candidates with shingle Jaccard using the STORED
+   sketches (history is never re-tokenized — per-batch CPU is ∝ batch
+   size), append verified pairs with the batch id, then append the
+   batch's docs+sketches + postings to the state.
 
 Scale: per-batch work is ∝ batch postings × matching bucket width,
 not corpus size; the index is partition-prunable on band_id and the
-equi-join shuffles only posting rows (3 longs each).
-``max_bucket`` caps boilerplate buckets exactly as in the batch
-operator (same observability argument — see minhash_lsh_pairs).
+equi-join shuffles only posting rows (3 longs each). The candidate
+sketch fetch is an id-keyed join against the doc store — at 100 TB
+bucket the store by ``doc_id`` so that join co-locates and prunes
+instead of scanning every state file. ``max_bucket`` caps boilerplate
+buckets exactly as in the batch operator (same observability argument
+— see minhash_lsh_pairs).
 
 Delivery semantics: ``foreachBatch`` is **at-least-once** — a crash
 after a state write but before checkpoint commit replays the batch.
@@ -65,7 +69,10 @@ def run_incremental_dedup(
 ) -> None:
     """Drain ``input_path`` (CSV doc files) through the incremental
     near-dup index under ``work_dir`` (docs/, index/, pairs/, ckpt/)."""
-    from ..operators.dedup import hashed_word_shingles, minhash_band_postings
+    from ..operators.dedup import (
+        _band_postings_from_base,
+        hashed_word_shingles,
+    )
 
     docs_dir = os.path.join(work_dir, "docs")
     index_dir = os.path.join(work_dir, "index")
@@ -95,13 +102,27 @@ def run_incremental_dedup(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.persist()
+        # shingle the batch ONCE; postings and verification both read
+        # the persisted sketch, and it is written to the doc store so
+        # no later batch ever re-tokenizes this one
+        batch = batch_df.withColumn(
+            "shingles", hashed_word_shingles("text", shingle_k)
+        ).persist()
         if batch.isEmpty():
             batch.unpersist()
             return
-        new_post = minhash_band_postings(
-            batch, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
-        ).persist()
+        new_post = (
+            _band_postings_from_base(
+                batch.select(
+                    F.col("doc_id").alias("_id"),
+                    F.col("shingles").alias("_sh"),
+                ).filter(F.size("_sh") > 0),
+                num_hashes,
+                bands,
+            )
+            .withColumnRenamed("_id", "doc_id")
+            .persist()
+        )
 
         old_post = read_state(
             index_dir, "doc_id long, band_id int, band_hash long", batch_id
@@ -133,8 +154,7 @@ def run_incremental_dedup(
 
         old_docs = read_state(docs_dir, batch.schema, batch_id)
         texts = old_docs.unionByName(batch).select(
-            F.col("doc_id").alias("_id"),
-            hashed_word_shingles("text", shingle_k).alias("_sh"),
+            F.col("doc_id").alias("_id"), F.col("shingles").alias("_sh")
         )
         jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
             F.array_union("_sh_a", "_sh_b")
