@@ -209,6 +209,89 @@ def extract_features(
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, max_dim: int = 256, batch_size: int = 64,
+    image_kernel: str = "auto",
+) -> DataFrame:
+    """Aspect-preserving image resize to fit ``max_dim`` — the standard
+    normalization step before feature extraction in a training-data
+    pipeline. Same schema in and out (MEDIA_SCHEMA): non-image rows and
+    already-small images pass through untouched; resized rows carry new
+    ``meta.width/height`` (and new bytes under the Pillow kernel).
+
+    Kernel selection mirrors :func:`extract_features`: ``"pillow"``
+    re-encodes real pixels (LANCZOS, PNG), ``"bytes"`` is the
+    deterministic stand-in — it computes the EXACT target geometry
+    (the part every downstream consumer depends on) and keeps the
+    payload bytes unchanged, marking ``meta.format`` with a
+    ``+resized`` suffix so provenance is visible. ``"auto"`` upgrades
+    when Pillow imports. Geometry math is shared by both kernels, so
+    swapping codecs never changes row counts or metadata.
+
+    Scale: mapInPandas over Arrow batches sized by ``batch_size`` —
+    blobs never per-row pickle; the filter-free single pass keeps the
+    operator map-only (no shuffle), so it pipelines with the scan.
+    """
+    if image_kernel not in ("bytes", "pillow", "auto"):
+        raise ValueError(f"unknown image_kernel: {image_kernel!r}")
+    if image_kernel == "auto":
+        image_kernel = "pillow" if pillow_available() else "bytes"
+    if image_kernel == "pillow" and not pillow_available():
+        raise NotImplementedError(
+            "image_kernel='pillow' requires Pillow, which is not installed"
+        )
+    use_pillow = image_kernel == "pillow"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def target(w, h):
+            if w is None or h is None or max(w, h) <= max_dim:
+                return None
+            scale = max_dim / float(max(w, h))
+            return max(int(w * scale), 1), max(int(h * scale), 1)
+
+        def resize_bytes(content, w, h):
+            if not use_pillow or not content:
+                return content
+            import io
+
+            from PIL import Image
+
+            try:
+                img = Image.open(io.BytesIO(content))
+            except Exception:
+                return content  # undecodable: keep payload, fix meta only
+            out = io.BytesIO()
+            img.resize((w, h), Image.LANCZOS).save(out, format="PNG")
+            return out.getvalue()
+
+        for pdf in batches:
+            metas, contents = [], []
+            for modality, content, meta in zip(
+                pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                m = dict(meta) if meta is not None else None
+                if modality == "image" and m is not None:
+                    t = target(m.get("width"), m.get("height"))
+                    if t is not None:
+                        m["width"], m["height"] = t
+                        m["format"] = f"{m.get('format') or ''}+resized"
+                        content = resize_bytes(content, *t)
+                metas.append(m)
+                contents.append(content)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp (the decode itself is the stubbed kernel). Demonstrates

@@ -604,3 +604,72 @@ def test_dedup_clusters_keep_one_per_cluster(spark):
     assert [by_id[i]["cluster_size"] for i in range(6)] == [3, 1, 1, 3, 1, 3]
     # exactly one keeper per component, the min id
     assert [by_id[i]["keep"] for i in range(6)] == [True, True, True, False, True, False]
+
+
+def test_resize_images_geometry_and_passthrough(spark):
+    """resize_images: aspect-preserving target geometry, non-image and
+    already-small rows untouched, schema stable, map-only (kernel-
+    independent metadata math — the bytes kernel fixes meta and marks
+    provenance)."""
+    from music_streaming_data_pipeline_v2_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    media = synthetic_media(spark, n=30)
+    out = resize_images(media, max_dim=100).collect()
+    src = {r.media_id: r for r in media.collect()}
+    assert len(out) == 30
+    for r in out:
+        s = src[r.media_id]
+        if r.modality != "image":
+            assert r.meta == s.meta and r.content == s.content
+            continue
+        w, h = s.meta.width, s.meta.height
+        if max(w, h) <= 100:
+            assert (r.meta.width, r.meta.height) == (w, h)
+            assert not r.meta.format.endswith("+resized")
+        else:
+            scale = 100 / max(w, h)
+            assert r.meta.width == max(int(w * scale), 1)
+            assert r.meta.height == max(int(h * scale), 1)
+            assert max(r.meta.width, r.meta.height) == 100
+            # aspect preserved within integer truncation
+            assert abs(r.meta.width / r.meta.height - w / h) < 0.05
+            assert r.meta.format.endswith("+resized")
+    # determinism across runs
+    again = {(r.media_id, r.meta.width, r.meta.height)
+             for r in resize_images(media, max_dim=100).collect()}
+    assert again == {(r.media_id, r.meta.width, r.meta.height) for r in out}
+
+
+
+def test_resize_images_pillow_kernel_real_pixels(spark):
+    """Runs only where Pillow exists: the pillow resize kernel re-encodes
+    real pixels at the shared target geometry; decoded output dims match
+    meta exactly."""
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    PIL_Image.new("L", (300, 150), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                modality="image",
+                content=buf.getvalue(),
+                meta=Row(width=300, height=150, duration_ms=None, format="png"),
+            )
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    r = mm.resize_images(media, max_dim=100, image_kernel="pillow").collect()[0]
+    assert (r.meta.width, r.meta.height) == (100, 50)
+    img = PIL_Image.open(io.BytesIO(r.content))
+    assert img.size == (100, 50)
