@@ -3240,6 +3240,8 @@ _CHECK_FIRST = [
     "ann_lsh_recall",
     "ann_ivf_oracle",
     "ann_ivf_recall",
+    # -- 1. never driver-checked: round-4 multimodal resize geometry
+    "multimodal_resize_geometry",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3279,7 +3281,6 @@ _CHECK_FIRST = [
     "user_sessions",
     "asof_user_setting",
     "brand_stats_having",
-    "type_share_of_day",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]

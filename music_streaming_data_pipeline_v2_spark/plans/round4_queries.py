@@ -315,3 +315,63 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(hits.agg(F.count("*").alias("n_hits")))
         .select("n_queries", F.lit(_K).alias("k"), "n_exact", "n_hits")
     )
+
+
+_ORACLE_RESIZE = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(doc_id % 640 + 16 AS INT) AS w,
+           CAST(doc_id % 480 + 16 AS INT) AS h
+    FROM documents
+)
+SELECT media_id, modality,
+       CAST(CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
+            THEN GREATEST(CAST(FLOOR(w * (100.0 / GREATEST(w, h))) AS INT), 1)
+            ELSE w END AS INT) AS width,
+       CAST(CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
+            THEN GREATEST(CAST(FLOOR(h * (100.0 / GREATEST(w, h))) AS INT), 1)
+            ELSE h END AS INT) AS height,
+       CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
+            THEN 'synthetic+resized' ELSE 'synthetic' END AS fmt
+FROM media
+"""
+
+
+@q("multimodal_resize_geometry", _ORACLE_RESIZE)
+def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images (operators/multimodal.py) end-to-end on driver
+    testdata: documents' bytes stand in for blobs with synthetic
+    width/height metadata; the Arrow-batched mapInPandas kernel
+    computes the aspect-preserving fit-to-100 geometry and the oracle
+    replays the identical arithmetic (scale = 100/max(w,h), floor,
+    clamp to 1) in SQL. Python's int() truncation equals FLOOR for
+    these positive doubles, and both engines evaluate the same IEEE
+    double expression order, so the match is exact — this pins the
+    geometry contract every downstream consumer (feature extraction,
+    packing) depends on, independent of which codec kernel runs."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").cast("binary").alias("content"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("format"),
+        ).alias("meta"),
+    )
+    return resize_images(media, max_dim=100).select(
+        "media_id",
+        "modality",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("fmt"),
+    )
