@@ -439,11 +439,21 @@ def simhash_pairs(
 def _jaccard_base(
     df: DataFrame, block_col: str, text_col: str, id_col: str
 ) -> DataFrame:
-    """(_id, _blk, _tok): the deduped-token relation both strategies share."""
+    """(_id, _blk, _tok): the deduped-token relation every strategy
+    shares. Tokens are 64-bit hashes of the lowered words, not the
+    strings — every consumer (bitmask dictionary encode, prefix-filter
+    ordering, array_intersect/union verify, identical-set contraction
+    fingerprint) needs only token IDENTITY and a consistent total
+    order, both of which the hash preserves exactly barring a
+    2⁻⁶⁴-per-pair collision (the same trade as hashed_word_shingles,
+    with the same payoffs: the persisted relation is 8 bytes/token and
+    set operations compare longs, not strings)."""
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        F.array_distinct(F.transform(tokens(text_col), F.lower)).alias("_tok"),
+        F.array_distinct(
+            F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+        ).alias("_tok"),
     )
 
 
