@@ -3240,8 +3240,9 @@ _CHECK_FIRST = [
     "ann_lsh_recall",
     "ann_ivf_oracle",
     "ann_ivf_recall",
-    # -- 1. never driver-checked: round-4 multimodal resize geometry
+    # -- 1. never driver-checked: round-4 additions
     "multimodal_resize_geometry",
+    "lateral_top_customers",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3280,7 +3281,6 @@ _CHECK_FIRST = [
     "multimodal_features",
     "user_sessions",
     "asof_user_setting",
-    "brand_stats_having",
 ]
 
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]

@@ -375,3 +375,31 @@ def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.format").alias("fmt"),
     )
+
+
+_SQL_LATERAL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) t
+"""
+
+
+@q("lateral_top_customers", _SQL_LATERAL)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table):
+    per-nation top-2 customers by balance, the per-row-subquery shape
+    ANSI engines express with LATERAL and Spark decorrelates into a
+    ranked window join (check .explain: no per-outer-row re-execution).
+    The SAME text runs on DuckDB as the oracle — extending the
+    correlated-subquery dialect-compatibility block
+    (driver_queries.py small_qty_orders_scalar_subq et al.) to lateral
+    joins. Deterministic via the (balance DESC, name) tie-break."""
+    from .driver_queries import _register
+
+    _register(spark, sf_dir, "nation", "customer")
+    return spark.sql(_SQL_LATERAL)
