@@ -86,10 +86,12 @@ def _stage_waves(
 
     from pyspark.sql import functions as F
     out: list[list[str]] = []
+    # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows (throws
+    # under ANSI mode; silently drops the row from every wave otherwise)
     key = (
         wave_key
         if wave_key is not None
-        else F.abs(F.hash(*df.columns)) % waves
+        else F.pmod(F.hash(*df.columns), F.lit(waves))
     )
     for w in range(waves):
         wdir = os.path.join(staged, f"w{w}")

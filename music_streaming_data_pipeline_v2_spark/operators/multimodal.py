@@ -72,6 +72,32 @@ def pillow_available() -> bool:
         return False
 
 
+def _resolve_image_kernel(image_kernel: str) -> str:
+    """Shared kernel selection for every image operator: validate,
+    resolve ``"auto"`` by Pillow availability, refuse ``"pillow"``
+    loudly when the import is missing. One policy, one place."""
+    if image_kernel not in ("bytes", "pillow", "auto"):
+        raise ValueError(f"unknown image_kernel: {image_kernel!r}")
+    if image_kernel == "auto":
+        image_kernel = "pillow" if pillow_available() else "bytes"
+    if image_kernel == "pillow" and not pillow_available():
+        raise NotImplementedError(
+            "image_kernel='pillow' requires Pillow, which is not installed"
+        )
+    return image_kernel
+
+
+def _set_arrow_batch_size(spark, batch_size: int | None) -> None:
+    """Apply the caller's Arrow batch-size override, if any. The conf
+    is session-global, so operators only touch it when explicitly
+    asked (large blobs need small batches to fit executor memory);
+    ``None`` leaves the session default alone."""
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+
+
 def decode_image(content: bytes):
     """Decode image bytes to a PIL Image when Pillow is importable;
     otherwise raise NotImplementedError (this container ships no codec
@@ -145,7 +171,7 @@ fake_image_features = _byte_histogram_features()
 
 
 def extract_features(
-    media: DataFrame, batch_size: int = 64, image_kernel: str = "bytes"
+    media: DataFrame, batch_size: int | None = None, image_kernel: str = "bytes"
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -161,14 +187,7 @@ def extract_features(
     byte histogram rather than failing the batch; non-image modalities
     always use the byte histogram.
     """
-    if image_kernel not in ("bytes", "pillow", "auto"):
-        raise ValueError(f"unknown image_kernel: {image_kernel!r}")
-    if image_kernel == "auto":
-        image_kernel = "pillow" if pillow_available() else "bytes"
-    if image_kernel == "pillow" and not pillow_available():
-        raise NotImplementedError(
-            "image_kernel='pillow' requires Pillow, which is not installed"
-        )
+    image_kernel = _resolve_image_kernel(image_kernel)
 
     # pickle-by-value copies: the kernel closure must not reference any
     # module-level symbol of this package (workers may not have it
@@ -204,13 +223,12 @@ def extract_features(
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(media.sparkSession, batch_size)
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def resize_images(
-    media: DataFrame, max_dim: int = 256, batch_size: int = 64,
+    media: DataFrame, max_dim: int = 256, batch_size: int | None = None,
     image_kernel: str = "auto",
 ) -> DataFrame:
     """Aspect-preserving image resize to fit ``max_dim`` — the standard
@@ -232,15 +250,7 @@ def resize_images(
     blobs never per-row pickle; the filter-free single pass keeps the
     operator map-only (no shuffle), so it pipelines with the scan.
     """
-    if image_kernel not in ("bytes", "pillow", "auto"):
-        raise ValueError(f"unknown image_kernel: {image_kernel!r}")
-    if image_kernel == "auto":
-        image_kernel = "pillow" if pillow_available() else "bytes"
-    if image_kernel == "pillow" and not pillow_available():
-        raise NotImplementedError(
-            "image_kernel='pillow' requires Pillow, which is not installed"
-        )
-    use_pillow = image_kernel == "pillow"
+    use_pillow = _resolve_image_kernel(image_kernel) == "pillow"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def target(w, h):
@@ -287,8 +297,7 @@ def resize_images(
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(media.sparkSession, batch_size)
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 

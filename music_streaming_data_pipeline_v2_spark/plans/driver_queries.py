@@ -1119,18 +1119,30 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_ANN = """
+def cos_sql(a: str, b: str) -> str:
+    """The engine-portable DuckDB cosine(a, b) expression — identical
+    op order (per-element double casts, sequential list_aggregate sum,
+    sqrt-product denominator) to operators/similarity.py:cosine, which
+    is what makes every ANN oracle hash-exact. THE single copy: the
+    ann/near-dup oracles here and the round-4 LSH/IVF replay oracles
+    all interpolate this helper."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') "
+        f"/ (SQRT(list_aggregate(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+        f"* SQRT(list_aggregate(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+_ORACLE_ANN = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
 ),
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
-           list_aggregate(list_transform(list_zip(q.qv, e.embedding),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-           / (SQRT(list_aggregate(list_transform(q.qv,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-              * SQRT(list_aggregate(list_transform(e.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           {cos_sql('q.qv', 'e.embedding')} AS cos
     FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, rank, neighbor_id, cosine
@@ -1503,15 +1515,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_EMB_NEAR_DUP = """
+_ORACLE_EMB_NEAR_DUP = f"""
 WITH pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-           / (SQRT(list_aggregate(list_transform(a.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-              * SQRT(list_aggregate(list_transform(b.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           {cos_sql('a.embedding', 'b.embedding')} AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(cos, 6) AS cosine
@@ -3283,9 +3290,26 @@ _CHECK_FIRST = [
     "asof_user_setting",
 ]
 
-_missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
-assert not _missing, f"_CHECK_FIRST names not in REGISTRY: {_missing}"
-_reordered = {n: REGISTRY[n] for n in _CHECK_FIRST}
-_reordered.update({n: v for n, v in REGISTRY.items() if n not in _reordered})
-REGISTRY.clear()
-REGISTRY.update(_reordered)
+def finalize_registry() -> dict[str, Q]:
+    """Apply the gate-window ordering (window queries first, everything
+    else in registration order). Idempotent; asserts every window name
+    is registered, so it must only run once ALL plans modules have
+    completed their imports."""
+    missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
+    assert not missing, f"_CHECK_FIRST names not in REGISTRY: {missing}"
+    ordered = {n: REGISTRY[n] for n in _CHECK_FIRST}
+    ordered.update({n: v for n, v in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+    return REGISTRY
+
+
+# Import-order safety: when THIS module is imported first, the sibling
+# imports above completed and the window can be applied eagerly. When a
+# sibling module is imported first, it circularly pulls this module in
+# BEFORE its own @q registrations have run — the sibling sitting
+# partially initialized in sys.modules — so reordering (and especially
+# the completeness assert) must wait; __spark_entry__ calls
+# finalize_registry() once the package is fully imported.
+if all(n in REGISTRY for n in _CHECK_FIRST):
+    finalize_registry()

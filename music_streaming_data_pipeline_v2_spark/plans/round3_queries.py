@@ -347,9 +347,18 @@ def spend_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_parts, F.desc("total_spend"), F.asc("user_id")
         )
         .withColumn("_pid", F.spark_partition_id())
-        # pin the partitioning: the counts job and the final job must
-        # observe the SAME physical layout
-        .persist()
+        # Pin the physical layout: the counts job and the final job
+        # must observe the SAME range boundaries, and re-executions
+        # re-SAMPLE them (each exchange draws its own boundary sample
+        # — verified: the single-plan formulation produces two
+        # independent rangepartitioning exchanges, no ReusedExchange).
+        # localCheckpoint rather than persist(): the materialized
+        # blocks are released by the ContextCleaner when this
+        # DataFrame is garbage collected, instead of pinning a
+        # CacheManager entry for the session lifetime. Construction
+        # therefore runs one Spark job (counts → driver prefix sum) —
+        # the price of shipping offsets driver-side, documented above.
+        .localCheckpoint(eager=False)
     )
     cnt_rows = ranked.groupBy("_pid").agg(F.count("*").alias("c")).collect()
     n_total = sum(r["c"] for r in cnt_rows)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators import similarity as _sim
-from .driver_queries import q
+from .driver_queries import cos_sql as _cos_sql, q
 
 _DIMS, _BITS, _BANDS, _K, _NPROBE, _NCENT = 64, 16, 4, 10, 3, 8
 _PLANES = _sim.random_hyperplanes(_DIMS, _BITS, seed=42)
@@ -47,18 +47,6 @@ def _dot_w_sql(vec: str, weights: list[float]) -> str:
     return (
         f"list_aggregate(list_transform(list_zip({vec}, {lst}), "
         f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
-    )
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """DuckDB cosine(a, b) — identical op order to similarity.cosine."""
-    return (
-        f"list_aggregate(list_transform(list_zip({a}, {b}), "
-        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / "
-        f"(SQRT(list_aggregate(list_transform({a}, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
-        f"SQRT(list_aggregate(list_transform({b}, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
     )
 
 

@@ -28,8 +28,14 @@ def _driver_proven() -> set[str]:
 def test_every_oracled_query_is_driver_proven_or_windowed():
     from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
         REGISTRY,
+        finalize_registry,
     )
 
+    # observe the order the DRIVER sees: __spark_entry__ finalizes the
+    # window ordering after the whole package imports (registration
+    # order depends on which plans module a test session imported
+    # first, so the raw dict order here is not the gate's order)
+    finalize_registry()
     windowed = set(list(REGISTRY)[:WINDOW])
     proven = _driver_proven()
     missing = [
