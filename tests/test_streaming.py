@@ -658,3 +658,59 @@ def test_strict_mode_aborts_batch_before_outputs(spark, dims, tmp_path):
     kpis = {r.track_genre: r.listen_count
             for r in spark.read.parquet(str(out / "genre_kpis")).collect()}
     assert kpis == {"rock": 1, "jazz": 1}
+
+
+def test_incremental_dedup_equals_batch_mining(spark, tmp_path):
+    """Equivalence invariant: draining a corpus through the incremental
+    index in ARBITRARY batch splits finds exactly the pair set the
+    batch operator mines in one pass (same hash parameters, bucket cap
+    disabled on both sides so capping policy differences can't mask a
+    candidate-generation bug), with identical jaccard values."""
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content about spark engines",
+        "unrelated text about distributed query planning",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "spark engines completely different content about",
+        "text about distributed unrelated query planning",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(texts)]
+    kwargs = dict(
+        jaccard_threshold=0.35, num_hashes=16, bands=8, shingle_k=2,
+        max_bucket=10_000,
+    )
+
+    batch_df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    expected = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(batch_df, **kwargs).collect()
+    }
+    assert expected  # the corpus must actually contain near-dups
+
+    for split_name, splits in {
+        "thirds": [rows[:3], rows[3:6], rows[6:]],
+        "one_big_then_one": [rows[:7], rows[7:]],
+    }.items():
+        inp = tmp_path / f"in_{split_name}"
+        work = tmp_path / f"work_{split_name}"
+        inp.mkdir()
+        for i, chunk in enumerate(splits):
+            with open(inp / f"docs{i}.csv", "w") as fh:
+                fh.write("doc_id,lang,text\n")
+                for doc_id, lang, text in chunk:
+                    fh.write(f"{doc_id},{lang},{text}\n")
+            run_incremental_dedup(spark, str(inp), str(work), **kwargs)
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in spark.read.parquet(str(work / "pairs")).collect()
+        }
+        assert got == expected, f"split {split_name} diverged from batch"
