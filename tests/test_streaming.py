@@ -714,3 +714,75 @@ def test_incremental_dedup_equals_batch_mining(spark, tmp_path):
             for r in spark.read.parquet(str(work / "pairs")).collect()
         }
         assert got == expected, f"split {split_name} diverged from batch"
+
+
+def test_incremental_kpis_equal_batch_over_waves(spark, tmp_path):
+    """Equivalence invariant (twin of the dedup one below): draining
+    the sf0.001 music-shaped stream through the incremental pipeline in
+    3 hash waves must leave genre_kpis identical — row for row, value
+    for value — to one batch aggregation over the same validated
+    input. Proves the recompute-a-day path converges to batch truth
+    regardless of how arrivals were partitioned."""
+    import glob
+    import shutil
+
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        _music_tables,
+    )
+
+    streams, songs, users = _music_tables(spark, "/root/testdata/sf0.001")
+    rows = streams.select(
+        "user_id",
+        "track_id",
+        F.date_format("listen_time", "yyyy-MM-dd HH:mm:ss").alias("listen_time"),
+    )
+    songs, users = songs.localCheckpoint(), users.localCheckpoint()
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    staged = tmp_path / "staged"
+    wave_key = F.pmod(F.hash("user_id", "track_id", "listen_time"), F.lit(3))
+    for w in range(3):
+        wdir = str(staged / f"w{w}")
+        rows.filter(wave_key == w).coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(wdir)
+        for i, part in enumerate(sorted(glob.glob(os.path.join(wdir, "*.csv")))):
+            shutil.move(part, str(inp / f"stream_w{w}_{i}.csv"))
+        run_incremental_pipeline(
+            spark, str(inp), songs, users,
+            output_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    got = {
+        (str(r.date), r.track_genre): (
+            r.listen_count,
+            r.unique_listeners,
+            r.total_listening_time_ms,
+            round(r.avg_listening_time_ms, 6),
+        )
+        for r in spark.read.parquet(str(tmp_path / "out" / "genre_kpis")).collect()
+    }
+    expected_df = (
+        rows.withColumn("date", F.to_date(F.to_timestamp("listen_time")))
+        .join(F.broadcast(songs.select("track_id", "track_genre", "duration_ms")), "track_id")
+        .join(F.broadcast(users.select("user_id")), "user_id")
+        .groupBy("track_genre", "date")
+        .agg(
+            F.count("*").alias("listen_count"),
+            F.countDistinct("user_id").alias("unique_listeners"),
+            F.sum("duration_ms").alias("total_listening_time_ms"),
+            F.avg("duration_ms").alias("avg_listening_time_ms"),
+        )
+    )
+    expected = {
+        (str(r.date), r.track_genre): (
+            r.listen_count,
+            r.unique_listeners,
+            r.total_listening_time_ms,
+            round(r.avg_listening_time_ms, 6),
+        )
+        for r in expected_df.collect()
+    }
+    assert got == expected
