@@ -200,11 +200,19 @@ def dedup_clusters_exact(
     - the component label is the min doc id reachable, and every doc's
       rep is ≤ it, so min-over-reps = min-over-docs in each component.
 
-    Group key is the full sorted token array hashed to 128 bits
-    (md5 of the JSON encoding) — at 64 bits a multi-billion-doc corpus
-    has non-negligible birthday collision odds, which would silently
-    merge distinct clusters; at 128 bits the odds stay ≪ 1e-18 even at
-    10^12 docs, so the contraction is collision-safe at 100 TB scale.
+    Group key is the full sorted token array encoded to 128 bits (md5
+    of the JSON encoding), so two DIFFERENT token arrays never share a
+    fingerprint in practice (md5 birthday odds ≪ 1e-18 at 10^12 docs
+    — a 64-bit set fingerprint would not clear that bar). One honest
+    caveat since _jaccard_base hashes the tokens themselves to 64
+    bits: "identical sets" means identical HASHED sets. That is the
+    same identity every downstream consumer uses — the mining and
+    verify Jaccards operate on the same hashed tokens, so a
+    vocabulary collision affects contraction and pairwise mining
+    consistently (the contraction stays exact w.r.t. the pipeline's
+    similarity semantics), and a collision only changes a RESULT when
+    two documents differ exactly by a colliding word pair — the
+    per-pair 2⁻⁶⁴ trade documented at _jaccard_base.
 
     Scale notes: the contraction costs one (block, fingerprint)
     shuffle of id-sized rows; it removes the duplicate mass (the bulk

@@ -159,16 +159,26 @@ def minhash_band_postings(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Public LSH index builder: (doc_id, band_id, band_hash) rows for
     ``df``'s documents — what an incremental near-dup index persists
     per batch (streaming/dedup_ingest.py). Deterministic given the
     same hash parameters, so postings built in different batches/runs
-    are comparable."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        hashed_word_shingles(text_col, shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    are comparable.
+
+    ``shingles_col`` names a precomputed ``hashed_word_shingles``
+    column to build from (skipping the shingle pass) — for callers
+    that already materialized the sketch for other uses, like the
+    ingest index, which also verifies candidates and persists it."""
+    sh = (
+        F.col(shingles_col)
+        if shingles_col is not None
+        else hashed_word_shingles(text_col, shingle_k)
+    )
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
     return _band_postings_from_base(base, num_hashes, bands).withColumnRenamed(
         "_id", id_col
     )

@@ -15,8 +15,9 @@ Design for 100 TB of media:
   row groups without touching blobs.
 - Kernels run in ``mapInPandas`` (Arrow batches, not per-row pickling).
   Batch size is controlled by ``spark.sql.execution.arrow.
-  maxRecordsPerBatch`` — set low (e.g. 64) for large blobs so a batch
-  fits executor memory.
+  maxRecordsPerBatch`` — for large blobs pass the operators'
+  ``batch_size`` argument (e.g. 64) so one batch fits executor
+  memory; by default the session setting is left untouched.
 - Real deployments swap ``fake_image_features``/``decode_stub`` for
   Pillow/ffmpeg kernels with the same signature; nothing else changes.
 """
@@ -91,7 +92,10 @@ def _set_arrow_batch_size(spark, batch_size: int | None) -> None:
     """Apply the caller's Arrow batch-size override, if any. The conf
     is session-global, so operators only touch it when explicitly
     asked (large blobs need small batches to fit executor memory);
-    ``None`` leaves the session default alone."""
+    ``None`` leaves the session default alone. Caveat: the value is
+    set at plan-BUILD time — composing two media operators with
+    different ``batch_size`` values in one plan runs BOTH kernels at
+    whichever was built last, so size for the larger blobs."""
     if batch_size is not None:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
@@ -237,42 +241,64 @@ def resize_images(
     already-small images pass through untouched; resized rows carry new
     ``meta.width/height`` (and new bytes under the Pillow kernel).
 
-    Kernel selection mirrors :func:`extract_features`: ``"pillow"``
-    re-encodes real pixels (LANCZOS, PNG), ``"bytes"`` is the
-    deterministic stand-in — it computes the EXACT target geometry
-    (the part every downstream consumer depends on) and keeps the
-    payload bytes unchanged, marking ``meta.format`` with a
-    ``+resized`` suffix so provenance is visible. ``"auto"`` upgrades
-    when Pillow imports. Geometry math is shared by both kernels, so
-    swapping codecs never changes row counts or metadata.
+    Geometry: the long side becomes EXACTLY ``max_dim``, the short
+    side scales by integer floor-division (clamped to 1) — pure
+    integer arithmetic, replayed digit-for-digit by the
+    ``multimodal_resize_geometry`` DuckDB oracle.
 
-    Scale: mapInPandas over Arrow batches sized by ``batch_size`` —
-    blobs never per-row pickle; the filter-free single pass keeps the
-    operator map-only (no shuffle), so it pipelines with the scan.
+    Kernel selection mirrors :func:`extract_features`: ``"pillow"``
+    re-encodes real pixels (LANCZOS → PNG; ``meta.format`` becomes
+    ``png+resized`` because the payload really is PNG afterward, and
+    undecodable payloads pass through COMPLETELY untouched rather than
+    getting metadata that misdescribes unreadable bytes); ``"bytes"``
+    is the deterministic stand-in — it applies the geometry contract
+    to the metadata, keeps the payload unchanged, and marks
+    ``meta.format`` with a ``+resized`` suffix. ``"auto"`` upgrades
+    when Pillow imports. The geometry math is shared, so codec choice
+    never changes the target dimensions.
+
+    Scale: mapInPandas over Arrow batches — blobs never per-row
+    pickle; the filter-free single pass keeps the operator map-only
+    (no shuffle), so it pipelines with the scan. For multi-MB blobs
+    pass ``batch_size`` (e.g. 64) so one Arrow batch fits worker
+    memory; note the knob is session-global and applied at plan-BUILD
+    time, so when composing two media operators in one plan the last
+    builder's value governs both kernels — size for the larger blobs.
     """
     use_pillow = _resolve_image_kernel(image_kernel) == "pillow"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def target(w, h):
+            """Pure-integer fit: the LONG side becomes exactly max_dim
+            (float-scale truncation gave max_dim-1 for many inputs,
+            e.g. 161→99), the short side scales proportionally with
+            integer floor-division — replicable digit-for-digit in the
+            SQL oracle, no IEEE intermediate."""
             if w is None or h is None or max(w, h) <= max_dim:
                 return None
-            scale = max_dim / float(max(w, h))
-            return max(int(w * scale), 1), max(int(h * scale), 1)
+            if w >= h:
+                return max_dim, max((h * max_dim) // w, 1)
+            return max((w * max_dim) // h, 1), max_dim
 
-        def resize_bytes(content, w, h):
-            if not use_pillow or not content:
-                return content
+        def resize_real(content, w, h):
+            """Pillow path: decoded-and-re-encoded bytes, or None when
+            the payload can't be decoded/resized (truncated file,
+            codec without PNG support, ...) — the caller then leaves
+            the ROW untouched rather than emitting metadata that
+            misdescribes unreadable bytes."""
+            if not content:
+                return None
             import io
 
             from PIL import Image
 
             try:
                 img = Image.open(io.BytesIO(content))
+                out = io.BytesIO()
+                img.resize((w, h), Image.LANCZOS).save(out, format="PNG")
+                return out.getvalue()
             except Exception:
-                return content  # undecodable: keep payload, fix meta only
-            out = io.BytesIO()
-            img.resize((w, h), Image.LANCZOS).save(out, format="PNG")
-            return out.getvalue()
+                return None
 
         for pdf in batches:
             metas, contents = [], []
@@ -283,9 +309,22 @@ def resize_images(
                 if modality == "image" and m is not None:
                     t = target(m.get("width"), m.get("height"))
                     if t is not None:
-                        m["width"], m["height"] = t
-                        m["format"] = f"{m.get('format') or ''}+resized"
-                        content = resize_bytes(content, *t)
+                        if use_pillow:
+                            new_bytes = resize_real(content, *t)
+                            if new_bytes is not None:
+                                content = new_bytes
+                                m["width"], m["height"] = t
+                                # the bytes really are PNG now — meta
+                                # must describe the payload, not its
+                                # former codec
+                                m["format"] = "png+resized"
+                            # else: undecodable under a real codec —
+                            # pass the row through untouched
+                        else:
+                            # bytes kernel: geometry contract only,
+                            # payload unchanged, provenance marked
+                            m["width"], m["height"] = t
+                            m["format"] = f"{m.get('format') or ''}+resized"
                 metas.append(m)
                 contents.append(content)
             yield pd.DataFrame(

@@ -316,10 +316,12 @@ WITH media AS (
 )
 SELECT media_id, modality,
        CAST(CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
-            THEN GREATEST(CAST(FLOOR(w * (100.0 / GREATEST(w, h))) AS INT), 1)
+            THEN CASE WHEN w >= h THEN 100
+                      ELSE GREATEST((w * 100) // h, 1) END
             ELSE w END AS INT) AS width,
        CAST(CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
-            THEN GREATEST(CAST(FLOOR(h * (100.0 / GREATEST(w, h))) AS INT), 1)
+            THEN CASE WHEN w >= h THEN GREATEST((h * 100) // w, 1)
+                      ELSE 100 END
             ELSE h END AS INT) AS height,
        CASE WHEN modality = 'image' AND GREATEST(w, h) > 100
             THEN 'synthetic+resized' ELSE 'synthetic' END AS fmt
@@ -333,10 +335,9 @@ def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata: documents' bytes stand in for blobs with synthetic
     width/height metadata; the Arrow-batched mapInPandas kernel
     computes the aspect-preserving fit-to-100 geometry and the oracle
-    replays the identical arithmetic (scale = 100/max(w,h), floor,
-    clamp to 1) in SQL. Python's int() truncation equals FLOOR for
-    these positive doubles, and both engines evaluate the same IEEE
-    double expression order, so the match is exact — this pins the
+    replays the identical arithmetic (long side = exactly 100, short
+    side = integer floor-division, clamp to 1) in SQL — pure integer
+    math on both engines, no IEEE intermediate — pinning the
     geometry contract every downstream consumer (feature extraction,
     packing) depends on, independent of which codec kernel runs."""
     from ..operators.multimodal import resize_images

@@ -69,15 +69,52 @@ def run_incremental_dedup(
 ) -> None:
     """Drain ``input_path`` (CSV doc files) through the incremental
     near-dup index under ``work_dir`` (docs/, index/, pairs/, ckpt/)."""
-    from ..operators.dedup import (
-        _band_postings_from_base,
-        hashed_word_shingles,
-    )
+    from ..operators.dedup import hashed_word_shingles, minhash_band_postings
 
     docs_dir = os.path.join(work_dir, "docs")
     index_dir = os.path.join(work_dir, "index")
     pairs_dir = os.path.join(work_dir, "pairs")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    # State compatibility guard: postings and sketches are only
+    # comparable across runs when the hash parameters match, and the
+    # on-disk layout has changed once (format 2 = sketch-bearing doc
+    # store, long-hashed shingles). Resuming a work_dir built with
+    # different parameters — or a pre-format-2 layout, detectable as
+    # state with no meta file — would either crash on schema union or,
+    # worse, silently never match old docs against new ones. Refuse
+    # loudly instead.
+    _meta = {
+        "format": 2,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+    }
+    meta_path = os.path.join(work_dir, "state_meta.json")
+    has_state = os.path.isdir(docs_dir) or os.path.isdir(index_dir)
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as fh:
+            found = json.load(fh)
+        if found != _meta:
+            raise ValueError(
+                f"incompatible dedup-index state at {work_dir}: state was "
+                f"built with {found}, run requested {_meta}; use a fresh "
+                "work_dir (or rebuild) — mixed-parameter postings would "
+                "silently miss duplicates"
+            )
+    elif has_state:
+        raise ValueError(
+            f"dedup-index state at {work_dir} predates the sketch-bearing "
+            "format and cannot be resumed; rebuild into a fresh work_dir"
+        )
+    else:
+        import json
+
+        os.makedirs(work_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump(_meta, fh)
 
     stream = (
         spark.readStream.schema(schema or DOC_SCHEMA)
@@ -111,18 +148,12 @@ def run_incremental_dedup(
         if batch.isEmpty():
             batch.unpersist()
             return
-        new_post = (
-            _band_postings_from_base(
-                batch.select(
-                    F.col("doc_id").alias("_id"),
-                    F.col("shingles").alias("_sh"),
-                ).filter(F.size("_sh") > 0),
-                num_hashes,
-                bands,
-            )
-            .withColumnRenamed("_id", "doc_id")
-            .persist()
-        )
+        new_post = minhash_band_postings(
+            batch,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingles_col="shingles",
+        ).persist()
 
         old_post = read_state(
             index_dir, "doc_id long, band_id int, band_hash long", batch_id

@@ -615,10 +615,14 @@ def test_resize_images_geometry_and_passthrough(spark):
         resize_images,
     )
 
-    media = synthetic_media(spark, n=30)
+    # n=300 so image dims reach ~315x315 — BOTH branches execute (a
+    # small corpus whose dims never exceed max_dim would leave every
+    # geometry assertion below dead code)
+    media = synthetic_media(spark, n=300)
     out = resize_images(media, max_dim=100).collect()
     src = {r.media_id: r for r in media.collect()}
-    assert len(out) == 30
+    assert len(out) == 300
+    n_resized = 0
     for r in out:
         s = src[r.media_id]
         if r.modality != "image":
@@ -629,13 +633,17 @@ def test_resize_images_geometry_and_passthrough(spark):
             assert (r.meta.width, r.meta.height) == (w, h)
             assert not r.meta.format.endswith("+resized")
         else:
-            scale = 100 / max(w, h)
-            assert r.meta.width == max(int(w * scale), 1)
-            assert r.meta.height == max(int(h * scale), 1)
+            n_resized += 1
+            # long side EXACTLY max_dim; short side integer-scaled
+            if w >= h:
+                assert (r.meta.width, r.meta.height) == (100, max(h * 100 // w, 1))
+            else:
+                assert (r.meta.width, r.meta.height) == (max(w * 100 // h, 1), 100)
             assert max(r.meta.width, r.meta.height) == 100
-            # aspect preserved within integer truncation
-            assert abs(r.meta.width / r.meta.height - w / h) < 0.05
+            # aspect preserved within integer rounding
+            assert abs(r.meta.width / r.meta.height - w / h) < 0.15
             assert r.meta.format.endswith("+resized")
+    assert n_resized > 50  # the resize branch genuinely ran
     # determinism across runs
     again = {(r.media_id, r.meta.width, r.meta.height)
              for r in resize_images(media, max_dim=100).collect()}

@@ -786,3 +786,26 @@ def test_incremental_kpis_equal_batch_over_waves(spark, tmp_path):
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+def test_incremental_dedup_rejects_incompatible_state(spark, tmp_path):
+    """Resuming a work_dir with different hash parameters (or a
+    pre-sketch-format layout) must fail loudly — mixed-parameter
+    postings would silently never match old docs against new ones."""
+    from music_streaming_data_pipeline_v2_spark.streaming import (
+        run_incremental_dedup,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    (inp / "d.csv").write_text("doc_id,lang,text\n1,en,alpha beta gamma delta\n")
+    run_incremental_dedup(spark, str(inp), str(work), num_hashes=16, bands=8)
+
+    with pytest.raises(ValueError, match="incompatible dedup-index state"):
+        run_incremental_dedup(spark, str(inp), str(work), num_hashes=32, bands=8)
+
+    # pre-format state (docs exist, no meta file) is refused too
+    (work / "state_meta.json").unlink()
+    with pytest.raises(ValueError, match="predates the sketch-bearing"):
+        run_incremental_dedup(spark, str(inp), str(work), num_hashes=16, bands=8)
