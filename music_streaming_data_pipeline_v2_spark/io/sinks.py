@@ -37,6 +37,7 @@ def write_kv_batched(
     df: DataFrame,
     client_factory,
     batch_size: int = 25,
+    replace_pks: bool = False,
 ) -> None:
     """Push a KV relation to an external store, client-batched per
     partition — the reference's DynamoDB load loop
@@ -57,19 +58,40 @@ def write_kv_batched(
     micro-batch after a failure converges (same as the reference's
     overwrite-recompute model). ``toLocalIterator`` is deliberately NOT
     used — it would serialize the write through the driver.
+
+    ``replace_pks=True`` makes the push a REPLACEMENT of each touched
+    pk rather than an upsert union: upserts alone leave stale rows
+    when a recompute changes a pk's key MEMBERSHIP (a rank demotion
+    moves a song from ``SONG#2#t0`` to ``SONG#3#t0`` — the old sk
+    never gets overwritten and the serving query returns both). The
+    frame is repartitioned + sorted by ``pk`` so one task owns every
+    row of a pk contiguously, and the client's ``delete_pk(pk)`` is
+    called once per pk before its first put. Clients without
+    ``delete_pk`` raise — silently skipping the delete would reproduce
+    the stale-row bug this flag exists to prevent.
     """
 
     def write_partition(rows) -> None:
         client = client_factory()
         buf: list[dict] = []
+        last_deleted_pk = None
         for row in rows:
-            buf.append(row.asDict())
+            item = row.asDict()
+            if replace_pks and item.get("pk") != last_deleted_pk:
+                if buf:
+                    client.put_batch(buf)
+                    buf = []
+                last_deleted_pk = item.get("pk")
+                client.delete_pk(last_deleted_pk)
+            buf.append(item)
             if len(buf) >= batch_size:
                 client.put_batch(buf)
                 buf = []
         if buf:
             client.put_batch(buf)
 
+    if replace_pks:
+        df = df.repartition("pk").sortWithinPartitions("pk", "sk")
     df.foreachPartition(write_partition)
 
 
@@ -91,10 +113,19 @@ class JsonDirKvClient:
     def put_batch(self, items: list[dict]) -> None:
         import json
         import os
+        import time
         import uuid
 
         os.makedirs(self.root, exist_ok=True)
-        path = os.path.join(self.root, f"{os.getpid()}-{uuid.uuid4().hex}.jsonl")
+        # monotonic-ns name prefix: read_batches/materialize sort by
+        # file name, and WITHIN a task the write order (delete
+        # tombstone, then its pk's puts) must be reconstructible — a
+        # pid-uuid name sorts arbitrarily and could fold a pk's delete
+        # AFTER its puts, vaporizing them
+        path = os.path.join(
+            self.root,
+            f"{time.time_ns():020d}-{os.getpid()}-{uuid.uuid4().hex}.jsonl",
+        )
         with open(path, "a") as f:
             f.write(json.dumps(items, default=str) + "\n")
 
@@ -110,8 +141,29 @@ class JsonDirKvClient:
                 out.extend(json.loads(line) for line in f if line.strip())
         return out
 
+    def delete_pk(self, pk: str) -> None:
+        """Tombstone the pk: appended to the log like any write; state
+        reconstruction (``materialize``) drops every earlier item of
+        that pk — the file-fake analog of a query-then-batch-delete."""
+        self.put_batch([{"_op": "delete_pk", "pk": pk}])
+
     def read_all(self) -> list[dict]:
         return [item for batch in self.read_batches() for item in batch]
+
+    def materialize(self) -> dict[tuple, dict]:
+        """Fold the append-only log into final store state: last write
+        wins per (pk, sk); a delete_pk tombstone clears the pk's items
+        written before it. Batch files sort by name (pid-uuid), which
+        is stable enough for the single-writer-per-pk tests that use
+        this (replace_pks routes each pk through one task)."""
+        state: dict[tuple, dict] = {}
+        for item in self.read_all():
+            if item.get("_op") == "delete_pk":
+                for key in [k for k in state if k[0] == item["pk"]]:
+                    del state[key]
+            else:
+                state[(item.get("pk"), item.get("sk"))] = item
+        return state
 
 
 def compact_partitions(
@@ -138,12 +190,34 @@ def compact_partitions(
     rewrite partitions in place while other readers may list the
     directory; for table formats (Delta/Iceberg) this whole function is
     their OPTIMIZE/rewrite_data_files action.
+
+    Crash recovery: the function is re-runnable after dying at ANY
+    point. On entry it repairs leftovers from a previous attempt —
+    a crash between the two renames leaves the live data only at
+    ``._pre_compact`` (restored to ``path``); leftover temp/backup
+    directories from completed or pre-swap crashes are cleared so the
+    rename swap cannot fail on a stale non-empty target. The
+    rename-swap design is local/HDFS-style-filesystem bound (renames
+    are atomic moves); on object stores use a table format's
+    transactional rewrite instead.
     """
     import os
     import shutil
 
-    df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._pre_compact"
+    if os.path.exists(old) and not os.path.exists(path):
+        # previous run died between the two renames: the backup is the
+        # only live copy — restore it before doing anything else
+        os.rename(old, path)
+    for leftover in (tmp, old):
+        # stale temp (pre-swap crash) or stale backup (post-swap,
+        # pre-cleanup crash): path is live, these are disposable —
+        # and os.rename onto a non-empty target would raise
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+    df = spark.read.format(fmt).load(path)
     (
         df.repartition(*partition_by)
         .write.mode("overwrite")
@@ -152,7 +226,6 @@ def compact_partitions(
         .partitionBy(*partition_by)
         .save(tmp)
     )
-    old = path.rstrip("/") + "._pre_compact"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

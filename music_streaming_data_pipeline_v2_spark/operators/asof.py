@@ -47,11 +47,30 @@ def as_of_join(
 
     Returns all left columns plus the right ``payload_cols`` (null when
     no right row precedes the left row).
+
+    Null handling: right rows with a null ``right_ts`` are dropped —
+    ascending sort is NULLS FIRST, so they would otherwise sort before
+    every real row and become the "match" for left rows that should
+    get none (this project's own coerce_timestamp produces such nulls).
+    Left rows with a null ``left_ts`` are kept with a null payload
+    (they precede every right row in the sort, so nothing matches).
+
+    ``payload_cols`` may not collide with left column names — the
+    output would contain two columns with the same name, poisoning
+    every later reference with AMBIGUOUS_REFERENCE; rename or project
+    one side first.
     """
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left columns: {clash}; "
+            "rename or select around them before the as-of join"
+        )
 
+    right = right.filter(F.col(right_ts).isNotNull())
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -90,18 +90,28 @@ def streaming_sessions(
 ) -> DataFrame:
     """Streaming equivalent via the native session window: windows per
     user grow while events arrive within the gap and finalize once the
-    watermark passes (state cleaned up automatically)."""
+    watermark passes (state cleaned up automatically).
+
+    ``session_end`` is the LAST EVENT's timestamp (``max(ts)``) —
+    matching the batch ``session_stats`` bounds exactly, so the two
+    surfaces reconcile row-for-row. Note Spark's raw ``win.end`` is
+    last-event + gap (the window's expiry instant, e.g. a lone 10:00
+    event with a 30-min gap gets win.end 10:30); that expiry bound is
+    deliberately NOT what this returns."""
     gap = f"{gap_minutes} minutes"
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
             F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col)
         )
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(ts_col).alias("_last_ts"),
+        )
         .select(
             user_col,
             F.col("win.start").alias("session_start"),
-            F.col("win.end").alias("session_end"),
+            F.col("_last_ts").alias("session_end"),
             "n_events",
         )
     )

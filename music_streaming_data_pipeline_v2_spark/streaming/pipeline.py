@@ -44,17 +44,23 @@ def stream_file_source(
     path: str,
     schema: T.StructType,
     fmt: str = "csv",
-    path_glob: str = "*stream*.csv",
+    path_glob: str | None = None,
     archive_dir: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """S6/S7/S10/P8: incremental file discovery with exactly-once
-    semantics and post-success archival, all engine-managed."""
-    reader = (
-        spark.readStream.schema(schema)
-        .option("header", "true")
-        .option("pathGlobFilter", path_glob)
-    )
+    semantics and post-success archival, all engine-managed.
+
+    ``path_glob`` defaults to ``*stream*.{fmt}`` — tied to the format,
+    because a format-independent ``*.csv`` default would make any
+    non-csv source silently match zero files and stream nothing
+    forever. The csv-only ``header`` option is likewise applied only
+    for csv."""
+    if path_glob is None:
+        path_glob = f"*stream*.{fmt}"
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", path_glob)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
@@ -76,6 +82,15 @@ def streaming_daily_kpis(
     natively), watermarked 1-day window ≡ the reference's
     ``to_date(listen_time)`` grouping (music-streaming-transform.py:79,
     100-106). Output mode 'update'/'append' chosen by the caller's sink.
+
+    Divergence from the batch recompute path, disclosed:
+    ``unique_listeners`` here is ``approx_count_distinct`` (HLL++,
+    ~2% rsd) because exact distinct over an update-mode streaming
+    aggregate would keep per-key user sets in state; the batch
+    recompute (``run_incremental_pipeline``) emits EXACT countDistinct
+    under the same column name. When both surfaces feed one consumer,
+    treat the batch value as authoritative (the low-latency value
+    converges to it at each recompute) — or reconcile explicitly.
     """
     enriched = (
         streams.withWatermark("listen_time", watermark)
@@ -105,6 +120,9 @@ def streaming_daily_kpis(
             "unique_listeners",
             "total_listening_time_ms",
             "avg_listening_time_ms",
+            (F.col("total_listening_time_ms") / F.col("unique_listeners")).alias(
+                "avg_listening_time_per_user"
+            ),
         )
     )
 
@@ -134,6 +152,15 @@ def run_incremental_pipeline(
     (b) recomputes the KPI grain for the dates present in the batch and
     (c) overwrites only those date partitions (dynamic partition
     overwrite) — the reference's PROCESS_DATE recompute, per batch.
+
+    Exactly-once discipline: foreachBatch itself is at-least-once (a
+    crash after any write but before checkpoint commit replays the
+    batch), so every state write is made replay-idempotent — the
+    validated store and quarantine are partitioned by batch id and
+    each batch OVERWRITES exactly its own slice (same policy as
+    streaming/dedup_ingest.py); the KPI/KV outputs are derived
+    overwrite-by-date recomputes, idempotent by construction. File-
+    level exactly-once comes from the checkpoint (S6-S8).
 
     ``maintain_kv=True`` additionally rebuilds the KV serving rows
     (METRIC#/SONG#/GENRE_RANK#) for the touched dates — the S9 KV sink
@@ -182,11 +209,23 @@ def run_incremental_pipeline(
                     f"strict validation: {n_bad} invalid row(s) in batch {batch_id}"
                 )
         elif quarantine_dir is not None:
-            batch_df.filter(invalid).write.mode("append").parquet(quarantine_dir)
-        good = good.withColumn("date", F.to_date("listen_time"))
-        # accumulate validated rows partitioned by date (the long-term
-        # fact store the recompute reads from)
-        good.write.mode("append").partitionBy("date").parquet(validated_dir)
+            # batch-owned partition + dynamic overwrite: foreachBatch
+            # is at-least-once, so a replayed batch must REWRITE its
+            # own quarantine rows, not append a second copy
+            batch_df.filter(invalid).withColumn(
+                "_batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("_batch_id").parquet(
+                quarantine_dir
+            )
+        good = good.withColumn("date", F.to_date("listen_time")).persist()
+        # accumulate validated rows partitioned by (date, batch): date
+        # for the recompute's partition pruning, batch so an
+        # at-least-once REPLAY overwrites exactly its own slice instead
+        # of appending duplicates that would permanently double-count
+        # every later recompute of those dates
+        good.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("date", "_batch_id").parquet(validated_dir)
 
         # recompute ONLY the dates touched by this batch from the full
         # validated store — the reference's recompute-a-day semantics.
@@ -201,6 +240,7 @@ def run_incremental_pipeline(
             r["date"] for r in dates_df.limit(max_isin_dates + 1).collect()
         ]
         if not dates:
+            good.unpersist()
             return
 
         def only_touched(df: DataFrame) -> DataFrame:
@@ -258,13 +298,26 @@ def run_incremental_pipeline(
             # sort within files by (pk, sk): parquet min/max stats then
             # skip row groups for the pk-equality + sk-range serving
             # predicates (operators/serving.py)
+            kv_dir = os.path.join(output_dir, "kv")
             kv.sortWithinPartitions("pk", "sk").write.mode("overwrite").partitionBy(
                 "date"
-            ).parquet(os.path.join(output_dir, "kv"))
+            ).parquet(kv_dir)
             if kv_client_factory is not None:
                 from ..io.sinks import write_kv_batched
 
-                write_kv_batched(kv, kv_client_factory)
+                # push what was just COMMITTED (read back, pruned to
+                # this batch's dates) instead of re-executing the whole
+                # join/rank lineage a second time for the client sink.
+                # replace_pks: a recompute can change a pk's KEY
+                # MEMBERSHIP (rank moves change the sk), so each
+                # touched pk is deleted-then-rewritten — upserts alone
+                # would leave the demoted ranks' old rows serving
+                write_kv_batched(
+                    only_touched(spark.read.parquet(kv_dir)),
+                    kv_client_factory,
+                    replace_pks=True,
+                )
+        good.unpersist()
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -113,3 +113,43 @@ def test_ewma_string_entity_and_recurrence(spark):
     assert dict(out.dtypes)["user_id"] == "string"
     got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
     assert got == {("u1", 1): 8.0, ("u1", 2): 6.0, ("u1", 3): 4.0, ("u2", 4): 1.0}
+
+
+def test_as_of_join_null_timestamps_and_collisions(spark):
+    """Null-ts right rows must never match (asc sort is NULLS FIRST —
+    unfiltered they'd become the as-of state for every early left
+    row); null-ts left rows keep a null payload; colliding payload
+    names are refused loudly."""
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=5, ev="early"),     # before every real right row
+            Row(k="a", ts=15, ev="mid"),
+            Row(k="a", ts=None, ev="null-ts"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=None, setting="poison"),  # must never match
+            Row(k="a", rts=10, setting="s10"),
+        ]
+    )
+    out = {
+        r.ev: r.setting
+        for r in as_of_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["setting"],
+        ).collect()
+    }
+    assert out == {"early": None, "mid": "s10", "null-ts": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        as_of_join(
+            left, right.withColumnRenamed("setting", "ev"),
+            on="k", left_ts="ts", right_ts="rts", payload_cols=["ev"],
+        )

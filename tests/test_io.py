@@ -79,3 +79,35 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     assert len(after_files) == 4  # one file per partition
     got = sorted((r.id, r.part) for r in spark.read.parquet(path).collect())
     assert got == expected
+
+
+def test_compact_partitions_recovers_from_crash_states(spark, tmp_path):
+    """compact_partitions must be re-runnable after dying at any point
+    of the rename swap: a backup-only state (crash between the two
+    renames) restores the live table; stale temp/backup leftovers are
+    cleared instead of failing the next swap."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_data_pipeline_v2_spark.io.sinks import compact_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumn("part", (F.col("id") % 4).cast("int"))
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    # crash state A: between the renames — live data only at the backup
+    os.rename(path, path + "._pre_compact")
+    shutil.copytree(path + "._pre_compact", path + "._compacting")  # stale tmp too
+    compact_partitions(spark, path, ["part"])
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "._pre_compact")
+    assert not os.path.exists(path + "._compacting")
+
+    # crash state B: after the swap, before backup cleanup — stale
+    # backup must not break the next run's rename
+    shutil.copytree(path, path + "._pre_compact")
+    compact_partitions(spark, path, ["part"])
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "._pre_compact")

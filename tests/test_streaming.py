@@ -216,6 +216,14 @@ def test_streaming_sessions(spark, tmp_path):
     assert len(per_user["1"]) == 2  # the 2-hour gap splits sessions
     assert sorted(r.n_events for r in per_user["1"]) == [1, 2]
     assert len(per_user["2"]) == 1
+    # session_end is the LAST EVENT, not the window's expiry instant
+    # (win.end = last + gap) — matching batch session_stats bounds
+    import datetime as _dt
+
+    first_u1 = min(per_user["1"], key=lambda r: r.session_start)
+    assert first_u1.session_end == _dt.datetime(2024, 6, 25, 10, 10)
+    lone_u2 = per_user["2"][0]
+    assert lone_u2.session_end == lone_u2.session_start
 
 
 def test_stateful_running_totals(spark, tmp_path):
@@ -440,13 +448,16 @@ def test_kv_client_batched_sink(spark, tmp_path):
     )
 
     client = JsonDirKvClient(kv_dir)
-    pushed = client.read_all()
+    pushed = [d for d in client.read_all() if d.get("_op") != "delete_pk"]
     stored = spark.read.parquet(str(tmp_path / "out" / "kv"))
-    # exactly-once per item: pushed set == stored kv table
+    # exactly-once per item: pushed set == stored kv table (the
+    # replace-pk tombstones are bookkeeping, not items)
     assert len(pushed) == stored.count()
     assert {(d["pk"], d["sk"]) for d in pushed} == {
         (r.pk, r.sk) for r in stored.collect()
     }
+    # materialized store state matches too (tombstones folded in)
+    assert set(client.materialize()) == {(r.pk, r.sk) for r in stored.collect()}
     assert all(len(b) <= 25 for b in client.read_batches())
 
     # batching respected with a small batch size: 7 items per call max
@@ -809,3 +820,118 @@ def test_incremental_dedup_rejects_incompatible_state(spark, tmp_path):
     (work / "state_meta.json").unlink()
     with pytest.raises(ValueError, match="predates the sketch-bearing"):
         run_incremental_dedup(spark, str(inp), str(work), num_hashes=16, bands=8)
+
+
+def test_replayed_batch_does_not_duplicate_state(spark, dims, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint's commit
+    marker for the last batch and re-running replays it. The replay
+    must leave the validated store, quarantine, and KPIs byte-
+    identical — the batch-owned partition overwrite, not append, is
+    what makes that hold."""
+    songs, users = dims
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        [
+            "0,t0,2024-06-25 10:00:00",
+            "1,t0,2024-06-25 11:00:00",
+            "0,t1,garbage-timestamp",  # → quarantine
+        ],
+    )
+    kwargs = dict(
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_dir=str(tmp_path / "quar"),
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    validated = spark.read.parquet(str(tmp_path / "out" / "validated"))
+    kpis = {
+        (r.track_genre, str(r.date)): r.listen_count
+        for r in spark.read.parquet(str(tmp_path / "out" / "genre_kpis")).collect()
+    }
+    assert validated.count() == 2
+    assert spark.read.parquet(str(tmp_path / "quar")).count() == 1
+
+    # simulate the crash-after-write-before-commit replay: clone the
+    # checkpoint WITHOUT the batch-0 commit marker (the last thing the
+    # engine writes) to a fresh path — same planned offsets, same
+    # output dirs, so the resumed query re-executes batch 0's writes.
+    # (A fresh path because the session caches commit-log state per
+    # checkpoint dir and flags in-place tampering as a concurrent
+    # query.)
+    import shutil
+
+    shutil.copytree(str(tmp_path / "ckpt"), str(tmp_path / "ckpt_replay"))
+    os.remove(str(tmp_path / "ckpt_replay" / "commits" / "0"))
+    # new query id for the clone — the session's commit-log registry is
+    # keyed by the id in `metadata` and would flag the rewound clone as
+    # a concurrently-running copy of the original query
+    os.remove(str(tmp_path / "ckpt_replay" / "metadata"))
+    # Hadoop LocalFS keeps .<name>.crc shadows; stale ones make the
+    # rewound clone's atomic re-writes look like a concurrent query
+    for dirpath, _dirs, files in os.walk(str(tmp_path / "ckpt_replay")):
+        for f in files:
+            if f.endswith(".crc"):
+                os.remove(os.path.join(dirpath, f))
+    kwargs["checkpoint_dir"] = str(tmp_path / "ckpt_replay")
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+
+    assert spark.read.parquet(str(tmp_path / "out" / "validated")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "quar")).count() == 1
+    kpis2 = {
+        (r.track_genre, str(r.date)): r.listen_count
+        for r in spark.read.parquet(str(tmp_path / "out" / "genre_kpis")).collect()
+    }
+    assert kpis2 == kpis
+
+
+def test_kv_push_replaces_stale_rank_rows(spark, tmp_path):
+    """A recompute that changes rank MEMBERSHIP (late data demotes a
+    song, moving it to a different SONG#<rank># sk) must not leave the
+    old sk serving in the external store — the push deletes each
+    touched pk before rewriting it."""
+    from music_streaming_data_pipeline_v2_spark.io.sinks import JsonDirKvClient
+
+    kv_dir = str(tmp_path / "kvstore")
+    songs = spark.createDataFrame(
+        [
+            Row(track_id=f"t{i}", track_name=f"name{i}", artists=f"a{i}",
+                track_genre="rock", duration_ms=100000)
+            for i in range(3)
+        ]
+    )
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    inp = tmp_path / "in"
+    inp.mkdir()
+    kwargs = dict(
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        maintain_kv=True, kv_client_factory=lambda: JsonDirKvClient(kv_dir),
+    )
+    # batch 1: t0 leads with 2 plays
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "1,t0,2024-06-25 11:00:00",
+         "2,t1,2024-06-25 12:00:00"],
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    state1 = JsonDirKvClient(kv_dir).materialize()
+    pk = "GENRE#rock#DATE#2024-06-25"
+    ranks1 = sorted(sk for p, sk in state1 if p == pk and sk.startswith("SONG#"))
+    assert ranks1[0].startswith("SONG#1#t0")
+
+    # batch 2: late data makes t2 the leader (3 plays) — t0 demotes
+    _write_stream_csv(
+        str(inp / "stream2.csv"),
+        ["0,t2,2024-06-25 13:00:00", "1,t2,2024-06-25 14:00:00",
+         "2,t2,2024-06-25 15:00:00", "0,t2,2024-06-25 16:00:00"],
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    state2 = JsonDirKvClient(kv_dir).materialize()
+    song_rows = sorted(sk for p, sk in state2 if p == pk and sk.startswith("SONG#"))
+    # exactly one row per rank — no stale SONG#1#t0 surviving beside
+    # the new SONG#1#t2
+    assert [sk.split("#")[1] for sk in song_rows] == ["1", "2", "3"]
+    assert song_rows[0].startswith("SONG#1#t2")
+    stored = spark.read.parquet(str(tmp_path / "out" / "kv"))
+    assert set(state2) == {(r.pk, r.sk) for r in stored.collect()}
