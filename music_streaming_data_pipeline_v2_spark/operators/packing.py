@@ -27,10 +27,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: The engine-portable whitespace class — the ONE source of truth for
+#: every operator whose token boundaries must replay identically in
+#: the DuckDB oracles (chunking/packing here; n-grams, contamination
+#: postings, and winnowing in operators/text.py). Java's \\s and
+#: DuckDB's whitespace semantics differ at the edges; this explicit
+#: class behaves identically in both.
+ENGINE_SAFE_WS = "[ \t\n\r\f]+"
+
+
 def engine_safe_tokens(col: str | Column = "text") -> Column:
-    """Whitespace tokens with an engine-portable separator class."""
+    """Whitespace tokens with the engine-portable separator class."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), "[ \t\n\r\f]+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.trim(c), ENGINE_SAFE_WS), lambda t: t != F.lit(""))
 
 
 def chunk_documents(

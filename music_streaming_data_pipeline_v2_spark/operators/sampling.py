@@ -49,11 +49,18 @@ def dataset_split(
     val_buckets: int = 26,     # 26/256  ≈ 10.2 %
     split_col: str = "split",
 ) -> DataFrame:
-    """Assign train/val/test by hash bucket of ``key_col``."""
+    """Assign train/val/test by hash bucket of ``key_col``.
+
+    Null keys go to TRAIN explicitly: a null bucket makes every
+    ``when`` condition null-false, so the naive form routed key-less
+    rows into the ``otherwise`` branch — silently polluting the
+    held-out test set with rows that have no stable identity. Train is
+    the safe destination (eval purity matters; training mix doesn't).
+    """
     b = hash_bucket(key_col)
     return df.withColumn(
         split_col,
-        F.when(b < train_buckets, "train")
+        F.when(b.isNull() | (b < train_buckets), "train")
         .when(b < train_buckets + val_buckets, "val")
         .otherwise("test"),
     )
@@ -88,15 +95,22 @@ def balanced_sample(
     corpus growth only moves rows whose stratum fraction changed.
     One count aggregate + a broadcast join of |strata| rows — the data
     itself is scanned once, map-only.
+
+    A NULL stratum is a stratum: groupBy already counts it, and the
+    join back is null-safe — a plain equi-join would silently DROP
+    every null-stratum row from the output while their count still
+    participated in (and could even define) the min-size target.
     """
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
     min_n = counts.agg(F.min("_n").alias("_min"))
     frac = counts.crossJoin(F.broadcast(min_n)).select(
-        stratum_col, (F.col("_min") / F.col("_n")).alias("_frac")
+        F.col(stratum_col).alias("_stratum"),
+        (F.col("_min") / F.col("_n")).alias("_frac"),
     )
     return (
-        df.join(F.broadcast(frac), stratum_col)
+        df.join(
+            F.broadcast(frac), df[stratum_col].eqNullSafe(frac["_stratum"])
+        )
         .filter(hash_bucket(key_col) < F.col("_frac") * 256)
-        .drop("_frac")
         .select(*df.columns)
     )

@@ -53,7 +53,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, null for zero-norm inputs: an unguarded
+    division crashes the whole job under Spark 4's default ANSI mode
+    the moment ANY corpus vector is all-zero (DIVIDE_BY_ZERO), and a
+    zero-norm vector has no defined direction anyway. Null ranks last
+    under desc ordering and fails every >= threshold filter, so
+    degenerate vectors drop out of top-k/near-dup results instead of
+    aborting them. (The DuckDB oracle twin never sees the branch —
+    the driver testdata has no zero vectors.)"""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != F.lit(0.0), _dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -76,7 +85,9 @@ def cosine_topk(
     scored = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     ).join(F.broadcast(q), how="cross")
-    scored = scored.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    scored = scored.withColumn(
+        "cosine", cosine(F.col("_qvec"), F.col("_cvec"))
+    ).filter(F.col("cosine").isNotNull())  # zero-norm rows are unrankable
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -140,6 +151,16 @@ def lsh_topk(
     """Approximate top-K: hyperplane-LSH candidate generation + exact
     cosine re-rank. Returns the same schema as ``cosine_topk`` (a query
     may return < k rows if its buckets are sparse)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    # dims mismatch would not crash — zip_with pads with nulls, every
+    # sign bit falls to 0, and ALL rows share one bucket: silently
+    # worse-than-brute-force. Probe one row and refuse instead.
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != dims:
+        raise ValueError(
+            f"dims={dims} but {vec_col} vectors have {probe['d']} elements"
+        )
     planes = random_hyperplanes(dims, bits, seed)
 
     c_sig = corpus.select(
@@ -187,10 +208,16 @@ def kmeans_lite(
         .limit(n_centroids)
         .collect()
     ]
+    if not seeds:
+        raise ValueError("kmeans_lite: empty corpus — nothing to seed from")
+    dims = len(seeds[0])
+    # a stray different-width vector would null one component of
+    # sum_vec and crash the driver-side division with a bare TypeError
+    # mid-job; exclude it from refinement explicitly
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dims)
     assigned = assign_centroid(corpus, seeds, vec_col).select(
         "centroid_id", F.col(vec_col).alias("v")
     )
-    dims = len(seeds[0])
     sums = assigned.groupBy("centroid_id").agg(
         F.array(
             *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dims)]
@@ -311,19 +338,30 @@ def cosine_topk_pandas(
         for pdf in batches:
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            # zero-norm rows/queries → NaN; mark unrankable exactly
+            # like the JVM path's null-cosine filter (NaN would
+            # otherwise sort ABOVE every real value in Spark ordering)
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
             n_c, n_q = sims.shape
             top = min(k, n_c)
-            # per-batch partial top-k per query
+            ids_np = pdf[id_col].to_numpy()
             frames = []
             for j in range(n_q):
-                idx = np.argpartition(-sims[:, j], top - 1)[:top]
+                # full (-cos, id) lexsort per batch, not argpartition:
+                # the partial top-k must respect the SAME tie-break as
+                # the exact operator (cos desc, neighbor_id asc) or a
+                # tied neighbor the final window would keep can be
+                # discarded here before the window ever sees it
+                order = np.lexsort((ids_np, -sims[:, j]))[:top]
+                keep = order[np.isfinite(sims[order, j])]
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": q_ids[j],
-                            "neighbor_id": pdf[id_col].to_numpy()[idx],
-                            "cosine": sims[idx, j],
+                            "neighbor_id": ids_np[keep],
+                            "cosine": sims[keep, j],
                         }
                     )
                 )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .packing import ENGINE_SAFE_WS
+
 # Tiny per-language stopword marker lists for the n-gram/stopword
 # language heuristic. Deliberately small and deterministic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -123,8 +125,12 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: MD5 over whitespace-normalized,
     lowercased text — a deterministic content hash for exact-dup
-    detection and lineage; plus a 64-bit xxhash for cheap joins."""
-    norm = F.lower(F.concat_ws(" ", tokens(text_col)))
+    detection and lineage; plus a 64-bit xxhash for cheap joins.
+    Uses functions/scalar.py:normalize_text — the ONE canonical
+    normalization both fingerprinting and exact dedup share."""
+    from ..functions.scalar import normalize_text
+
+    norm = normalize_text(text_col)
     return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
         "fingerprint_x64", F.xxhash64(norm)
     )
@@ -240,9 +246,25 @@ def redact_terms(
     Adds ``text_redacted`` (every whole-word denylist hit replaced by
     ``[REDACTED]``) and ``n_redactions``. Map-only, JVM regex, no
     shuffle — at 100 TB this is a pure scan→project pass.
+
+    Terms are treated as LITERALS (quoted with ``\\Q…\\E``): an
+    unescaped 'c++' or 'a.b' would crash or silently match the wrong
+    text. An empty denylist is a no-op — the naive empty alternation
+    ``\\b()\\b`` matches every word boundary and shreds the corpus.
     """
-    pattern = r"\b(" + "|".join(deny_terms) + r")\b"
     t = F.col(text_col)
+    terms = [x for x in deny_terms if x]
+    if not terms:
+        return df.withColumn("text_redacted", t).withColumn(
+            "n_redactions", F.lit(0).cast("bigint")
+        )
+    # lookaround boundaries, not \b: a term edged with non-word chars
+    # ('c++') has no word boundary at its edge, so \b would never
+    # match it; (?<!\w)…(?!\w) is equivalent for word-edged terms and
+    # correct for all literals
+    pattern = (
+        r"(?<!\w)(" + "|".join(rf"\Q{x}\E" for x in terms) + r")(?!\w)"
+    )
     return df.withColumn(
         "text_redacted", F.regexp_replace(t, pattern, "[REDACTED]")
     ).withColumn(
@@ -255,7 +277,7 @@ def word_ngrams(col: str | Column, n: int) -> Column:
     """Distinct word n-grams using the engine-portable whitespace class
     (see operators/packing.py:engine_safe_tokens for why not ``\\s``)."""
     c = F.col(col) if isinstance(col, str) else col
-    w = F.filter(F.split(F.trim(c), "[ \t\n\r\f]+"), lambda t: t != F.lit(""))
+    w = F.filter(F.split(F.trim(c), ENGINE_SAFE_WS), lambda t: t != F.lit(""))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
@@ -287,7 +309,7 @@ def word_ngram_postings(
     # ROWS stays in codegen. lead() orders by _pos, not indexes it, so
     # dropping an empty token (only possible for empty input text)
     # still yields grams over consecutive surviving tokens.
-    toks = F.split(F.trim(F.col(text_col)), "[ \t\n\r\f]+")
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
     w = Window.partitionBy("_id").orderBy("_pos")
     base = df.select(
         F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
@@ -395,7 +417,7 @@ def winnow_fingerprints(
     from pyspark.sql import Window as W
 
     hash_fn = hash_fn or F.xxhash64
-    toks = F.split(F.trim(F.col(text_col)), "[ \t\n\r\f]+")
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
     w_doc = W.partitionBy("_id").orderBy("_pos")
     base = df.select(
         F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")

@@ -77,9 +77,19 @@ def validate_users(df: DataFrame) -> DataFrame:
 
 def validate_songs(df: DataFrame) -> DataFrame:
     """Clean the songs dimension (validate.py:65-102)."""
+    # the contract check must cover EVERY column the select below
+    # references — a partial list lets a malformed input pass
+    # validation and then die with an AnalysisException instead of the
+    # SchemaError callers catch for the missing-columns path
     validate_columns(
         df,
-        ["track_id", "track_name", "artists", "popularity", "duration_ms", "track_genre"],
+        [
+            "id", "track_id", "track_name", "album_name", "artists",
+            "popularity", "duration_ms", "explicit", "track_genre",
+            "danceability", "energy", "loudness", "speechiness",
+            "acousticness", "instrumentalness", "liveness", "valence",
+            "tempo",
+        ],
         "songs",
     )
     pop = _coerce_int("popularity")

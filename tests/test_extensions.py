@@ -681,3 +681,81 @@ def test_resize_images_pillow_kernel_real_pixels(spark):
     assert (r.meta.width, r.meta.height) == (100, 50)
     img = PIL_Image.open(io.BytesIO(r.content))
     assert img.size == (100, 50)
+
+
+def test_similarity_zero_norm_vectors_are_excluded_not_fatal(spark):
+    """A single all-zero embedding anywhere in the corpus must not
+    abort the job (ANSI divide-by-zero) — it is unrankable and drops
+    out; both topk variants agree, including on ties."""
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=5, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),   # exact tie with 5
+            Row(vec_id=9, embedding=[0.0, 1.0]),
+            Row(vec_id=7, embedding=[0.0, 0.0]),   # zero norm: excluded
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, embedding=[2.0, 0.0])])
+    exact = [
+        (r.rank, r.neighbor_id)
+        for r in cosine_topk(corpus, queries, k=3).orderBy("rank").collect()
+    ]
+    # tie between 2 and 5 breaks neighbor_id ASC; zero vector absent
+    assert exact == [(1, 2), (2, 5), (3, 9)]
+    pandas_out = [
+        (r.rank, r.neighbor_id)
+        for r in cosine_topk_pandas(corpus, queries, k=3).orderBy("rank").collect()
+    ]
+    assert pandas_out == exact
+
+
+def test_redact_terms_literal_and_empty(spark):
+    """Denylist terms are literals (metacharacters don't crash or
+    mis-match) and an empty denylist is a no-op, not a corpus
+    shredder."""
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators.text import redact_terms
+
+    df = spark.createDataFrame([Row(doc_id=1, text="i love c++ and a.b and axb")])
+    r = redact_terms(df, ["c++", "a.b"]).collect()[0]
+    assert r.text_redacted == "i love [REDACTED] and [REDACTED] and axb"
+    assert r.n_redactions == 2
+    r0 = redact_terms(df, []).collect()[0]
+    assert r0.text_redacted == df.collect()[0].text and r0.n_redactions == 0
+
+
+def test_sampling_null_keys_and_strata(spark):
+    """Null keys split to train (never polluting test); a null stratum
+    is balanced like any other instead of silently vanishing."""
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        balanced_sample,
+        dataset_split,
+    )
+
+    split = {
+        r.k: r.split
+        for r in dataset_split(
+            spark.createDataFrame([Row(k="x"), Row(k=None)]), "k"
+        ).collect()
+    }
+    assert split[None] == "train"
+
+    rows = [Row(src="s1", doc_id=i) for i in range(8)] + [
+        Row(src=None, doc_id=100 + i) for i in range(4)
+    ]
+    out = balanced_sample(spark.createDataFrame(rows), "src", "doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src[r.src] = by_src.get(r.src, 0) + 1
+    assert None in by_src  # the null stratum survives
+    assert by_src[None] >= 1 and by_src["s1"] <= 8
