@@ -1,0 +1,158 @@
+"""Broadcast Bloom filters as pure Spark SQL expressions.
+
+Spark's own Bloom machinery (`bloom_filter_agg` / `might_contain`) is
+internal — not on the public function search path in Spark 4.1 — and
+`DataFrameStatFunctions` Bloom filters live driver-side as Java
+objects a SQL expression can't consume. This module builds the same
+structure out of public primitives so it stays inside whole-stage
+codegen:
+
+- **build** (distributed): k seeded ``xxhash64`` probes per value →
+  bit positions → ``groupBy(word) → bit_or`` — a shuffle of at most
+  ``num_bits/64`` rows regardless of input size — then collect the
+  tiny word array (m = 2^20 bits ⇒ 16K longs ⇒ 128 KB).
+- **probe** (map-side): the word array ships as ONE array<bigint>
+  literal in a Project (planted once via ``withColumn``; the k probe
+  expressions reference the attribute, not k literal copies), and
+  membership is ``element_at`` + ``shiftright`` + mask — no join, no
+  shuffle, no Python.
+
+The 100 TB use case is decontamination-style anti-joins where one
+side is small (a test set's n-grams) and the other is the corpus:
+instead of shuffling every corpus gram to the join, the corpus scan
+drops ≥ ~99% of grams map-side (false-positive rate ``fpp``) and only
+survivors shuffle. A Bloom filter has **no false negatives** — every
+true hit survives the prefilter — so `exact verification after the
+prefilter returns results identical to the unfiltered join` (the
+property `ngram_contamination_bloom`'s oracle hash-checks).
+
+Sizing formulas are the standard Bloom optima (k = (m/n)·ln2,
+m = −n·ln(fpp)/ln²2) as published in Bloom's 1970 CACM paper and
+every open implementation since.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def optimal_num_bits(n_items: int, fpp: float = 0.01) -> int:
+    """Standard optimum m = ceil(−n·ln(p) / ln(2)²), floored at 64."""
+    if n_items <= 0:
+        return 64
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    return max(64, m)
+
+
+def optimal_num_hashes(num_bits: int, n_items: int) -> int:
+    """Standard optimum k = round((m/n)·ln 2), clamped to [1, 16]."""
+    if n_items <= 0:
+        return 1
+    k = round(num_bits / n_items * math.log(2))
+    return min(16, max(1, k))
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k probe positions for one value: pmod(xxhash64(v, seed), m).
+    Seeding via a second hashed argument (not re-hashing the output)
+    keeps the k probes independent; pmod (not %) keeps negative hashes
+    in [0, m)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom(
+    df: DataFrame, col: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Build the filter distributed and return its words (list of
+    ``num_bits/64`` signed 64-bit ints, LSB-first within each word).
+
+    One narrow job: explode each value to its k positions (map-side),
+    aggregate ``bit_or`` by word index — the shuffle carries at most
+    one row per distinct word, i.e. ≤ m/64 rows total independent of
+    corpus size — and collect the words. The collect is bounded by the
+    filter size the caller chose, never by the data."""
+    c = F.col(col)
+    pos = F.explode(F.array(*_positions(c, num_bits, num_hashes))).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            F.expr("pos DIV 64").cast("int").alias("w"),
+            # call_function: the classic shiftleft binding only takes a
+            # Python int for numBits; the SQL function accepts a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out = [0] * ((num_bits + 63) // 64)
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def with_bloom_contains(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    num_bits: int,
+    num_hashes: int,
+    out_col: str = "_bloom_hit",
+) -> DataFrame:
+    """Append a boolean column: value *might* be in the filter (no
+    false negatives; false positives at the built fpp).
+
+    The words array is planted once as a literal in a single Project;
+    every probe references that attribute, so the plan carries one
+    copy of the filter however many probes run. All expressions are
+    built-ins — the probe stays inside whole-stage codegen."""
+    c = F.col(col)
+    arr = F.lit(words)
+    probes = []
+    for p in _positions(c, num_bits, num_hashes):
+        word = F.element_at(F.col("_bf_words"), (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(
+            F.lit(1)
+        )
+        probes.append(bit == 1)
+    return (
+        df.withColumn("_bf_words", arr)
+        .withColumn(out_col, reduce(lambda a, b: a & b, probes))
+        .drop("_bf_words")
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    n_items: int | None = None,
+) -> DataFrame:
+    """Keep only ``big`` rows whose ``col`` *might* appear in
+    ``small``'s ``col`` — the map-side candidate cut in front of an
+    exact join.
+
+    ``n_items`` sizes the filter; when omitted it is measured with one
+    count_distinct job over ``small`` (the SMALL side by contract —
+    at 100 TB that's the test set, never the corpus). Downstream MUST
+    still verify candidates exactly (join/semi-join against ``small``)
+    — the guarantee is only no-false-negatives, which is what makes
+    `prefilter + exact verify ≡ exact join` and therefore
+    oracle-checkable."""
+    if n_items is None:
+        n_items = small.select(F.count_distinct(F.col(col))).first()[0]
+    m = optimal_num_bits(n_items, fpp)
+    k = optimal_num_hashes(m, n_items)
+    words = build_bloom(small, col, m, k)
+    flagged = with_bloom_contains(big, col, words, m, k)
+    return flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")

@@ -386,6 +386,53 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``ngram_contamination`` with a broadcast Bloom prefilter on the
+    training side — identical results, different physical plan.
+
+    The exact operator shuffles EVERY distinct training (doc, gram)
+    posting to the gram-keyed join; at 100 TB that's the whole corpus'
+    gram inventory moving for a test set whose grams number in the
+    millions. Here the test grams (the small side by contract — a
+    held-out eval set) build a Bloom filter (bloom.py:bloom_prefilter:
+    one pass over test grams, m sized for ``fpp``), and the TRAIN
+    posting scan drops non-candidate grams map-side before the
+    shuffle: expected surviving volume = true hits + fpp × corpus
+    grams — a ≥ ~99% shuffle cut at the default 1%.
+
+    Correctness is not approximate: Bloom filters have no false
+    negatives, every surviving candidate still goes through the SAME
+    exact gram equi-join, so the output is row-for-row identical to
+    ``ngram_contamination`` — the equivalence `bloom_decontamination`'s
+    oracle hash-checks against the plain exact SQL (the same
+    accelerator-equivalence pattern as ``salted_agg_equivalence``).
+
+    Cost note: building the filter adds one job over the test side
+    (count_distinct + build); worth it exactly when the training side
+    dwarfs the test side, which is the only regime decontamination
+    runs in."""
+    from .bloom import bloom_prefilter
+
+    tg = word_ngram_postings(train, n, text_col, id_col, out_id="train_id")
+    sg = word_ngram_postings(test, n, text_col, id_col)
+    tg = bloom_prefilter(tg, sg.select("gram").distinct(), "gram", fpp=fpp)
+    return (
+        sg.join(tg, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("train_id").alias("n_train_docs_hit"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 3,

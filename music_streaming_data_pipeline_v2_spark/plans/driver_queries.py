@@ -3250,6 +3250,7 @@ _CHECK_FIRST = [
     # -- 1. never driver-checked: round-4 additions
     "multimodal_resize_geometry",
     "lateral_top_customers",
+    "bloom_decontamination",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3287,7 +3288,6 @@ _CHECK_FIRST = [
     "daily_gapfill",
     "multimodal_features",
     "user_sessions",
-    "asof_user_setting",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 from ..operators import similarity as _sim
 from .driver_queries import cos_sql as _cos_sql, q
+from .round3_queries import _ORACLE_DECONTAM
 
 _DIMS, _BITS, _BANDS, _K, _NPROBE, _NCENT = 64, 16, 4, 10, 3, 8
 _PLANES = _sim.random_hyperplanes(_DIMS, _BITS, seed=42)
@@ -376,6 +377,29 @@ FROM nation n, LATERAL (
     LIMIT 2
 ) t
 """
+
+
+@q("bloom_decontamination", _ORACLE_DECONTAM)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_decontamination` rerun through the broadcast-Bloom
+    prefilter (text.py:ngram_contamination_bloom over
+    bloom.py:bloom_prefilter): the test split's distinct 5-grams build
+    a Bloom filter (1% fpp) that the TRAIN posting scan probes
+    map-side, so only candidate grams reach the gram-keyed shuffle.
+    Bloom filters have no false negatives and every candidate still
+    passes the exact equi-join, so the oracle is the SAME exact SQL as
+    `ngram_decontamination` — accelerator equivalence, the
+    `salted_agg_equivalence` pattern. At 100 TB this is the plan that
+    matters: the corpus-side shuffle shrinks to true hits + 1% noise
+    instead of the corpus' whole gram inventory."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import ngram_contamination_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return ngram_contamination_bloom(
+        docs.filter(b < 204), docs.filter(b >= 230), n=5
+    )
 
 
 @q("lateral_top_customers", _SQL_LATERAL)
