@@ -424,3 +424,58 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embedding space,
+    compare pairs ONLY within a cluster, and drop every vector that
+    has a lower-id within-cluster neighbor above the cosine threshold.
+
+    Returns the full roster ``(id, centroid_id, kept)`` — kept=false
+    rows are the semantic duplicates a curation pipeline would drop.
+    The keep-lowest-id rule makes the decision deterministic and
+    engine-replayable (no dependence on iteration order), matching the
+    paper's keep-one-representative semantics without a clustering
+    pass over the pair graph.
+
+    Scale shape: assignment is a map-only argmax over a broadcast
+    codebook literal; the only shuffle is the centroid-keyed self-join,
+    O(Σ cluster²) — never all-pairs — and cluster sizes are bounded by
+    the codebook granularity the caller picks (the paper uses ~11k
+    clusters for ~100M embeddings, keeping cells in the thousands).
+    Pass a deterministic codebook (`kmeans_lite` or an md5-seeded
+    sample) when the output must be reproducible across engines."""
+    tagged = assign_centroid(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "centroid_id"
+    )
+    left = tagged.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    right = tagged.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    dropped = (
+        left.join(right, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        tagged.join(dropped, "id", "left")
+        .select(
+            "id",
+            "centroid_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

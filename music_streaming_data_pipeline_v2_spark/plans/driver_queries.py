@@ -3251,6 +3251,7 @@ _CHECK_FIRST = [
     "multimodal_resize_geometry",
     "lateral_top_customers",
     "bloom_decontamination",
+    "semantic_dedup_decisions",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3287,7 +3288,6 @@ _CHECK_FIRST = [
     "grouping_sets_marginals",
     "daily_gapfill",
     "multimodal_features",
-    "user_sessions",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -379,6 +379,52 @@ FROM nation n, LATERAL (
 """
 
 
+_SEM_THRESHOLD = 0.35
+
+_ORACLE_SEMANTIC_DEDUP = f"""
+WITH seeds AS (
+    SELECT embedding AS cv,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS cid
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_NCENT}
+),
+assigned AS (
+    SELECT vec_id AS id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC,
+                            s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT b.id
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_SEM_THRESHOLD}
+)
+SELECT a.id, a.cid AS centroid_id, d.id IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d USING (id)
+"""
+
+
+@q("semantic_dedup_decisions", _ORACLE_SEMANTIC_DEDUP)
+def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings corpus
+    (operators/similarity.py:semantic_dedup): md5-seeded codebook
+    (engine-portable, like ann_ivf_oracle's), map-only cluster
+    assignment, within-cluster cosine pairs only — O(Σ cluster²),
+    never all-pairs — and the deterministic keep-lowest-id rule.
+    The oracle replays the whole pipeline: codebook, argmax
+    assignment (cos DESC, cid ASC tie-break), pair mining, drop set.
+    Full roster out, so the gate hashes both kept and dropped."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(
+        emb, _md5_seed_codebook(emb), threshold=_SEM_THRESHOLD
+    )
+
+
 @q("bloom_decontamination", _ORACLE_DECONTAM)
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`ngram_decontamination` rerun through the broadcast-Bloom

@@ -321,6 +321,52 @@ def test_ivf_topk(emb):
         assert len(got_sets.get(qid, set()) & truth) / len(truth) >= 0.6
 
 
+def test_semantic_dedup_keeps_one_per_tight_cluster(emb):
+    # the fixture's 3 clusters are tight (within-cluster cosine ≈ 0.99);
+    # with the true centers as codebook and a 0.9 threshold, exactly the
+    # lowest-id member of each cluster survives
+    centers = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0],
+    ]
+    out = similarity.semantic_dedup(emb, centers, threshold=0.9).collect()
+    assert len(out) == 60  # full roster, kept and dropped
+    kept = sorted(r.id for r in out if r.kept)
+    assert kept == [0, 1, 2]  # min id of each residue class / cluster
+    # assignment is the argmax cluster
+    for r in out:
+        assert r.centroid_id == r.id % 3
+
+
+def test_semantic_dedup_drop_rule_is_lowest_id_witness(emb):
+    """A row is dropped iff some SMALLER-id same-cluster row is within
+    threshold — verify against a brute-force replay."""
+    centers = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0],
+    ]
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        import math
+
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    out = similarity.semantic_dedup(emb, centers, threshold=0.97)
+    for r in out.collect():
+        witnesses = [
+            j
+            for j in rows
+            if j < r.id and j % 3 == r.id % 3 and cos(rows[j], rows[r.id]) >= 0.97
+        ]
+        assert r.kept == (not witnesses), (r.id, witnesses)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
