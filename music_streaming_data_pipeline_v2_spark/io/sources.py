@@ -74,17 +74,31 @@ def read_json(
     path: str,
     schema: T.StructType,
     multiline: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON-lines scan with a declared schema (no inference pass over
     the data — at 100 TB an inference pre-scan doubles the read).
     Malformed rows yield nulls (PERMISSIVE), handled by the validation
-    layer's coerce-and-drop."""
-    return (
-        spark.read.schema(schema)
-        .option("multiLine", str(multiline).lower())
+    layer's coerce-and-drop.
+
+    ``corrupt_col``: capture each unparseable line's raw text in that
+    column (Spark's ``columnNameOfCorruptRecord``) instead of silently
+    nulling — the source-level twin of the streaming layer's
+    quarantine path (X4): ``filter(col(corrupt_col).isNotNull())`` IS
+    the quarantine relation, written wherever bad input goes for
+    replay. The column must also be declared in ``schema`` (Spark
+    requires it; this helper appends it when absent)."""
+    reader = (
+        spark.read.option("multiLine", str(multiline).lower())
         .option("mode", "PERMISSIVE")
-        .json(path)
     )
+    if corrupt_col is not None:
+        if corrupt_col not in schema.fieldNames():
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+            )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).json(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -31,6 +31,29 @@ def test_read_json_schema_and_permissive(spark, tmp_path):
     assert rows[2].user_id is None  # malformed line → all-null row
 
 
+def test_read_json_corrupt_record_quarantine(spark, tmp_path):
+    p = tmp_path / "data2.jsonl"
+    p.write_text(
+        '{"user_id": "1", "value": 3.5}\n'
+        'not json at all\n'
+        '{"user_id": "3", "value": 1.0}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema, corrupt_col="_bad")
+    good = df.filter("_bad IS NULL")
+    quarantined = df.filter("_bad IS NOT NULL")
+    assert sorted(r.user_id for r in good.collect()) == ["1", "3"]
+    bad = quarantined.collect()
+    # the raw line is preserved verbatim for replay
+    assert len(bad) == 1 and bad[0]._bad == "not json at all"
+    assert bad[0].user_id is None
+
+
 def test_orc_round_trip(spark, tmp_path):
     df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
     path = str(tmp_path / "orc")
