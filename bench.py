@@ -63,6 +63,9 @@ HEADLINE = [
     "balanced_source_sample",
     "winnowed_fingerprints",
     "winnow_overlap_pairs",
+    # round 4: bloom-prefiltered decontamination + semantic dedup
+    "bloom_decontamination",
+    "semantic_dedup_decisions",
 ]
 
 

@@ -38,6 +38,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def optimal_num_bits(n_items: int, fpp: float = 0.01) -> int:
@@ -111,12 +112,23 @@ def with_bloom_contains(
     """Append a boolean column: value *might* be in the filter (no
     false negatives; false positives at the built fpp).
 
-    The words array is planted once as a literal in a single Project;
-    every probe references that attribute, so the plan carries one
-    copy of the filter however many probes run. All expressions are
-    built-ins — the probe stays inside whole-stage codegen."""
+    The words ship as a ONE-ROW broadcast relation the probes
+    reference as an attribute, not as an inline literal: planting a
+    literal array gets constant-propagated into every probe by
+    CollapseProject, after which each optimizer rule application
+    re-walks k copies of an m/64-element array — measured as seconds
+    of driver-side plan time at m≈250k bits. A BroadcastNestedLoopJoin
+    against one row costs nothing at runtime and keeps exactly one
+    copy of the filter in the plan. All probe expressions are
+    built-ins — the probe itself stays inside whole-stage codegen,
+    and the big side never shuffles."""
     c = F.col(col)
-    arr = F.lit(words)
+    bf = df.sparkSession.createDataFrame(
+        [(list(words),)],
+        T.StructType(
+            [T.StructField("_bf_words", T.ArrayType(T.LongType(), False), False)]
+        ),
+    )
     probes = []
     for p in _positions(c, num_bits, num_hashes):
         word = F.element_at(F.col("_bf_words"), (p / 64).cast("int") + 1)
@@ -125,7 +137,7 @@ def with_bloom_contains(
         )
         probes.append(bit == 1)
     return (
-        df.withColumn("_bf_words", arr)
+        df.join(F.broadcast(bf))
         .withColumn(out_col, reduce(lambda a, b: a & b, probes))
         .drop("_bf_words")
     )

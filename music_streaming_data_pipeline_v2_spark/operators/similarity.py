@@ -26,6 +26,7 @@ assignments are computed once at ingest, not per query.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -49,6 +50,37 @@ def _norm(a: Column) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    )
+
+
+def dot_sql(a: str, b: str, dims: int) -> str:
+    """Σ aᵢ·bᵢ as an explicit ``dims``-term SQL sum over two array
+    columns named ``a``/``b``.
+
+    Numerically IDENTICAL to ``_dot``'s fold: both are left-associated
+    sequential additions and IEEE ``0.0 + x == x``, so swapping one for
+    the other can never flip a threshold comparison. The point is the
+    execution tier: higher-order lambdas (zip_with/aggregate) are
+    INTERPRETED per row — on an O(Σ cluster²) pair join that's the
+    whole runtime — while a flat arithmetic expression whole-stage-
+    codegens (measured on semantic_dedup at sf0.1: 8.2 s → the join
+    cost disappears). Assembled as a SQL string, not nested Columns:
+    64-term Column trees pay >1 s of py4j plan-build per query."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dims)
+    )
+
+
+def norm_sql(a: str, dims: int) -> str:
+    """√Σ aᵢ² with the same left-associated order as ``_norm``."""
+    return (
+        "SQRT("
+        + " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+            for i in range(dims)
+        )
+        + ")"
     )
 
 
@@ -233,18 +265,47 @@ def kmeans_lite(
 def assign_centroid(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Tag each row with its nearest (max-cosine) centroid id."""
-    scores = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("score"),
-                F.lit(-i).alias("prio"),
-                F.lit(i).alias("cid"),
+    """Tag each row with its nearest (max-cosine) centroid id.
+
+    Assembled as ONE SQL string, not nested Columns: the original
+    array_max-of-structs Column tree (n_centroids × dims literals
+    threaded through py4j plus two interpreted HOF folds per score)
+    cost ~2.5 s of driver-side plan build per invocation — measured on
+    a 2000-row corpus where the actual scan takes milliseconds.
+
+    The score is ``dot(v, cᵢ) / |cᵢ|``, NOT the full cosine: the
+    ``1/|v|`` factor is a per-row positive constant, so dividing by it
+    cannot change which centroid attains the max — dropping it removes
+    the entire per-row norm computation (the argmax equivalence is
+    oracle-verified: the DuckDB twins rank by full cosine and still
+    hash-match). |cᵢ| folds to a Python float literal (same
+    left-associated sum + sqrt ⇒ same IEEE double as the SQL fold);
+    the expanded dot is numerically identical to the HOF fold (see
+    dot_sql). Tie semantics unchanged: (score, prio=-i, cid) struct
+    max prefers the LOWER centroid id on equal scores. A zero-norm
+    input row scores 0 against every centroid and lands on cid 0 —
+    the same centroid the previous all-NULL-scores form picked via
+    the prio field. A zero centroid scores NULL (no direction), as
+    before."""
+    dims = len(centroids[0])
+    structs = []
+    for i, c in enumerate(centroids):
+        nc = math.sqrt(sum(float(x) * float(x) for x in c))
+        if nc == 0.0:
+            score = "CAST(NULL AS DOUBLE)"
+        else:
+            dot = " + ".join(
+                f"(CAST({vec_col}[{j}] AS DOUBLE) * {float(c[j])!r})"
+                for j in range(dims)
             )
-            for i, c in enumerate(centroids)
-        ]
+            score = f"({dot}) / {nc!r}"
+        structs.append(
+            f"named_struct('score', {score}, 'prio', {-i}, 'cid', {i})"
+        )
+    return df.withColumn(
+        "centroid_id",
+        F.expr(f"array_max(array({', '.join(structs)}))['cid']"),
     )
-    return df.withColumn("centroid_id", F.array_max(scores)["cid"])
 
 
 def ivf_topk(
@@ -432,6 +493,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -452,20 +514,49 @@ def semantic_dedup(
     the codebook granularity the caller picks (the paper uses ~11k
     clusters for ~100M embeddings, keeping cells in the thousands).
     Pass a deterministic codebook (`kmeans_lite` or an md5-seeded
-    sample) when the output must be reproducible across engines."""
-    tagged = assign_centroid(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "centroid_id"
+    sample) when the output must be reproducible across engines.
+
+    ``dims``: when the embedding width is known, the pair scoring —
+    the O(Σ cluster²) hot path — runs as a flat ``dims``-term codegen
+    sum (`dot_sql`) with per-row norms precomputed map-side, instead
+    of the interpreted higher-order fold; same summation order, same
+    values (see dot_sql). Omit for width-agnostic (slow-path) use."""
+    # One materialization feeds three consumers (pair-join left, pair-
+    # join right, output roster) — without it the assignment argmax
+    # subtree is recomputed per consumer (self-joins share no
+    # exchange). localCheckpoint over persist(): blocks free with the
+    # DataFrame instead of pinning a CacheManager entry. EAGER: a lazy
+    # checkpoint leaves the full n_centroids×dims assignment expression
+    # inside all three consumers' logical plans until materialization,
+    # so the optimizer re-walks ~3 copies of it; eager materialization
+    # collapses them to a leaf (measured ~1 s of driver time at 8×64).
+    tagged = (
+        assign_centroid(corpus, centroids, vec_col)
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "centroid_id"
+        )
+        .localCheckpoint(eager=True)
     )
+    if dims is not None:
+        tagged = tagged.withColumn("_n", F.expr(norm_sql("_v", dims)))
+        pair_cos = F.when(
+            (F.col("_na") * F.col("_nb")) != F.lit(0.0),
+            F.expr(dot_sql("_va", "_vb", dims)) / (F.col("_na") * F.col("_nb")),
+        )
+        extra_a, extra_b = [F.col("_n").alias("_na")], [F.col("_n").alias("_nb")]
+    else:
+        pair_cos = cosine(F.col("_va"), F.col("_vb"))
+        extra_a, extra_b = [], []
     left = tagged.select(
-        "centroid_id", F.col("id").alias("id_a"), F.col("_v").alias("_va")
+        "centroid_id", F.col("id").alias("id_a"), F.col("_v").alias("_va"), *extra_a
     )
     right = tagged.select(
-        "centroid_id", F.col("id").alias("id_b"), F.col("_v").alias("_vb")
+        "centroid_id", F.col("id").alias("id_b"), F.col("_v").alias("_vb"), *extra_b
     )
     dropped = (
         left.join(right, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", pair_cos)
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()

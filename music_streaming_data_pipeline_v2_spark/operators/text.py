@@ -421,8 +421,19 @@ def ngram_contamination_bloom(
     from .bloom import bloom_prefilter
 
     tg = word_ngram_postings(train, n, text_col, id_col, out_id="train_id")
-    sg = word_ngram_postings(test, n, text_col, id_col)
-    tg = bloom_prefilter(tg, sg.select("gram").distinct(), "gram", fpp=fpp)
+    # The test postings feed THREE consumers (filter sizing, filter
+    # build, final join) — materialize them once. localCheckpoint, not
+    # persist(): blocks are freed by the ContextCleaner when the frame
+    # is collected, and the sizing count below doubles as the eager
+    # materialization. The test side is the small side by contract, so
+    # the materialized footprint is the one already assumed broadcast-
+    # scale by the filter itself.
+    sg = word_ngram_postings(test, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    test_grams = sg.select("gram").distinct()
+    n_grams = test_grams.count()
+    tg = bloom_prefilter(tg, test_grams, "gram", fpp=fpp, n_items=n_grams)
     return (
         sg.join(tg, "gram")
         .groupBy("doc_id")

@@ -421,7 +421,7 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full roster out, so the gate hashes both kept and dropped."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _sim.semantic_dedup(
-        emb, _md5_seed_codebook(emb), threshold=_SEM_THRESHOLD
+        emb, _md5_seed_codebook(emb), threshold=_SEM_THRESHOLD, dims=_DIMS
     )
 
 

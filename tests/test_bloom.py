@@ -61,14 +61,18 @@ def test_prefilter_plus_exact_equals_exact_join(spark):
 
 
 def test_prefilter_probe_is_shuffle_free(spark):
-    """The probe must be a map-side Filter over the scan — no join, no
-    exchange introduced by the bloom membership test itself."""
+    """The probe must never shuffle the big side: the only join is the
+    one-row BroadcastNestedLoopJoin carrying the filter words, and the
+    only exchange is its broadcast — no hash/range repartitioning of
+    the probed relation."""
     big = spark.range(1000).selectExpr("concat('k', id) s")
     small = spark.range(100).selectExpr("concat('k', id) s")
     pre = bloom_prefilter(big, small, "s", fpp=0.01, n_items=100)
     plan = pre._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_decontamination_bloom_matches_exact(spark):
