@@ -63,9 +63,11 @@ HEADLINE = [
     "balanced_source_sample",
     "winnowed_fingerprints",
     "winnow_overlap_pairs",
-    # round 4: bloom-prefiltered decontamination + semantic dedup
+    # round 4: bloom-prefiltered decontamination + semantic dedup +
+    # sketch-verified heavy hitters
     "bloom_decontamination",
     "semantic_dedup_decisions",
+    "heavy_hitter_tokens",
 ]
 
 

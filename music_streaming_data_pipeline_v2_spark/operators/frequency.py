@@ -1,0 +1,110 @@
+"""Heavy hitters at corpus scale: Misra-Gries candidates + exact verify.
+
+The exact way to find values with frequency ≥ φ is a full
+``groupBy(value).count()`` — a shuffle keyed by EVERY distinct value.
+At 100 TB of tokens/URLs/domains that shuffle is the job. The classic
+fix (Misra & Gries 1982; mergeable-summaries form in Agarwal et al.,
+PODS'12) bounds the shuffle instead:
+
+1. **Summarize per partition** (map-side, one pass): maintain k
+   counters; a value with partition count > n_p/k is guaranteed to
+   survive its partition's summary. Each partition emits ≤ k rows.
+2. **Candidates** = union of summary keys (≤ n_partitions × k rows
+   shuffled — independent of the number of distinct values). By
+   pigeonhole, any value with GLOBAL count > n/k exceeds n_p/k in at
+   least one partition, so the candidate set has NO false negatives
+   for thresholds ≥ n/k.
+3. **Exact verify**: semi-join the corpus against the (broadcast)
+   candidate set and count exactly; keep count ≥ threshold.
+
+Because step 3 is exact and step 2 can't lose a true heavy hitter,
+the output is IDENTICAL to the full groupBy — same accelerator-
+equivalence contract as `bloom_prefilter` (prefilter + exact verify ≡
+exact), which is what lets a plain ``HAVING COUNT(*) >= t`` SQL twin
+hash-check it.
+
+The per-partition summary is the MERGEABLE form: per Arrow batch, a
+vectorized ``value_counts`` merges into the running summary, then the
+summary is decremented by its (k+1)-th largest count and pruned — the
+standard summary-merge, error still ≤ n_p/k. No per-row Python loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partition_summaries(
+    df: DataFrame, col: str, k: int, out_col: str = "value"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k candidate values per
+    partition, each guaranteed to include every value whose partition
+    count exceeds n_p/k. One map-side pass, output ≤ n_partitions × k
+    rows."""
+
+    # Self-contained closure (pickle-by-value — no references to this
+    # package; the driver's Python workers may not have it on path).
+    def summarize(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf.iloc[:, 0].dropna().value_counts()
+            counters = (
+                vc if counters.empty else counters.add(vc, fill_value=0)
+            ).astype("int64")
+            if len(counters) > k:
+                # mergeable-summary step: subtract the (k+1)-th largest
+                # count from everything and drop the non-positive rest
+                counters = counters.sort_values(ascending=False)
+                pivot = counters.iloc[k]
+                counters = counters.iloc[:k] - pivot
+                counters = counters[counters > 0]
+        # list(), not the raw index: an empty summary's index is a
+        # RangeIndex whose int64 dtype breaks Arrow conversion for
+        # string-typed columns; an empty list is dtype-neutral
+        yield pd.DataFrame({"value": list(counters.index)})
+
+    src_type = df.schema[col].dataType.simpleString()
+    return df.select(F.col(col)).mapInPandas(
+        summarize, schema=f"value {src_type}"
+    ).withColumnRenamed("value", out_col)
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    min_fraction: float,
+    k: int | None = None,
+) -> DataFrame:
+    """All values of ``col`` with frequency ≥ ``min_fraction`` of the
+    non-null rows, with their EXACT counts — identical output to the
+    full groupBy, shuffle bounded by the summary size.
+
+    ``k`` (summary width) defaults to ceil(2/min_fraction); the
+    no-false-negative guarantee needs k ≥ 1/min_fraction and the 2×
+    slack keeps candidate sets small without risking it."""
+    if not 0.0 < min_fraction <= 1.0:
+        raise ValueError("min_fraction must be in (0, 1]")
+    if k is None:
+        k = math.ceil(2.0 / min_fraction)
+    if k < math.ceil(1.0 / min_fraction):
+        raise ValueError(
+            f"k={k} breaks the Misra-Gries guarantee for "
+            f"min_fraction={min_fraction}: need k >= {math.ceil(1/min_fraction)}"
+        )
+    values = df.select(F.col(col).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    n = values.count()
+    threshold = max(int(math.ceil(min_fraction * n)), 1)
+    candidates = mg_partition_summaries(values, "value", k).distinct()
+    return (
+        values.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+    )

@@ -3252,6 +3252,7 @@ _CHECK_FIRST = [
     "lateral_top_customers",
     "bloom_decontamination",
     "semantic_dedup_decisions",
+    "heavy_hitter_tokens",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3282,7 +3283,6 @@ _CHECK_FIRST = [
     "percentiles_by_type",
     "rolling_7d_range",
     "value_stats_by_type",
-    "embedding_near_dups_exact",
     "salted_agg_equivalence",
     "salted_join_equivalence",
     "grouping_sets_marginals",

@@ -379,6 +379,43 @@ FROM nation n, LATERAL (
 """
 
 
+_HH_FRACTION = 0.005
+
+_ORACLE_HEAVY_TOKENS = r"""
+WITH tok AS (
+    SELECT UNNEST(LIST_FILTER(
+        STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'), x -> x <> ''
+    )) AS value
+    FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT tok.value, COUNT(*) AS n_occurrences
+FROM tok, n
+GROUP BY tok.value, n.total
+HAVING COUNT(*) >= CEIL(0.005 * n.total)
+"""
+
+
+@q("heavy_hitter_tokens", _ORACLE_HEAVY_TOKENS)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency ≥ 0.5%) via
+    Misra-Gries partition summaries + exact verification
+    (operators/frequency.py:frequent_items). The sketch bounds the
+    shuffle to n_partitions × k rows — independent of vocabulary size,
+    the quantity that explodes at 100 TB — and the exact verify pass
+    makes the output identical to the full groupBy, so the oracle is
+    the plain HAVING-count SQL (accelerator equivalence, the
+    bloom/salted pattern)."""
+    from ..operators.frequency import frequent_items
+    from ..operators.packing import ENGINE_SAFE_WS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), ENGINE_SAFE_WS)).alias("value")
+    ).filter(F.col("value") != "")
+    return frequent_items(tok, "value", min_fraction=_HH_FRACTION)
+
+
 _SEM_THRESHOLD = 0.35
 
 _ORACLE_SEMANTIC_DEDUP = f"""

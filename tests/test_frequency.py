@@ -1,0 +1,85 @@
+"""Misra-Gries heavy hitters: summary-size bound, no-false-negative
+guarantee, and sketch+verify ≡ exact-groupBy equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+    frequent_items,
+    mg_partition_summaries,
+)
+
+
+def _zipf_df(spark, n_rows=20000, n_parts=8):
+    # hot head: v0..v4 cover ~half the rows; long uniform tail
+    return (
+        spark.range(n_rows)
+        .repartition(n_parts)
+        .selectExpr(
+            "CASE WHEN id % 2 = 0 THEN concat('hot', id % 5) "
+            "ELSE concat('tail', id % 4000) END AS value"
+        )
+    )
+
+
+def test_summary_size_bounded(spark):
+    df = _zipf_df(spark, n_parts=8)
+    k = 50
+    summaries = mg_partition_summaries(df, "value", k)
+    assert summaries.count() <= 8 * k
+
+
+@pytest.mark.parametrize("n_parts", [1, 4, 16])
+def test_equals_exact_groupby_across_partitionings(spark, n_parts):
+    df = _zipf_df(spark, n_parts=n_parts)
+    phi = 0.01
+    got = sorted(
+        (r.value, r.n_occurrences)
+        for r in frequent_items(df, "value", phi).collect()
+    )
+    n = df.count()
+    t = max(int(math.ceil(phi * n)), 1)
+    exact = sorted(
+        (r.value, r["count"])
+        for r in df.groupBy("value").count().filter(F.col("count") >= t).collect()
+    )
+    assert got == exact and len(got) == 5  # the 5 hot values
+
+
+def test_no_false_negatives_at_minimum_k(spark):
+    """The guarantee boundary: k = ceil(1/phi) exactly must still
+    never lose a true heavy hitter."""
+    df = _zipf_df(spark, n_parts=8)
+    phi = 0.02
+    got = {r.value for r in
+           frequent_items(df, "value", phi, k=math.ceil(1 / phi)).collect()}
+    n = df.count()
+    t = max(int(math.ceil(phi * n)), 1)
+    truth = {
+        r.value
+        for r in df.groupBy("value").count().filter(F.col("count") >= t).collect()
+    }
+    assert truth <= got or truth == got
+    assert got == truth  # exact verify also removes false positives
+
+
+def test_k_below_guarantee_raises(spark):
+    df = _zipf_df(spark)
+    with pytest.raises(ValueError):
+        frequent_items(df, "value", 0.01, k=50)
+    with pytest.raises(ValueError):
+        frequent_items(df, "value", 0.0)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), ("b",)], ["value"]
+    )
+    got = {(r.value, r.n_occurrences)
+           for r in frequent_items(df, "value", 0.5).collect()}
+    # n counts non-null rows only: 4 rows, threshold 2 → only 'a'
+    assert got == {("a", 3)}
