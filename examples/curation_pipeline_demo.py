@@ -8,10 +8,16 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
 2. exact dedup       — md5-fingerprint groupBy (operators/dedup.py)
 3. near-dup dedup    — exact-Jaccard clusters, cost-based routing
                        (operators/clustering.py:dedup_clusters_auto)
-4. decontamination   — n-gram overlap vs the eval split
-                       (operators/text.py:ngram_contamination)
+3b. semantic dedup   — SemDeDup over the embedding column, centroid-
+                       blocked (operators/similarity.py:semantic_dedup)
+4. decontamination   — n-gram overlap vs the eval split through the
+                       broadcast Bloom prefilter
+                       (operators/text.py:ngram_contamination_bloom)
 5. domain rebalance  — hash-threshold downsample to the smallest
                        source (operators/sampling.py:balanced_sample)
+8. boilerplate audit — heavy-hitter tokens (Misra-Gries + exact
+                       verify, operators/frequency.py), reported not
+                       dropped
 6. chunk + pack      — context windows then fixed-budget bins
                        (operators/packing.py)
 7. split             — contamination-safe content-hash train/val/test
@@ -33,7 +39,11 @@ from music_streaming_data_pipeline_v2_spark.operators.clustering import (
     dedup_clusters_auto,
 )
 from music_streaming_data_pipeline_v2_spark.operators.dedup import exact_dedup
+from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+    frequent_items,
+)
 from music_streaming_data_pipeline_v2_spark.operators.packing import (
+    ENGINE_SAFE_WS,
     chunk_documents,
     pack_sequences,
 )
@@ -42,8 +52,12 @@ from music_streaming_data_pipeline_v2_spark.operators.sampling import (
     dataset_split,
     hash_bucket,
 )
+from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+    kmeans_lite,
+    semantic_dedup,
+)
 from music_streaming_data_pipeline_v2_spark.operators.text import (
-    ngram_contamination,
+    ngram_contamination_bloom,
     quality_score,
 )
 from music_streaming_data_pipeline_v2_spark.session import get_spark
@@ -73,10 +87,25 @@ def main() -> None:
     good = good.join(clusters.filter("keep").select("doc_id"), "doc_id")
     n3 = good.count()
 
-    # 4. decontamination vs the held-out split (content-hash test slice)
+    # 3b. semantic dedup over the embedding column (1:1 doc_id↔vec_id
+    # in the testdata); kmeans-lite codebook, drop non-representatives
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.join(good.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    codebook = kmeans_lite(emb, n_centroids=8)
+    sem_kept = (
+        semantic_dedup(emb, codebook, threshold=0.4, dims=len(codebook[0]))
+        .filter("kept")
+        .select(F.col("id").alias("doc_id"))
+    )
+    good = good.join(sem_kept, "doc_id")
+    n3b = good.count()
+
+    # 4. decontamination vs the held-out split (content-hash test
+    # slice), train postings cut map-side by the test grams' Bloom
+    # filter before the gram shuffle — identical results, see bloom.py
     b = hash_bucket("doc_id")
     train_side, eval_side = good.filter(b < 230), good.filter(b >= 230)
-    leaked = ngram_contamination(train_side, eval_side, n=5).select(
+    leaked = ngram_contamination_bloom(train_side, eval_side, n=5).select(
         F.col("doc_id").alias("leak_id")
     )
     # drop *eval* docs that leak from train (conservative direction)
@@ -101,14 +130,23 @@ def main() -> None:
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
 
+    # 8. boilerplate audit: corpus-wide heavy-hitter tokens (report,
+    # don't drop — the curation decision belongs to a human/config)
+    tok = good.select(
+        F.explode(F.split(F.trim("text"), ENGINE_SAFE_WS)).alias("value")
+    ).filter(F.col("value") != "")
+    hh = frequent_items(tok, "value", min_fraction=0.01).count()
+
     print(f"corpus:        {n0} docs")
     print(f"quality gate:  {n1} kept")
     print(f"exact dedup:   {n2} kept")
     print(f"near-dup:      {n3} kept")
+    print(f"semantic:      {n3b} kept")
     print(f"decontam:      {n4} kept")
     print(f"rebalanced:    {n5} kept")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
     print(f"splits:        {splits} -> {out}")
+    print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%)")
 
 
 if __name__ == "__main__":
