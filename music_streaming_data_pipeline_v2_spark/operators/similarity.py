@@ -320,8 +320,21 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: probe only the ``nprobe`` centroids nearest each
     query; exact cosine within the probed cells."""
-    tagged = assign_centroid(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "centroid_id"
+    # Materialize the tagged corpus — this IS the IVF index, which a
+    # production deployment computes once at ingest (module docstring),
+    # so per-query assignment would be wrong-shaped anyway. It also
+    # keeps the assignment's expanded-dot expression in its own
+    # codegen stage: fused into the probe-join/window stage, the
+    # combined processNext() grows beyond the JVM's 64 KB method limit
+    # and the whole stage silently falls back to interpreted eval.
+    tagged = (
+        assign_centroid(corpus, centroids, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            "centroid_id",
+        )
+        .localCheckpoint(eager=False)
     )
     # prio = -i makes the descending sort prefer the LOWER centroid id
     # on score ties — the same (score DESC, cid ASC) order a SQL replay

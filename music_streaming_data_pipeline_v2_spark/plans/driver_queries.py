@@ -3253,6 +3253,7 @@ _CHECK_FIRST = [
     "bloom_decontamination",
     "semantic_dedup_decisions",
     "heavy_hitter_tokens",
+    "zorder_values",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3283,7 +3284,6 @@ _CHECK_FIRST = [
     "percentiles_by_type",
     "rolling_7d_range",
     "value_stats_by_type",
-    "salted_agg_equivalence",
     "salted_join_equivalence",
     "grouping_sets_marginals",
     "daily_gapfill",

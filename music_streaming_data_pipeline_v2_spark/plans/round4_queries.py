@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators import similarity as _sim
-from .driver_queries import cos_sql as _cos_sql, q
+from .driver_queries import _utc, cos_sql as _cos_sql, q
 from .round3_queries import _ORACLE_DECONTAM
 
 _DIMS, _BITS, _BANDS, _K, _NPROBE, _NCENT = 64, 16, 4, 10, 3, 8
@@ -377,6 +377,49 @@ FROM nation n, LATERAL (
     LIMIT 2
 ) t
 """
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import zvalue_sql
+
+    z = zvalue_sql(
+        "(o_custkey % 4096)",
+        "(DATEDIFF('day', DATE '1992-01-01', o_orderdate) % 4096)",
+        12,
+    )
+    return f"""
+SELECT o_orderkey,
+       o_custkey % 4096 AS x,
+       DATEDIFF('day', DATE '1992-01-01', o_orderdate) % 4096 AS y,
+       {z} AS zvalue
+FROM orders
+"""
+
+
+@q("zorder_values", _zorder_oracle())
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton codes for the (customer, day) serving layout
+    (operators/zorder.py): interleave 12 bits of customer key with 12
+    bits of day ordinal — the write-side clustering that lets file
+    min/max stats prune scans on EITHER dimension (zorder_layout
+    applies it; tests/test_zorder.py proves the bounded-rectangle
+    property of the resulting files). Pure integer shift/mask/or on
+    both engines — the oracle replays the identical arithmetic."""
+    from ..operators.zorder import zvalue_sql
+
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    z = zvalue_sql("x", "y", 12)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.expr("o_custkey % 4096").alias("x"),
+            F.expr(
+                "datediff(to_date(o_orderdate), DATE '1992-01-01') % 4096"
+            ).alias("y"),
+        )
+        .select("o_orderkey", "x", "y", F.expr(z).alias("zvalue"))
+    )
 
 
 _HH_FRACTION = 0.005
