@@ -11,11 +11,12 @@ codegen:
   bit positions → ``groupBy(word) → bit_or`` — a shuffle of at most
   ``num_bits/64`` rows regardless of input size — then collect the
   tiny word array (m = 2^20 bits ⇒ 16K longs ⇒ 128 KB).
-- **probe** (map-side): the word array ships as ONE array<bigint>
-  literal in a Project (planted once via ``withColumn``; the k probe
-  expressions reference the attribute, not k literal copies), and
-  membership is ``element_at`` + ``shiftright`` + mask — no join, no
-  shuffle, no Python.
+- **probe** (map-side): the word array ships as a ONE-ROW broadcast
+  relation whose attribute the k probe expressions reference (an
+  inline literal gets constant-propagated into every probe and the
+  optimizer then re-walks k copies of it — see with_bloom_contains),
+  and membership is ``element_at`` + ``shiftright`` + mask — no
+  shuffle of the probed side, no Python.
 
 The 100 TB use case is decontamination-style anti-joins where one
 side is small (a test set's n-grams) and the other is the corpus:
