@@ -533,9 +533,44 @@ def semantic_dedup(
     the O(Σ cluster²) hot path — runs as a flat ``dims``-term codegen
     sum (`dot_sql`) with per-row norms precomputed map-side, instead
     of the interpreted higher-order fold; same summation order, same
-    values (see dot_sql). Omit for width-agnostic (slow-path) use."""
+    values (see dot_sql). Omit for width-agnostic (slow-path) use.
+
+    Duplication invariance: identical vectors are CONTRACTED before
+    mining (the dedup_clusters_exact move). A crawl-shaped corpus
+    with r replicas per vector would otherwise grow every cluster's
+    pair join r² — a 10×-replicated 2k-vector probe shuffled ~25M
+    vector-carrying pairs and ran for minutes; contracted, mining
+    sees only distinct vectors and runtime is invariant to
+    duplication. Exactness: any non-minimal member of an identical
+    group has its group's min id as a cos=1 ≥ threshold witness, so
+    it is dropped in the uncontracted semantics too (any threshold
+    ≤ 1); a representative is dropped iff another group within
+    threshold has a smaller min id — ∃ member < rep ⟺ min(other)
+    < rep. NULL and zero-norm vectors are exempted from contraction
+    (their pair cosine is NULL, never ≥ threshold, so uncontracted
+    semantics keeps every one — each stays its own group)."""
+    from pyspark.sql import Window
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    )
+    nrm = (
+        F.expr(norm_sql("_v", dims)) if dims is not None else _norm(F.col("_v"))
+    )
+    # rep id per row in ONE vector-keyed exchange (window, no join);
+    # null/zero-norm rows are their own group
+    contractible = F.col("_v").isNotNull() & (nrm != F.lit(0.0))
+    base = base.withColumn(
+        "_rep",
+        F.when(
+            contractible,
+            F.min("id").over(Window.partitionBy("_v")),
+        ).otherwise(F.col("id")),
+    ).localCheckpoint(eager=False)
+    reps = base.filter(F.col("id") == F.col("_rep")).select("id", "_v")
+
     # One materialization feeds three consumers (pair-join left, pair-
-    # join right, output roster) — without it the assignment argmax
+    # join right, decision roster) — without it the assignment argmax
     # subtree is recomputed per consumer (self-joins share no
     # exchange). localCheckpoint over persist(): blocks free with the
     # DataFrame instead of pinning a CacheManager entry. EAGER: a lazy
@@ -544,10 +579,8 @@ def semantic_dedup(
     # so the optimizer re-walks ~3 copies of it; eager materialization
     # collapses them to a leaf (measured ~1 s of driver time at 8×64).
     tagged = (
-        assign_centroid(corpus, centroids, vec_col)
-        .select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "centroid_id"
-        )
+        assign_centroid(reps, centroids, "_v")
+        .select("id", "_v", "centroid_id")
         .localCheckpoint(eager=True)
     )
     if dims is not None:
@@ -575,11 +608,15 @@ def semantic_dedup(
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
-    return (
-        tagged.join(dropped, "id", "left")
-        .select(
-            "id",
-            "centroid_id",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
-        )
+    rep_decisions = tagged.join(dropped, "id", "left").select(
+        F.col("id").alias("_rep"),
+        "centroid_id",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("_rep_kept"),
+    )
+    # members inherit their representative's centroid (same vector);
+    # non-minimal members are semantic duplicates by construction
+    return base.join(rep_decisions, "_rep").select(
+        "id",
+        "centroid_id",
+        ((F.col("id") == F.col("_rep")) & F.col("_rep_kept")).alias("kept"),
     )

@@ -339,6 +339,48 @@ def test_semantic_dedup_keeps_one_per_tight_cluster(emb):
         assert r.centroid_id == r.id % 3
 
 
+def test_semantic_dedup_duplication_invariant(spark, emb):
+    """Replicating the corpus r× must not change which ORIGINAL ids
+    survive, and every replica row must be dropped (its original is a
+    cos=1 witness with a smaller id) — the contraction exactness
+    argument, checked end-to-end."""
+    centers = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0],
+    ]
+    single = similarity.semantic_dedup(emb, centers, threshold=0.97)
+    base_kept = {r.id for r in single.collect() if r.kept}
+    replicated = emb
+    for i in (1, 2):
+        replicated = replicated.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(1000 * i))
+        )
+    out = similarity.semantic_dedup(replicated, centers, threshold=0.97)
+    rows = out.collect()
+    assert len(rows) == 180
+    assert {r.id for r in rows if r.kept} == base_kept
+    assert all(not r.kept for r in rows if r.id >= 1000)
+
+
+def test_semantic_dedup_null_and_zero_vectors_kept(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),     # exact dup of 0 → dropped
+        (2, [0.0, 0.0]),     # zero norm → cosine NULL → kept
+        (3, [0.0, 0.0]),     # zero norm twin → also kept (no contraction)
+        (4, None),           # null vector → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.id: r.kept
+        for r in similarity.semantic_dedup(
+            df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
 def test_semantic_dedup_drop_rule_is_lowest_id_witness(emb):
     """A row is dropped iff some SMALLER-id same-cluster row is within
     threshold — verify against a brute-force replay."""
