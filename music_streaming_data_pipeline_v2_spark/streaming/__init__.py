@@ -1,4 +1,5 @@
 from .dedup_ingest import run_incremental_dedup
+from .semantic_ingest import run_incremental_semantic_dedup
 from .pipeline import (
     stream_file_source,
     streaming_daily_kpis,
