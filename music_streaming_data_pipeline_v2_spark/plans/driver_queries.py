@@ -3254,6 +3254,7 @@ _CHECK_FIRST = [
     "semantic_dedup_decisions",
     "heavy_hitter_tokens",
     "zorder_values",
+    "udtf_positional_tokens",
     # -- 2. changed this round
     "kv_table",
     "pivot_daily_types",
@@ -3282,7 +3283,6 @@ _CHECK_FIRST = [
     "rollup_revenue",
     "cube_activity",
     "percentiles_by_type",
-    "rolling_7d_range",
     "value_stats_by_type",
     "salted_join_equivalence",
     "grouping_sets_marginals",

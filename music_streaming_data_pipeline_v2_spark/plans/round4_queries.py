@@ -379,6 +379,52 @@ FROM nation n, LATERAL (
 """
 
 
+_ORACLE_UDTF_TOKENS = r"""
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, t.toks[u.i] AS token
+FROM (SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '[ \t\n\r\f]+'),
+                         x -> x <> '') AS toks
+      FROM documents) t,
+     UNNEST(RANGE(1, LEN(t.toks) + 1)) AS u(i)
+"""
+
+
+@q("udtf_positional_tokens", _ORACLE_UDTF_TOKENS)
+def udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SQL table function, the §2.11 API surface the
+    reference never needed): positional tokenization as a LATERAL
+    table function — one input row expands to (pos, token) rows inside
+    the generator, invoked from SQL exactly like a built-in. This is
+    the extensibility exemplar for row→rows kernels (the row→row and
+    group→rows analogs are the click_purchase_funnel applyInPandas and
+    multimodal mapInPandas demos); the ORACLE replays it with pure
+    SQL UNNEST arithmetic, so the gate pins the UDTF's semantics, and
+    the hot-path production equivalent stays the codegen
+    posexplode+lead form (text.py:word_ngram_postings docstring).
+    The kernel is pickle-by-value self-contained (imports inside)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class _Tokenize:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            toks = [x for x in re.split(r"[ \t\n\r\f]+", text) if x]
+            for i, t in enumerate(toks):
+                yield i, t
+
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    from .driver_queries import _register
+
+    _register(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM documents d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.zorder import zvalue_sql
 
