@@ -36,6 +36,10 @@ def zvalue_sql(x: str, y: str, bits: int = 16) -> str:
     odd carry ``y``. Callers must pre-reduce inputs into [0, 2^bits)
     — out-of-range bits are simply ignored (masked per-bit), which
     keeps the expression total rather than throwing mid-scan."""
+    if not 1 <= bits <= 31:
+        # 2*bits interleaved bits must fit a signed BIGINT (and a
+        # shift count ≥ 64 is undefined-ish across engines)
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     terms = []
     for i in range(bits):
         terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")

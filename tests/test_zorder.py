@@ -28,6 +28,19 @@ def test_zvalue_matches_reference_bit_interleave(spark):
         assert r.z == _interleave(r.x, r.y, 6), (r.x, r.y)
 
 
+def test_zvalue_rejects_overflowing_bit_width():
+    import pytest
+
+    from music_streaming_data_pipeline_v2_spark.operators.zorder import (
+        zvalue_sql,
+    )
+
+    with pytest.raises(ValueError):
+        zvalue_sql("x", "y", 32)
+    with pytest.raises(ValueError):
+        zvalue_sql("x", "y", 0)
+
+
 def test_zvalue_ignores_out_of_range_bits(spark):
     # bits above the configured width are masked, not thrown
     df = spark.createDataFrame([(70, 3)], ["x", "y"])  # 70 >= 2^6
