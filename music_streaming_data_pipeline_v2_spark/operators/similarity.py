@@ -287,6 +287,18 @@ def assign_centroid(
     the same centroid the previous all-NULL-scores form picked via
     the prio field. A zero centroid scores NULL (no direction), as
     before."""
+    structs = _centroid_score_structs(vec_col, centroids)
+    return df.withColumn(
+        "centroid_id",
+        F.expr(f"array_max(array({structs}))['cid']"),
+    )
+
+
+def _centroid_score_structs(vec_col: str, centroids: list[list[float]]) -> str:
+    """The shared SQL text for per-centroid (score, prio, cid) structs
+    — score = dot(v, cᵢ)/|cᵢ| (see assign_centroid's equivalence
+    argument), prio = -i so descending sorts break score ties toward
+    the lower centroid id."""
     dims = len(centroids[0])
     structs = []
     for i, c in enumerate(centroids):
@@ -302,10 +314,7 @@ def assign_centroid(
         structs.append(
             f"named_struct('score', {score}, 'prio', {-i}, 'cid', {i})"
         )
-    return df.withColumn(
-        "centroid_id",
-        F.expr(f"array_max(array({', '.join(structs)}))['cid']"),
-    )
+    return ", ".join(structs)
 
 
 def ivf_topk(
@@ -338,23 +347,19 @@ def ivf_topk(
     )
     # prio = -i makes the descending sort prefer the LOWER centroid id
     # on score ties — the same (score DESC, cid ASC) order a SQL replay
-    # uses, so probe sets are deterministic and cross-engine stable
-    cents = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("score"),
-                F.lit(-i).alias("prio"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # uses, so probe sets are deterministic and cross-engine stable.
+    # Same SQL-string assembly + dot/|c| scoring as assign_centroid
+    # (ordering is invariant under the dropped positive 1/|v| factor);
+    # the nested-Column HOF form cost seconds of plan build per query.
+    cents = F.expr(
+        f"slice(reverse(array_sort(array("
+        f"{_centroid_score_structs(vec_col, centroids)}"
+        f"))), 1, {int(nprobe)})"
     )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.slice(F.reverse(F.array_sort(cents)), 1, nprobe)
-        ).alias("_probe"),
+        F.explode(cents).alias("_probe"),
     ).select("query_id", "_qvec", F.col("_probe.cid").alias("centroid_id"))
     cand = tagged.join(F.broadcast(probes), "centroid_id")
     scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
