@@ -123,16 +123,27 @@ def with_bloom_contains(
     copy of the filter in the plan. All probe expressions are
     built-ins — the probe itself stays inside whole-stage codegen,
     and the big side never shuffles."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"with_bloom_contains: out_col {out_col!r} already exists on "
+            "the input — pass a different out_col"
+        )
+    # uniquified internal name: a caller frame already carrying the
+    # broadcast side's column would otherwise hit an ambiguous
+    # reference or silently shadow it (ADVICE r4)
+    bf_col = "_bf_words"
+    while bf_col in df.columns:
+        bf_col += "_"
     c = F.col(col)
     bf = df.sparkSession.createDataFrame(
         [(list(words),)],
         T.StructType(
-            [T.StructField("_bf_words", T.ArrayType(T.LongType(), False), False)]
+            [T.StructField(bf_col, T.ArrayType(T.LongType(), False), False)]
         ),
     )
     probes = []
     for p in _positions(c, num_bits, num_hashes):
-        word = F.element_at(F.col("_bf_words"), (p / 64).cast("int") + 1)
+        word = F.element_at(F.col(bf_col), (p / 64).cast("int") + 1)
         bit = F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(
             F.lit(1)
         )
@@ -140,7 +151,7 @@ def with_bloom_contains(
     return (
         df.join(F.broadcast(bf))
         .withColumn(out_col, reduce(lambda a, b: a & b, probes))
-        .drop("_bf_words")
+        .drop(bf_col)
     )
 
 
@@ -167,5 +178,10 @@ def bloom_prefilter(
     m = optimal_num_bits(n_items, fpp)
     k = optimal_num_hashes(m, n_items)
     words = build_bloom(small, col, m, k)
-    flagged = with_bloom_contains(big, col, words, m, k)
-    return flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    # uniquified hit column: ``big`` may legitimately carry _bloom_hit
+    # from an earlier prefilter pass (ADVICE r4)
+    hit = "_bloom_hit"
+    while hit in big.columns:
+        hit += "_"
+    flagged = with_bloom_contains(big, col, words, m, k, out_col=hit)
+    return flagged.filter(F.col(hit)).drop(hit)

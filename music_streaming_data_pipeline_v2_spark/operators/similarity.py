@@ -65,7 +65,17 @@ def dot_sql(a: str, b: str, dims: int) -> str:
     whole runtime — while a flat arithmetic expression whole-stage-
     codegens (measured on semantic_dedup at sf0.1: 8.2 s → the join
     cost disappears). Assembled as a SQL string, not nested Columns:
-    64-term Column trees pay >1 s of py4j plan-build per query."""
+    64-term Column trees pay >1 s of py4j plan-build per query.
+
+    NOT width-guarded: under Spark 4's default ANSI mode, indexing a
+    vector shorter than ``dims`` throws INVALID_ARRAY_INDEX — callers
+    must ensure ragged rows never reach this expression (semantic_dedup
+    does it via ``norm_sql``'s NULL norm short-circuiting the CASE the
+    dot sits in; see pair_cos there). Wrapping every term set in its
+    own CASE here blew the generated processNext() past the JVM's
+    64 KB method limit and silently dropped the whole stage to
+    interpreted eval (ADVICE-r4 follow-up) — guard once per row at
+    the use site instead."""
     return " + ".join(
         f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
         for i in range(dims)
@@ -73,15 +83,16 @@ def dot_sql(a: str, b: str, dims: int) -> str:
 
 
 def norm_sql(a: str, dims: int) -> str:
-    """√Σ aᵢ² with the same left-associated order as ``_norm``."""
-    return (
-        "SQRT("
-        + " + ".join(
-            f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
-            for i in range(dims)
-        )
-        + ")"
+    """√Σ aᵢ² with the same left-associated order as ``_norm``.
+    Width-guarded (ONE SIZE() branch around the whole sum — cheap,
+    unlike per-centroid guards, see dot_sql): a ragged vector gets a
+    NULL norm, not an ANSI INVALID_ARRAY_INDEX crash (ADVICE r4), the
+    same "no direction" contract zero-norm vectors already get."""
+    body = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+        for i in range(dims)
     )
+    return f"CASE WHEN SIZE({a}) = {dims} THEN SQRT({body}) END"
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -286,11 +297,31 @@ def assign_centroid(
     input row scores 0 against every centroid and lands on cid 0 —
     the same centroid the previous all-NULL-scores form picked via
     the prio field. A zero centroid scores NULL (no direction), as
-    before."""
-    structs = _centroid_score_structs(vec_col, centroids)
-    return df.withColumn(
-        "centroid_id",
-        F.expr(f"array_max(array({structs}))['cid']"),
+    before.
+
+    Width-guarded via a SANITIZED vector column (ADVICE r4): a vector
+    whose width differs from the codebook's is nulled before scoring,
+    so it scores NULL against every centroid and lands on cid 0 via
+    the prio field — the same landing NULL vectors get — instead of
+    throwing INVALID_ARRAY_INDEX under ANSI mode. The guard CANNOT be
+    a CASE around (or inside) the argmax: CaseWhen branches inline
+    un-splittably, and the 64-term×n-centroid branch blows the JVM's
+    64 KB generated-method limit, silently dropping the stage to
+    interpreted eval. Indexing a NULL array is NULL (not an error)
+    under ANSI, so the scorer itself stays one flat, method-splittable
+    codegen expression."""
+    dims = len(centroids[0])
+    safe = "_vsafe"
+    while safe in df.columns:
+        safe += "_"
+    structs = _centroid_score_structs(safe, centroids)
+    return (
+        df.withColumn(
+            safe,
+            F.expr(f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"),
+        )
+        .withColumn("centroid_id", F.expr(f"array_max(array({structs}))['cid']"))
+        .drop(safe)
     )
 
 
@@ -298,7 +329,10 @@ def _centroid_score_structs(vec_col: str, centroids: list[list[float]]) -> str:
     """The shared SQL text for per-centroid (score, prio, cid) structs
     — score = dot(v, cᵢ)/|cᵢ| (see assign_centroid's equivalence
     argument), prio = -i so descending sorts break score ties toward
-    the lower centroid id."""
+    the lower centroid id. NOT width-guarded (a per-centroid CASE
+    blew generated code past the JVM 64 KB method limit — see
+    dot_sql); use sites wrap the WHOLE expression in one SIZE()
+    branch (assign_centroid, ivf_topk's probe selection)."""
     dims = len(centroids[0])
     structs = []
     for i, c in enumerate(centroids):
@@ -351,16 +385,28 @@ def ivf_topk(
     # Same SQL-string assembly + dot/|c| scoring as assign_centroid
     # (ordering is invariant under the dropped positive 1/|v| factor);
     # the nested-Column HOF form cost seconds of plan build per query.
+    # sanitized-vector width guard (see assign_centroid — a CASE
+    # around the scorer blows the 64 KB codegen limit): a ragged query
+    # vector is nulled before scoring, probing the same lowest-cid
+    # cells a NULL query always has (ADVICE r4), instead of throwing
+    # INVALID_ARRAY_INDEX under ANSI mode
     cents = F.expr(
         f"slice(reverse(array_sort(array("
-        f"{_centroid_score_structs(vec_col, centroids)}"
+        f"{_centroid_score_structs('_qsafe', centroids)}"
         f"))), 1, {int(nprobe)})"
     )
-    probes = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(cents).alias("_probe"),
-    ).select("query_id", "_qvec", F.col("_probe.cid").alias("centroid_id"))
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.expr(
+                f"CASE WHEN SIZE({vec_col}) = {len(centroids[0])} "
+                f"THEN {vec_col} END"
+            ).alias("_qsafe"),
+        )
+        .select("query_id", "_qvec", F.explode(cents).alias("_probe"))
+        .select("query_id", "_qvec", F.col("_probe.cid").alias("centroid_id"))
+    )
     cand = tagged.join(F.broadcast(probes), "centroid_id")
     scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

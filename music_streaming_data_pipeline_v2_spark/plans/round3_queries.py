@@ -70,8 +70,8 @@ c AS (
     FROM t
 )
 SELECT stratum, doc_id, n_tokens,
-       start // 64 AS bin_id,
-       start % 64 AS bin_offset
+       CAST(start // 64 AS BIGINT) AS bin_id,
+       CAST(start % 64 AS BIGINT) AS bin_offset
 FROM c
 """
 

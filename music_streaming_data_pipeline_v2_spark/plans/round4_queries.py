@@ -461,7 +461,10 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.expr("o_custkey % 4096").alias("x"),
             F.expr(
-                "datediff(to_date(o_orderdate), DATE '1992-01-01') % 4096"
+                # cast: Spark datediff is INT where DuckDB DATEDIFF is
+                # BIGINT — align so the gate's type-sensitive compare
+                # can never diverge on representation (r4 lesson)
+                "CAST(datediff(to_date(o_orderdate), DATE '1992-01-01') % 4096 AS BIGINT)"
             ).alias("y"),
         )
         .select("o_orderkey", "x", "y", F.expr(z).alias("zvalue"))

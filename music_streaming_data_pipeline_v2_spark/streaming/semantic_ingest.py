@@ -136,8 +136,15 @@ def run_incremental_semantic_dedup(
         )
         if not has_parts or not cells:
             return spark.createDataFrame([], empty)
+        # explicit schema (data + partition columns): inference must
+        # never depend on data files existing — a batch that accepted
+        # zero leaders leaves its batch_id= partition empty, and an
+        # inference-based read would fail on a leaders store that is
+        # so far all-empty (ADVICE r4)
+        full = empty + ", batch_id int"
         return (
-            spark.read.parquet(leaders_dir)
+            spark.read.schema(full)
+            .parquet(leaders_dir)
             .filter(F.col("batch_id") < F.lit(before_batch))
             .filter(F.col("centroid_id").isin(cells))
             .drop("batch_id")
@@ -173,10 +180,15 @@ def run_incremental_semantic_dedup(
             decisions.filter("_lead").select("vec_id"), "vec_id"
         ).select("vec_id", "embedding", "centroid_id")
         # nested centroid_id partitions: the next batch's leader read
-        # directory-prunes to its touched cells
-        new_leaders.write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(os.path.join(leaders_dir, part))
+        # directory-prunes to its touched cells. A batch may accept no
+        # leaders at all (e.g. every vector zero-norm) — skip the
+        # write then, so the store never holds a data-less partition
+        # (ADVICE r4). decisions is localCheckpointed, so the isEmpty
+        # probe reuses the evaluated batch rather than recomputing.
+        if not new_leaders.isEmpty():
+            new_leaders.write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(os.path.join(leaders_dir, part))
 
     (
         stream.writeStream.foreachBatch(process_batch)

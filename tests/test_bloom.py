@@ -105,3 +105,38 @@ def test_build_shuffle_bounded_by_filter_size(spark):
     # 500 distinct × 3 probes can set at most 1500 bits
     assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 1500
     assert math.isfinite(sum(words))
+
+
+def test_bloom_contains_tolerates_colliding_column_names(spark):
+    """A caller frame already carrying _bf_words / _bloom_hit must not
+    break the probe join (ADVICE r4): internal names are uniquified,
+    and an occupied out_col is an explicit error, not a silent
+    overwrite."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, False), ("b", 2, True)],
+        "k string, _bf_words int, _bloom_hit boolean",
+    )
+    words = build_bloom(
+        spark.createDataFrame([("a",)], "k string"), "k", 128, 3
+    )
+    out = with_bloom_contains(df, "k", words, 128, 3, out_col="hit")
+    got = {r.k: r.hit for r in out.collect()}
+    assert got["a"] is True  # no false negatives
+    assert set(out.columns) == {"k", "_bf_words", "_bloom_hit", "hit"}
+    # caller columns pass through untouched
+    assert {r.k: r._bf_words for r in out.collect()} == {"a": 1, "b": 2}
+
+    with pytest.raises(ValueError, match="out_col"):
+        with_bloom_contains(df, "k", words, 128, 3)  # default occupied
+
+
+def test_bloom_prefilter_tolerates_existing_hit_column(spark):
+    big = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", True)], "k string, _bloom_hit boolean"
+    )
+    small = spark.createDataFrame([("a",), ("c",)], "k string")
+    out = bloom_prefilter(big, small, "k")
+    assert {r.k for r in out.collect()} >= {"a", "c"}
+    assert set(out.columns) == {"k", "_bloom_hit"}

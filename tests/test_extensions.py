@@ -847,3 +847,43 @@ def test_sampling_null_keys_and_strata(spark):
         by_src[r.src] = by_src.get(r.src, 0) + 1
     assert None in by_src  # the null stratum survives
     assert by_src[None] >= 1 and by_src["s1"] <= 8
+
+
+def test_semantic_dedup_dims_path_tolerates_ragged_vectors(spark):
+    """The dims fast path must not die with INVALID_ARRAY_INDEX under
+    ANSI mode when a vector is narrower than the declared width
+    (ADVICE r4): ragged rows are directionless at the declared width —
+    kept, never contracted, never compared — exactly like zero-norm
+    rows. Well-formed rows are unaffected (dims vs HOF parity)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # exact dup of 0 → dropped
+        (2, [1.0]),        # ragged (narrower than dims=2) → kept
+        (3, [0.5]),        # ragged twin → also kept, no contraction
+        (4, [0.0, 1.0]),   # well-formed, other cell → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = [[1.0, 0.0], [0.0, 1.0]]
+    out = {
+        r.id: r.kept
+        for r in similarity.semantic_dedup(
+            df, cb, threshold=0.9, dims=2
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
+def test_assign_centroid_ragged_vector_lands_on_cid0(spark):
+    """Width-guarded scorer: a ragged vector scores NULL against every
+    centroid and resolves to cid 0 (the zero-norm landing) instead of
+    raising under ANSI mode (ADVICE r4)."""
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_centroid(
+            df, [[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert out == {0: 0, 1: 1}

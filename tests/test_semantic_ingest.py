@@ -103,3 +103,36 @@ def test_incremental_semantic_dedup_zero_vector_kept(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(str(work / "leaders")).collect()
     }
     assert leaders == {0}
+
+
+def test_incremental_semantic_dedup_empty_first_leaders(spark, tmp_path):
+    """A first batch that accepts ZERO leaders (all zero-norm) must not
+    poison the leader store: the next batch's leader read has to
+    succeed even though no leader data file exists yet (ADVICE r4 —
+    schema inference over a data-less partitioned store crashed every
+    subsequent batch)."""
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    _write_wave(inp / "w1.jsonl", [(0, [0.0, 0.0]), (1, [0.0, 0.0])])
+    run_incremental_semantic_dedup(spark, str(inp), str(work), CB, TAU)
+    d1 = {
+        r.vec_id: r.kept
+        for r in spark.read.parquet(str(work / "decisions")).collect()
+    }
+    assert d1 == {0: True, 1: True}
+
+    # wave 2 against the leaderless history: the 0° vector is novel
+    # (kept, becomes the first leader); its 10° neighbor in the same
+    # batch is chained off it
+    _write_wave(inp / "w2.jsonl", [(10, _vec(0)), (11, _vec(10))])
+    run_incremental_semantic_dedup(spark, str(inp), str(work), CB, TAU)
+    d2 = {
+        r.vec_id: r.kept
+        for r in spark.read.parquet(str(work / "decisions")).collect()
+    }
+    assert d2 == {0: True, 1: True, 10: True, 11: False}
+    leaders = {
+        r.vec_id for r in spark.read.parquet(str(work / "leaders")).collect()
+    }
+    assert leaders == {10}
