@@ -447,15 +447,39 @@ def kv_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kv_top_types_df(spark, sf_dir)
 
 
+#: persist the shared kv grain only when the fact input exceeds this
+#: (bytes). Below it, recomputation is measurably cheaper than cache
+#: materialization (see kv_table docstring for the sf0.1 numbers).
+_KV_PERSIST_MIN_BYTES = 2 << 30
+
+
+def _events_input_bytes(sf_dir: str) -> int:
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def _kv_union(
-    spark: SparkSession, sf_dir: str, persist: bool = False
+    spark: SparkSession, sf_dir: str, persist: bool | str = False
 ) -> DataFrame:
     """The unified serving relation (sparse single-table design).
 
     ``persist=True`` materializes the shared plays grain once so the
     three projection branches read it from memory instead of each
     re-running the enrichment + first shuffle — the rebuild of the
-    reference's cache-the-shared-subplan fix (SURVEY.md §3.2)."""
+    reference's cache-the-shared-subplan fix (SURVEY.md §3.2).
+    ``persist='auto'`` (what kv_table uses) takes that path only when
+    the fact input is big enough for recompute to dominate the cache
+    write — the same cost-probe pattern as jaccard_pairs and
+    dedup_clusters_auto; see kv_table for the measurements."""
+    if persist == "auto":
+        persist = _events_input_bytes(sf_dir) >= _KV_PERSIST_MIN_BYTES
     plays = _plays_grain(spark, sf_dir)
     if persist:
         plays = plays.persist()
@@ -480,23 +504,29 @@ def kv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified sparse single-table KV serving relation (union of
     the three projections, reference §2.12).
 
-    persist=True: the shared plays grain (enrichment join + one
-    shuffle) materializes ONCE and all three projection branches read
-    it from memory — without it the executed plan runs the full
-    scan→join→aggregate tree three times (round-3 plan audit counted
-    14 exchanges; AQE's exchange reuse does not dedupe them because
-    each branch pushes different partial aggregates beneath its copy).
-    Wall-time at sf0.1 is a wash (recompute is cheap when the fact
-    table is small) but at cluster scale the grain recompute IS the
-    query cost, so one materialization is the right default. Spark's
-    CacheManager keys cache entries by canonicalized plan, so repeated
-    kv_table invocations in one session share a single entry rather
-    than leaking copies. Probed alternatives, measured at sf0.1:
-    localCheckpoint (4 exchanges but +0.4 s — eager job + block-store
-    write) and a repartition(event_type, date) grain hoping for
-    ReusedExchange (7 exchanges, +0.3 s, AQE plans the branches
-    separately) — both rejected."""
-    return _kv_union(spark, sf_dir, persist=True)
+    persist='auto' — a cost-based switch, because the round-4 claim
+    that recompute vs persist is "a wall-time wash" was wrong on BOTH
+    counts when re-measured (r5, sf0.1, cache-cold min-of-2):
+
+    - no persist: 1.31 s. The r3 audit's "14 exchanges, AQE doesn't
+      dedupe" read the pre-finalization plan; the FINAL adaptive plan
+      shows the grain exchange (the scan→broadcast-join→partial-agg
+      map work) is a ReusedExchange between the two value-bearing
+      branches — shuffle files already act as a disk-backed cache.
+      Only top_users re-scans, because column pruning drops
+      user_value from its grain copy, making its exchange
+      non-identical. Net: 2 fact scans, zero cache writes.
+    - persist plays: 2.35 s (cache materialization costs ~1 s here);
+      MEMORY_ONLY 1.99 s; persist the small post-agg kpis grain only
+      1.87 s; persist both 2.07 s. All slower at this scale.
+
+    At cluster scale the balance flips: one fact scan + a user-grain
+    cache (tiny relative to raw events) beats scanning the fact
+    twice, so past _KV_PERSIST_MIN_BYTES of fact input the grain is
+    persisted. Spark's CacheManager keys entries by canonicalized
+    plan, so repeated kv_table invocations in one session share a
+    single entry rather than leaking copies."""
+    return _kv_union(spark, sf_dir, persist="auto")
 
 
 # The 9 DynamoDB key-condition shapes (queries/dynamo_query.txt:6-70),
@@ -3219,75 +3249,79 @@ from . import round4_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
-# queries in registration order. Window policy (round 4, per ADVICE r3: an
-# ALTERNATING window, not a one-way rotation):
-#   1. every oracled query that has NEVER produced a driver CORRECTNESS
-#      row (round-3 late registrants + this round's ANN batch) — after
-#      this round, all oracled registry entries have a driver row;
-#   2. queries whose implementation or semantics CHANGED this round
-#      (kv_table's persisted grain, pivot_daily_types' distinct pivot);
-#   3. the remaining slots re-verify the STALEST previously-green set
-#      (driver row from round 1/2 only — rotated out in round 3).
+# queries in registration order. Window policy (alternating window, per
+# ADVICE r3; round-5 instance):
+#   1. queries whose implementation, oracle, or shared operators CHANGED
+#      this round — sequence_packing first (r4's one red: the oracle's
+#      DECIMAL typing, now CAST to BIGINT), kv_table (cost-based persist),
+#      zorder_values (BIGINT-aligned y), the embedding queries behind the
+#      width-guarded scorer, bloom_decontamination (strategy switch,
+#      pinned 'bloom');
+#   2. the 14 queries whose last driver row was round 1/2 (the stale set
+#      VERDICT r4 listed) — after this round every registry query's most
+#      recent driver row is r3+;
+#   3. the remaining slots take the stalest r3-green queries
+#      (alphabetical is deliberate — mechanical, so the r6 rotation can
+#      take the complement without judgment calls). 17 r3-green queries
+#      remain for the r6 window.
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
 # current window. tests/test_oracle_parity.py still checks ALL oracled
 # entries at sf0.001 on every pytest run regardless of position.
 _CHECK_FIRST = [
-    # -- 1. never driver-checked: round-3 late registrants
-    "doc_chunks",
+    # -- 1. changed this round
     "sequence_packing",
-    "ngram_decontamination",
-    "balanced_source_sample",
-    "winnowed_fingerprints",
-    "winnow_overlap_pairs",
-    "spend_rank_analytics",
-    "user_event_type_profile",
-    # -- 1. never driver-checked: round-4 ANN replay/recall batch
-    "ann_lsh_oracle",
-    "ann_lsh_recall",
+    "kv_table",
+    "zorder_values",
+    "semantic_dedup_decisions",
     "ann_ivf_oracle",
     "ann_ivf_recall",
-    # -- 1. never driver-checked: round-4 additions
-    "multimodal_resize_geometry",
-    "lateral_top_customers",
     "bloom_decontamination",
-    "semantic_dedup_decisions",
-    "heavy_hitter_tokens",
-    "zorder_values",
-    "udtf_positional_tokens",
-    # -- 2. changed this round
-    "kv_table",
-    "pivot_daily_types",
-    # -- 3. stalest re-checks (last driver row: round 1/2)
-    "kv_metrics",
-    "kv_top_users",
-    "kv_top_types",
-    "serving_metrics_prefix",
-    "serving_metric_exact",
-    "pricing_summary",
-    "revenue_by_nation",
-    "argmax_order_by_nation",
-    "top_parts_per_brand",
-    "order_priority_semi",
-    "inactive_customers_anti",
-    "customer_order_counts_outer",
-    "validate_events",
-    "json_extract_agg",
-    "hourly_activity",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "quality_by_source",
-    "ann_cosine_topk",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "rollup_revenue",
-    "cube_activity",
-    "percentiles_by_type",
-    "value_stats_by_type",
-    "salted_join_equivalence",
-    "grouping_sets_marginals",
-    "daily_gapfill",
-    "multimodal_features",
+    # -- 2. stalest re-checks (last driver row: round 1/2)
+    "asof_user_setting",
+    "brand_stats_having",
+    "day_over_day",
+    "embedding_near_dups_exact",
+    "except_entities",
+    "lang_detect_counts",
+    "rolling_7d_range",
+    "salted_agg_equivalence",
+    "serving_rank_between",
+    "serving_user_range",
+    "token_stats",
+    "type_share_of_day",
+    "union_dedup",
+    "user_sessions",
+    # -- 3. stalest r3-green re-checks (first 29 alphabetically)
+    "bi_nation_volume",
+    "bigram_collocations",
+    "brand_basket_pairs",
+    "cdc_latest_state",
+    "click_purchase_funnel",
+    "click_purchase_funnel_native",
+    "corpus_curation",
+    "cumulative_unique_buyers",
+    "daily_kpis",
+    "dataset_split_counts",
+    "dim_merge_upsert",
+    "disjunctive_part_revenue",
+    "doc_repetition_filter",
+    "embedding_quantize_codes",
+    "ewma_per_user",
+    "fuzzy_part_pairs",
+    "global_top_spenders",
+    "idle_rich_customers",
+    "incremental_daily_agg",
+    "interpolated_purchase_series",
+    "intersect_entities",
+    "inverted_index_tokens",
+    "minhash_lsh_oracle",
+    "monthly_retention_cohorts",
+    "multi_order_customers_exists",
+    "music_pipeline_kpis",
+    "music_pipeline_top_songs",
+    "orders_by_nation_block_in",
+    "pivot_event_type_matrix",
 ]
 
 def finalize_registry() -> dict[str, Q]:

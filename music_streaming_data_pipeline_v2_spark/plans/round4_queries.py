@@ -358,7 +358,11 @@ def multimodal_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("synthetic").alias("format"),
         ).alias("meta"),
     )
-    return resize_images(media, max_dim=100).select(
+    # image_kernel pinned to 'bytes': the oracle checks the GEOMETRY
+    # contract on synthetic non-image payloads; the real codec kernels
+    # ('auto' → pillow/ppm) correctly refuse to describe bytes they
+    # can't decode and would pass these rows through untouched
+    return resize_images(media, max_dim=100, image_kernel="bytes").select(
         "media_id",
         "modality",
         F.col("meta.width").alias("width"),
@@ -572,8 +576,11 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
+    # strategy pinned to 'bloom': this query EXISTS to oracle-check the
+    # accelerated plan — 'auto' would (correctly) pick the plain join
+    # at bench scale and the equivalence would check nothing
     return ngram_contamination_bloom(
-        docs.filter(b < 204), docs.filter(b >= 230), n=5
+        docs.filter(b < 204), docs.filter(b >= 230), n=5, strategy="bloom"
     )
 
 

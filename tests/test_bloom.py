@@ -89,10 +89,27 @@ def test_decontamination_bloom_matches_exact(spark):
     b = hash_bucket("doc_id")
     train, test = docs.filter(b < 204), docs.filter(b >= 230)
     exact = ngram_contamination(train, test, n=5)
-    bloomed = ngram_contamination_bloom(train, test, n=5)
-    assert sorted(map(tuple, exact.collect())) == sorted(
-        map(tuple, bloomed.collect())
-    )
+    bloomed = ngram_contamination_bloom(train, test, n=5, strategy="bloom")
+    want = sorted(map(tuple, exact.collect()))
+    assert want == sorted(map(tuple, bloomed.collect()))
+
+    # strategy equivalence: every branch of the cost switch returns the
+    # same rows, and 'auto' resolves to a real branch at any threshold
+    import music_streaming_data_pipeline_v2_spark.operators.text as text_mod
+    import pytest
+
+    plain = ngram_contamination_bloom(train, test, n=5, strategy="plain")
+    assert want == sorted(map(tuple, plain.collect()))
+    for forced_min in (0, 1 << 60):  # auto→bloom, auto→plain
+        orig = text_mod._BLOOM_MIN_TRAIN_BYTES
+        text_mod._BLOOM_MIN_TRAIN_BYTES = forced_min
+        try:
+            auto = ngram_contamination_bloom(train, test, n=5)
+        finally:
+            text_mod._BLOOM_MIN_TRAIN_BYTES = orig
+        assert want == sorted(map(tuple, auto.collect()))
+    with pytest.raises(ValueError, match="strategy"):
+        ngram_contamination_bloom(train, test, n=5, strategy="nope")
 
 
 def test_build_shuffle_bounded_by_filter_size(spark):

@@ -517,7 +517,8 @@ def test_multimodal_decode_stub_raises():
 def test_multimodal_pillow_gate_without_pillow(spark):
     """Environment-gated codec (like the protobuf TWS twin): when
     Pillow is absent the pillow kernel refuses loudly, 'auto' falls
-    back to the byte histogram, and the default is unchanged."""
+    back to the stdlib ppm codec — whose non-PPM payloads land on the
+    byte histogram — and the default is unchanged."""
     from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
 
     import pytest as _pytest
@@ -707,7 +708,10 @@ def test_resize_images_geometry_and_passthrough(spark):
     # small corpus whose dims never exceed max_dim would leave every
     # geometry assertion below dead code)
     media = synthetic_media(spark, n=300)
-    out = resize_images(media, max_dim=100).collect()
+    # bytes kernel pinned: this test checks the METADATA geometry
+    # contract on synthetic non-image payloads; the real codec kernels
+    # (auto → pillow/ppm) would pass undecodable rows through untouched
+    out = resize_images(media, max_dim=100, image_kernel="bytes").collect()
     src = {r.media_id: r for r in media.collect()}
     assert len(out) == 300
     n_resized = 0
@@ -734,7 +738,7 @@ def test_resize_images_geometry_and_passthrough(spark):
     assert n_resized > 50  # the resize branch genuinely ran
     # determinism across runs
     again = {(r.media_id, r.meta.width, r.meta.height)
-             for r in resize_images(media, max_dim=100).collect()}
+             for r in resize_images(media, max_dim=100, image_kernel="bytes").collect()}
     assert again == {(r.media_id, r.meta.width, r.meta.height) for r in out}
 
 
@@ -887,3 +891,97 @@ def test_assign_centroid_ragged_vector_lands_on_cid0(spark):
         ).collect()
     }
     assert out == {0: 0, 1: 1}
+
+
+def _make_p6(w, h, px):
+    """Binary PPM with a comment line — exercises header parsing."""
+    return b"P6\n# test\n" + f"{w} {h}\n255\n".encode() + bytes(px)
+
+
+def _make_p5(w, h, px):
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_ppm_codec_roundtrip_and_rejects():
+    from music_streaming_data_pipeline_v2_spark.operators.multimodal import (
+        _ppm_codec,
+    )
+
+    decode, gray_resize, encode = _ppm_codec()
+    px = [v % 256 for v in range(4 * 2 * 3)]
+    d = decode(_make_p6(4, 2, px))
+    assert d is not None and d[0] == "P6" and (d[1], d[2]) == (4, 2)
+    assert decode(encode(*d[:3], d[3])) == ("P6", 4, 2, bytes(px))
+    # grayscale via integer BT.601: a pure-red pixel → 299*255//1000
+    red = decode(_make_p6(1, 1, [255, 0, 0]))
+    assert gray_resize(red, 1, 1) == [[(299 * 255) // 1000]]
+    # rejects: wrong magic, truncated raster, 16-bit maxval, junk header
+    assert decode(b"BM\x00\x00") is None
+    assert decode(b"P6\n4 2\n255\n\x00\x00") is None
+    assert decode(b"P6\n1 1\n65535\n" + b"\x00" * 6) is None
+    assert decode(b"P6\nx y\n255\n") is None
+
+
+def test_extract_features_ppm_kernel_decodes_without_pillow(spark):
+    """The vendored stdlib codec gives this container a REAL
+    decode→grayscale→resize path (VERDICT r4 #7): a uniform-gray P6
+    payload must produce a uniform luminance vector, not its byte
+    histogram; non-PPM payloads fall back to the byte histogram."""
+    from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    w, h = 6, 4
+    gray_ppm = _make_p6(w, h, [120] * (w * h * 3))
+    junk = b"not an image at all"
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(gray_ppm), (w, h, None, "ppm")),
+         (1, "image", bytearray(junk), (3, 3, None, "bin")),
+         (2, "audio", bytearray(junk), (None, None, 100, "wav"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.extract_features(media, image_kernel="ppm").collect()}
+    lum = (299 * 120 + 587 * 120 + 114 * 120) // 1000 / 255.0
+    assert all(abs(v - round(lum, 6)) < 1e-6 for v in out[0].feature)
+    # junk image and audio both land on the byte histogram of their bytes
+    from music_streaming_data_pipeline_v2_spark.operators.multimodal import (
+        fake_image_features,
+    )
+    # FloatType storage: compare at float32 precision
+    want = fake_image_features(junk)
+    for mid in (1, 2):
+        assert all(abs(a - b) < 1e-6 for a, b in zip(out[mid].feature, want))
+    # 'auto' in this Pillow-less container takes the same path
+    assert not mm.pillow_available()
+    auto = {r.media_id: r.feature
+            for r in mm.extract_features(media, image_kernel="auto").collect()}
+    assert auto == {k: r.feature for k, r in out.items()}
+
+
+def test_resize_images_ppm_kernel_real_pixels(spark):
+    """resize_images under the stdlib codec: the payload really is
+    re-encoded at the target geometry (decode of the output matches
+    meta), P5 stays grayscale, non-PPM payloads pass untouched."""
+    from music_streaming_data_pipeline_v2_spark.operators import multimodal as mm
+
+    w, h = 160, 120
+    big_p6 = _make_p6(w, h, [(i % 3) * 100 for i in range(w * h * 3)])
+    big_p5 = _make_p5(w, h, [i % 256 for i in range(w * h)])
+    junk = b"payload that is no ppm"
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(big_p6), (w, h, None, "ppm")),
+         (1, "image", bytearray(big_p5), (w, h, None, "pgm")),
+         (2, "image", bytearray(junk), (w, h, None, "bin"))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r
+           for r in mm.resize_images(media, max_dim=100, image_kernel="ppm").collect()}
+    decode, _gr, _enc = mm._ppm_codec()
+    for mid, magic, fmt in [(0, "P6", "ppm+resized"), (1, "P5", "pgm+resized")]:
+        r = out[mid]
+        assert (r.meta.width, r.meta.height) == (100, 75)
+        assert r.meta.format == fmt
+        d = decode(bytes(r.content))
+        assert d is not None and (d[0], d[1], d[2]) == (magic, 100, 75)
+    # undecodable: row completely untouched (content AND meta)
+    assert bytes(out[2].content) == junk
+    assert out[2].meta.format == "bin" and out[2].meta.width == w
