@@ -139,15 +139,27 @@ def run_incremental_dedup(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # emptiness probed on the RAW batch (one row of one file) —
+        # probing the shingled frame paid a whole partition of sketch
+        # work just to learn there is nothing to do.
+        #
+        # NOT rebalanced (r5 probe): repartitioning the batch to
+        # defaultParallelism before sketching sped the CPU phases in
+        # isolation (3.5× on postings at sf0.1/local[32]) but made the
+        # full 3-wave replay ~15% SLOWER — the shuffle, extra task
+        # scheduling, and 8× more state files per batch eat the gain.
+        # At scale the premise fails anyway: file sources split large
+        # files at spark.sql.files.maxPartitionBytes, so micro-batch
+        # parallelism tracks BYTES, not file count — a thin batch is a
+        # small batch, and small batches don't need 32 cores.
+        if batch_df.isEmpty():
+            return
         # shingle the batch ONCE; postings and verification both read
         # the persisted sketch, and it is written to the doc store so
         # no later batch ever re-tokenizes this one
         batch = batch_df.withColumn(
             "shingles", hashed_word_shingles("text", shingle_k)
         ).persist()
-        if batch.isEmpty():
-            batch.unpersist()
-            return
         new_post = minhash_band_postings(
             batch,
             num_hashes=num_hashes,
