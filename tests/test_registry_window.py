@@ -64,3 +64,39 @@ def test_window_is_exactly_the_gate_sample():
     assert len(set(_CHECK_FIRST)) == WINDOW
     rows_only = [n for n in _CHECK_FIRST if REGISTRY[n].oracle is None]
     assert not rows_only, f"rows-only entries waste gate slots: {rows_only}"
+
+
+def test_queries_md_matches_registry():
+    """QUERIES.md is generated (tools/gen_queries_md.py) — this pins it
+    to the live registry so catalog and registry cannot drift (VERDICT
+    r4 #8): the stated counts must match, and every registry query must
+    have a catalog row with the right oracle kind."""
+    import os
+    import re
+
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    with open(path) as fh:
+        md = fh.read()
+    m = re.search(r"(\d+)\s+queries, (\d+) with DuckDB oracle twins", md)
+    assert m, "QUERIES.md header lost its counts line — regenerate"
+    n, n_oracle = int(m.group(1)), int(m.group(2))
+    assert n == len(REGISTRY), (
+        f"QUERIES.md says {n} queries, registry has {len(REGISTRY)} — "
+        "run: python tools/gen_queries_md.py"
+    )
+    want_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert n_oracle == want_oracle, (
+        f"QUERIES.md says {n_oracle} oracled, registry has {want_oracle} — "
+        "run: python tools/gen_queries_md.py"
+    )
+    rows = dict(re.findall(r"^\| `(\w+)` \| (SQL|rows-only) \|", md, re.M))
+    for name, q in REGISTRY.items():
+        kind = "SQL" if q.oracle is not None else "rows-only"
+        assert rows.get(name) == kind, (
+            f"{name}: QUERIES.md row {rows.get(name)!r} != registry "
+            f"{kind!r} — run: python tools/gen_queries_md.py"
+        )
