@@ -68,6 +68,12 @@ HEADLINE = [
     "bloom_decontamination",
     "semantic_dedup_decisions",
     "heavy_hitter_tokens",
+    # round 5: retrieval + curation scoring (BM25, unigram-LM quality,
+    # PII audit, quality-weighted sampling)
+    "bm25_search",
+    "unigram_lm_quality",
+    "pii_scan_counts",
+    "weighted_doc_sample",
 ]
 
 

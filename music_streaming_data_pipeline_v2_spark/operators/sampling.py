@@ -114,3 +114,38 @@ def balanced_sample(
         .filter(hash_bucket(key_col) < F.col("_frac") * 256)
         .select(*df.columns)
     )
+
+
+def hash_uniform(key: str | Column) -> Column:
+    """Deterministic uniform in [0, 1) from md5(key): the first 12 hex
+    digits as a 48-bit integer over 16^12 — fine enough for per-row
+    Bernoulli thresholds (2⁻⁴⁸ resolution), exactly representable in a
+    double (48 < 53 mantissa bits), and built from the same hex-digit
+    arithmetic as ``hash_bucket`` so any engine evaluates it
+    identically."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(c.cast("string"))
+    v = F.lit(0).cast("long")
+    for j in range(12):
+        v = v + _hexval(F.substring(h, j + 1, 1)).cast("long") * (16 ** (11 - j))
+    return v.cast("double") / F.lit(float(16**12))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str,
+) -> DataFrame:
+    """Per-row deterministic Bernoulli sampling: keep a row iff
+    ``hash_uniform(key) < weight`` (weights in [0, 1]; ≥1 always
+    keeps, ≤0 never). The content-hash coin makes membership a pure
+    function of (key, weight) — stable across runs, engines, and
+    partitionings, unlike seeded ``rand()`` — which is what lets a
+    quality-weighted corpus re-sample reproducibly as weights evolve:
+    a row's fate changes only if ITS weight crossed its coin.
+
+    Map-only (no shuffle); the hash arithmetic is whole-stage
+    codegen'd. At 100 TB this is the standard quality-proportional
+    downsampling pass (e.g. sampling web text ∝ LM quality score)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_uniform(key_col) < w)

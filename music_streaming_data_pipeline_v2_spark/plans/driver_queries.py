@@ -3246,6 +3246,7 @@ from . import analytics_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import round3_queries  # noqa: E402,F401
 from . import round4_queries  # noqa: E402,F401
+from . import round5_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
@@ -3262,13 +3263,19 @@ from . import round4_queries  # noqa: E402,F401
 #      recent driver row is r3+;
 #   3. the remaining slots take the stalest r3-green queries
 #      (alphabetical is deliberate — mechanical, so the r6 rotation can
-#      take the complement without judgment calls). 17 r3-green queries
-#      remain for the r6 window.
+#      take the complement without judgment calls). 21 r3-green queries
+#      remain for the r6 window (4 slots went to the new round-5
+#      registrants, which outrank re-checks).
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
 # current window. tests/test_oracle_parity.py still checks ALL oracled
 # entries at sf0.001 on every pytest run regardless of position.
 _CHECK_FIRST = [
+    # -- 0. new this round, never driver-checked (round5_queries.py)
+    "bm25_search",
+    "unigram_lm_quality",
+    "pii_scan_counts",
+    "weighted_doc_sample",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3292,7 +3299,7 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 29 alphabetically)
+    # -- 3. stalest r3-green re-checks (first 25 alphabetically)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
@@ -3318,10 +3325,6 @@ _CHECK_FIRST = [
     "minhash_lsh_oracle",
     "monthly_retention_cohorts",
     "multi_order_customers_exists",
-    "music_pipeline_kpis",
-    "music_pipeline_top_songs",
-    "orders_by_nation_block_in",
-    "pivot_event_type_matrix",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -1,0 +1,235 @@
+"""Round-5 training-data pipeline batch: BM25 keyword retrieval,
+unigram-LM quality scoring, PII pattern scanning, weighted
+deterministic sampling.
+
+The retrieval/curation shapes between dedup and training that round 4
+left open (operators/text.py:bm25_topk and friends), each with a
+DuckDB oracle twin. Corpus tokenization mirrors the tfidf oracle's
+``\\s+`` split; float accumulations are scaled-integer sums so
+aggregation order can never flip a hash (see bm25_topk's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .driver_queries import _utc, q
+
+#: Fixed retrieval queries over the synthetic vocabulary — literal in
+#: both engines, so the oracle replays them as a VALUES list.
+_BM25_QUERIES = [
+    (0, "spark window join"),
+    (1, "hash table scan"),
+    (2, "vector stream merge batch"),
+]
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_ORACLE_BM25 = rf"""
+WITH tf AS (
+    SELECT doc_id AS _doc, LOWER(t.tok) AS token, COUNT(*) AS tf
+    FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    GROUP BY 1, 2
+),
+dl AS (SELECT _doc, SUM(tf) AS dl FROM tf GROUP BY _doc),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+stats AS (SELECT COUNT(DISTINCT _doc) AS n_docs, SUM(tf) AS sum_dl FROM tf),
+qt AS (
+    SELECT DISTINCT query_id, LOWER(t.tok) AS token
+    FROM (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)})
+         AS q(query_id, qtext),
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(qtext), '\s+')) AS t(tok)
+),
+scored AS (
+    SELECT qt.query_id, tf._doc,
+           SUM(CAST(ROUND(
+               LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE)
+                         + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
+               / (CAST(tf AS DOUBLE) + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                  + {_BM25_B!r} * CAST(dl AS DOUBLE)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               * 1e9) AS BIGINT)) AS _score_i
+    FROM tf
+    JOIN qt USING (token)
+    JOIN dfreq USING (token)
+    JOIN dl USING (_doc)
+    CROSS JOIN stats
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT query_id, _doc AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY _score_i DESC, _doc ASC
+           ) AS INTEGER) AS rank,
+           CAST(_score_i AS DOUBLE) / 1e9 AS score
+    FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+@q("bm25_search", _ORACLE_BM25)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval over the documents corpus for
+    three fixed literal queries (operators/text.py:bm25_topk). The
+    oracle replays the Lucene-variant idf and the per-term scaled-
+    integer contributions in SQL — the cross-row sum is over BIGINTs
+    on both engines, so partition-order float drift cannot flip a
+    rank or a hash."""
+    from ..operators.text import bm25_topk
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    return bm25_topk(docs, queries, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+_BUCKET = (
+    "(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_ORACLE_UNIGRAM = rf"""
+WITH b AS (SELECT doc_id, text, {_BUCKET} AS bkt FROM documents),
+lm AS (
+    SELECT LOWER(t.tok) AS token, COUNT(*) AS c
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt < 204
+    GROUP BY 1
+),
+stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM lm),
+tok AS (
+    SELECT doc_id AS _doc, LOWER(t.tok) AS token
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt >= 230
+)
+SELECT _doc AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(ROUND(LN((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+           / (CAST(total AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9) AS BIGINT))
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS avg_logprob
+FROM tok LEFT JOIN lm USING (token) CROSS JOIN stats
+GROUP BY 1
+"""
+
+
+@q("unigram_lm_quality", _ORACLE_UNIGRAM)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring over the engine's own hash
+    split (operators/text.py:unigram_logprob_score): an add-one
+    unigram LM trained on the train split scores the test split's
+    mean token log-probability. Per-token log-probs sum as scaled
+    BIGINTs, so the oracle hash cannot be flipped by aggregation
+    order."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import unigram_logprob_score
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return unigram_logprob_score(docs.filter(b >= 230), docs.filter(b < 204))
+
+
+# Deterministic synthetic PII injection — the testdata corpus is clean,
+# so the scan query plants addresses/numbers/IPs into a DERIVED column
+# with pure integer/string arithmetic both engines replay identically.
+def _pii_text_sql(str_t: str) -> str:
+    """One injection expression, two engines: ``str_t`` is the string
+    cast target name ('STRING' for Spark, 'VARCHAR' for DuckDB)."""
+    return (
+        "CONCAT(text,"
+        f" CASE WHEN doc_id % 7 = 0 THEN CONCAT(' contact u', CAST(doc_id AS {str_t}),"
+        "   '@example.com for details') ELSE '' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN CONCAT(' call +1 (555) 010-',"
+        f"   CAST(1000 + doc_id % 9000 AS {str_t}), ' today') ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN CONCAT(' host 10.0.',"
+        f"   CAST(doc_id % 256 AS {str_t}), '.1 logged') ELSE '' END)"
+    )
+
+_ORACLE_PII = f"""
+WITH t AS (SELECT doc_id, {_pii_text_sql('VARCHAR')} AS text FROM documents)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+           AS n_email,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+            '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) AS BIGINT) AS n_phone,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+            '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+           AS BIGINT) AS n_ipv4,
+       (LEN(REGEXP_EXTRACT_ALL(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+        OR LEN(REGEXP_EXTRACT_ALL(text, '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) > 0
+        OR LEN(REGEXP_EXTRACT_ALL(text,
+            '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) > 0)
+           AS has_pii
+FROM t
+"""
+
+
+@q("pii_scan_counts", _ORACLE_PII)
+def pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit pass (operators/text.py:pii_scan) over a corpus with
+    deterministically injected addresses/numbers/IPs (the testdata is
+    clean — the injection is pure integer/string arithmetic both
+    engines replay). Patterns live in the RE2 ∩ Java-regex subset so
+    the DuckDB oracle runs them verbatim. Map-only: counts come from
+    regexp_extract_all sizes in one projection, no shuffle."""
+    from ..operators.text import pii_scan
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_pii_text_sql("STRING")).alias("text")
+    )
+    return pii_scan(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "has_pii"
+    )
+
+
+_UNIFORM_SQL = (
+    "("
+    + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)),"
+        f" {j + 1}, 1)) - 1) * {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    + f") / {float(16**12)!r}"
+)
+
+_ORACLE_WEIGHTED = rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           LEAST(1.0, CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text),
+               '[ \t\n\r\f]+'), x -> x <> '')) AS DOUBLE) / 80.0) AS weight
+    FROM documents
+)
+SELECT doc_id, source, ROUND(weight, 6) AS weight
+FROM t WHERE {_UNIFORM_SQL} < weight
+"""
+
+
+@q("weighted_doc_sample", _ORACLE_WEIGHTED)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling
+    (operators/sampling.py:weighted_sample): keep each document with
+    probability ∝ its token count (capped at 1), coin-flipped by a
+    content hash — membership is exact set arithmetic both engines
+    replay, no seeded rand. The oracle recomputes the 48-bit uniform
+    digit-for-digit."""
+    from ..operators.sampling import weighted_sample
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"),
+        lambda x: x != F.lit(""),
+    )
+    weighted = docs.withColumn(
+        "weight", F.least(F.lit(1.0), F.size(toks).cast("double") / F.lit(80.0))
+    )
+    return weighted_sample(weighted, "weight", "doc_id").select(
+        "doc_id", "source", F.round("weight", 6).alias("weight")
+    )

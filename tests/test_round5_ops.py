@@ -1,0 +1,134 @@
+"""Round-5 operators: BM25 retrieval, unigram-LM scoring, PII scan,
+weighted deterministic sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+    hash_uniform,
+    weighted_sample,
+)
+from music_streaming_data_pipeline_v2_spark.operators.text import (
+    bm25_topk,
+    pii_redact,
+    pii_scan,
+    unigram_logprob_score,
+)
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "durian"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple"), (1, "cherry banana")], "query_id int, text string"
+    )
+    out = bm25_topk(corpus, queries, k=3)
+    rows = {(r.query_id, r.rank): r for r in out.collect()}
+    # 'apple' appears only in doc 1
+    assert rows[(0, 1)].doc_id == 1 and (0, 2) not in rows
+    # banana also lives in doc 1, so all three match — but doc 2
+    # (both query terms, shortest) must outrank tf-saturated doc 3
+    got_q1 = [rows[(1, i)].doc_id for i in range(1, 4) if (1, i) in rows]
+    assert set(got_q1) == {1, 2, 3} and rows[(1, 1)].doc_id == 2
+    # scores are positive and strictly rank-ordered
+    for q in (0, 1):
+        scores = [rows[(q, i)].score for i in range(1, 4) if (q, i) in rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_hand_computed_score(spark):
+    """One-term, one-doc corpus: score must equal the closed form."""
+    corpus = spark.createDataFrame([(7, "x x y")], "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "x")], "query_id int, text string")
+    r = bm25_topk(corpus, queries, k=1, k1=1.2, b=0.75).collect()[0]
+    # N=1, df=1 → idf = ln(1 + 0.5/1.5); tf=2, dl=3, avgdl=3 → denom=tf+k1
+    want = math.log(1 + 0.5 / 1.5) * (2 * 2.2) / (2 + 1.2)
+    assert abs(r.score - round(want * 1e9) / 1e9) < 1e-12
+
+
+def test_unigram_lm_scores_reference_like_text_higher(spark):
+    lm = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zq zz qqq")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(scored, lm).collect()}
+    assert out[100].avg_logprob > out[101].avg_logprob
+    assert out[100].n_tokens == 3 and out[101].n_tokens == 3
+    # unseen tokens get exactly ln(1 / (total + V)): total=30, V=5
+    assert abs(
+        out[101].avg_logprob - round(math.log(1 / 35.0) * 1e9) / 1e9
+    ) < 1e-12
+
+
+def test_pii_scan_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b%c@sub.example.org and b@x.io now"),
+            (2, "call +1 (555) 010-2233 or 555 123 4567"),
+            (3, "from 192.168.0.1 to 10.0.0.255"),
+            (4, "perfectly clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (out[1].n_email, out[1].has_pii) == (2, True)
+    assert out[2].n_phone == 2 and out[2].has_pii
+    assert out[3].n_ipv4 == 2 and out[3].has_pii
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4, out[4].has_pii) == (
+        0, 0, 0, False,
+    )
+    red = {r.doc_id: r.text_redacted for r in pii_redact(df).collect()}
+    assert red[1] == "mail [EMAIL] and [EMAIL] now"
+    assert "[PHONE]" in red[2] and "555" not in red[2]
+    assert red[3] == "from [IPV4] to [IPV4]"
+    assert red[4] == "perfectly clean text"
+
+
+def test_weighted_sample_deterministic_and_edge_weights(spark):
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5))
+         for i in range(300)],
+        "k long, w double",
+    )
+    kept = {r.k for r in weighted_sample(df, "w", "k").collect()}
+    # weight 0 never keeps, weight 1 always keeps
+    assert not any(k % 3 == 0 for k in kept)
+    assert all(k in kept for k in range(300) if k % 3 == 1)
+    # half-weight keeps roughly half (deterministic, so exact per seed set)
+    half = [k for k in kept if k % 3 == 2]
+    assert 25 <= len(half) <= 75
+    # pure function of (key, weight): identical on re-run and repartition
+    again = {r.k for r in weighted_sample(df.repartition(7), "w", "k").collect()}
+    assert again == kept
+
+
+def test_hash_uniform_range_and_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    vals = [r.u for r in df.select(hash_uniform("k").alias("u")).collect()]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert 0.4 < sum(vals) / len(vals) < 0.6  # roughly uniform
+    assert len(set(vals)) == len(vals)  # 48-bit: no collisions at n=1000
+
+
+def test_bm25_empty_query_and_no_match(spark):
+    corpus = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "nomatch"), (1, "   ")], "query_id int, text string"
+    )
+    assert bm25_topk(corpus, queries, k=5).count() == 0
