@@ -57,8 +57,15 @@ from music_streaming_data_pipeline_v2_spark.operators.similarity import (
     semantic_dedup,
 )
 from music_streaming_data_pipeline_v2_spark.operators.text import (
+    bm25_topk,
     ngram_contamination_bloom,
+    pii_scan,
     quality_score,
+    template_ngrams,
+    unigram_logprob_score,
+)
+from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+    weighted_sample,
 )
 from music_streaming_data_pipeline_v2_spark.session import get_spark
 
@@ -72,10 +79,20 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
 
-    # 1. quality gate
+    # 1. quality gate — rule features AND the unigram-LM score (CCNet
+    # direction: a reference-corpus LM ranks crawl text); the demo
+    # keeps rule-passing docs, records the LM score distribution
     scored = quality_score(docs)
     good = scored.filter(F.col("quality_score") >= 0.3).drop("quality_score")
     n1 = good.count()
+    lm_scores = unigram_logprob_score(good, good.filter(hash_bucket("doc_id") < 128))
+    lm_lo = lm_scores.agg(F.min("avg_logprob")).first()[0]
+
+    # 1b. PII audit (report; masking is pii_redact on the same patterns)
+    n_pii = pii_scan(good).filter("has_pii").count()
+
+    # 1c. template audit: per-source boilerplate 4-grams
+    n_templates = template_ngrams(good, n=4, min_doc_frac=0.2).count()
 
     # 2. exact dedup (keep min doc_id per identical normalized text)
     keep_exact = exact_dedup(good).select("doc_id")
@@ -112,8 +129,16 @@ def main() -> None:
     good = good.join(leaked, good.doc_id == leaked.leak_id, "left_anti")
     n4 = good.count()
 
-    # 5. rebalance sources toward uniform
+    # 5. rebalance sources toward uniform, then quality-proportional
+    # thinning: keep long documents with probability ∝ token count
+    # (deterministic content-hash coin — reproducible across engines)
     good = balanced_sample(good, "source", "doc_id")
+    toks = F.filter(F.split(F.trim(F.col("text")), ENGINE_SAFE_WS),
+                    lambda x: x != F.lit(""))
+    good = weighted_sample(
+        good.withColumn("_w", F.least(F.lit(1.0), F.size(toks) / F.lit(40.0))),
+        "_w", "doc_id",
+    ).drop("_w")
     n5 = good.count()
 
     # 6. chunk to context windows, pack into token budgets
@@ -137,6 +162,13 @@ def main() -> None:
     ).filter(F.col("value") != "")
     hh = frequent_items(tok, "value", min_fraction=0.01).count()
 
+    # 9. retrieval sanity probe over the finished corpus: BM25 top-3
+    # for a fixed query — the serving-side check that curated shards
+    # still answer keyword lookups
+    probes = spark.createDataFrame([(0, "spark window join")],
+                                   "query_id int, text string")
+    top = bm25_topk(good, probes, k=3).collect()
+
     print(f"corpus:        {n0} docs")
     print(f"quality gate:  {n1} kept")
     print(f"exact dedup:   {n2} kept")
@@ -146,7 +178,10 @@ def main() -> None:
     print(f"rebalanced:    {n5} kept")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
     print(f"splits:        {splits} -> {out}")
-    print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%)")
+    print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%); "
+          f"{n_templates} template 4-grams (>=20% of a source)")
+    print(f"pii audit:     {n_pii} docs flagged; min LM score {lm_lo:.3f}")
+    print(f"bm25 probe:    {[(r.doc_id, round(r.score, 3)) for r in top]}")
 
 
 if __name__ == "__main__":

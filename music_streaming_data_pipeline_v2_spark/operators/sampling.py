@@ -31,13 +31,28 @@ def _hexval(c: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), c) - 1
 
 
-def hash_bucket(key: str | Column, buckets: int = 256) -> Column:
-    """Stable bucket 0..buckets-1 from md5(key) — content-addressed,
-    partition- and engine-independent. Uses the first two hex digits
-    (256 base buckets); ``buckets`` must divide 256."""
+def hash_bucket(
+    key: str | Column, buckets: int = 256, salt: str | None = None
+) -> Column:
+    """Stable bucket 0..buckets-1 from md5(salt + key) —
+    content-addressed, partition- and engine-independent. Uses the
+    first two hex digits (256 base buckets); ``buckets`` must divide
+    256.
+
+    ``salt`` decorrelates INDEPENDENT uses of the coin: two sampling
+    passes keyed on the same column with the same digest select the
+    same hash-prefix region, so composing them (e.g. balanced_sample
+    then dataset_split) silently concentrates survivors in one pass's
+    low buckets — found by the curation demo, where every
+    post-rebalance document landed in the train split. Unsalted
+    (None) is the canonical SPLIT identity digest; every other
+    operator passes its own prefix."""
     assert 256 % buckets == 0, "buckets must divide 256"
     c = F.col(key) if isinstance(key, str) else key
-    h = F.md5(c.cast("string"))
+    c = c.cast("string")
+    if salt is not None:
+        c = F.concat(F.lit(salt), c)
+    h = F.md5(c)
     v256 = _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
     return (v256 / (256 // buckets)).cast("int")
 
@@ -67,8 +82,10 @@ def dataset_split(
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction_256: int) -> DataFrame:
-    """Deterministic ~(fraction_256/256) sample by content hash."""
-    return df.filter(hash_bucket(key_col) < fraction_256)
+    """Deterministic ~(fraction_256/256) sample by content hash
+    ('s|'-salted — see hash_bucket: an unsalted sample pass would be
+    correlated with dataset_split's buckets)."""
+    return df.filter(hash_bucket(key_col, salt="s|") < fraction_256)
 
 
 def stratified_sample(
@@ -111,20 +128,30 @@ def balanced_sample(
         df.join(
             F.broadcast(frac), df[stratum_col].eqNullSafe(frac["_stratum"])
         )
-        .filter(hash_bucket(key_col) < F.col("_frac") * 256)
+        # 'b|' salt: an unsalted threshold would correlate with
+        # dataset_split (see hash_bucket) — rebalance-then-split
+        # emptied the val/test buckets before r5
+        .filter(hash_bucket(key_col, salt="b|") < F.col("_frac") * 256)
         .select(*df.columns)
     )
 
 
 def hash_uniform(key: str | Column) -> Column:
-    """Deterministic uniform in [0, 1) from md5(key): the first 12 hex
-    digits as a 48-bit integer over 16^12 — fine enough for per-row
-    Bernoulli thresholds (2⁻⁴⁸ resolution), exactly representable in a
-    double (48 < 53 mantissa bits), and built from the same hex-digit
-    arithmetic as ``hash_bucket`` so any engine evaluates it
-    identically."""
+    """Deterministic uniform in [0, 1) from md5('u|' + key): the first
+    12 hex digits as a 48-bit integer over 16^12 — fine enough for
+    per-row Bernoulli thresholds (2⁻⁴⁸ resolution), exactly
+    representable in a double (48 < 53 mantissa bits), and built from
+    the same hex-digit arithmetic as ``hash_bucket`` so any engine
+    evaluates it identically.
+
+    The ``'u|'`` salt is load-bearing: an unsalted md5 shares its
+    digest with ``hash_bucket``/``dataset_split``, making the sampling
+    coin CORRELATED with split assignment — a weighted_sample pass
+    then silently empties the val/test buckets (every survivor has a
+    small hash prefix, hence a small bucket). Found by the curation
+    demo: 69/69 post-sampling docs landed in train."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.md5(c.cast("string"))
+    h = F.md5(F.concat(F.lit("u|"), c.cast("string")))
     v = F.lit(0).cast("long")
     for j in range(12):
         v = v + _hexval(F.substring(h, j + 1, 1)).cast("long") * (16 ** (11 - j))

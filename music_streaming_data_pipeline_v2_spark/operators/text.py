@@ -740,3 +740,51 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind in ("email", "phone", "ipv4"):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return df.withColumn(f"{text_col}_redacted", c)
+
+
+def template_ngrams(
+    df: DataFrame,
+    n: int = 4,
+    min_doc_frac: float = 0.05,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate/template detection: word n-grams that recur across
+    an unusually large fraction of one stratum's documents — the
+    n-gram analogue of C4's duplicated-line removal (Raffel et al.,
+    JMLR 2020 §2.2 drop repeated ≥3-sentence spans; a corpus without
+    line structure uses token n-grams as the span unit). Returned
+    grams are what a cleanup pass strips or what an auditor reads to
+    find template contamination (headers, footers, license blurbs).
+
+    Returns ``(stratum, gram, doc_freq, n_docs, doc_frac)`` for grams
+    with ``doc_frac ≥ min_doc_frac``, where doc_freq counts DISTINCT
+    documents. Plan: the postings explode is reused from
+    word_ngram_postings; one gram-keyed aggregate joined against the
+    broadcast per-stratum doc counts. At 100 TB the aggregate output
+    is vocabulary×strata-sized, ≪ corpus."""
+    posts = word_ngram_postings(df, n, text_col, id_col).join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(stratum_col)), "doc_id"
+    )
+    per = posts.groupBy(stratum_col, "gram").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    totals = df.groupBy(stratum_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        per.join(F.broadcast(totals), stratum_col)
+        .withColumn(
+            "doc_frac",
+            F.col("doc_freq").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .filter(F.col("doc_frac") >= F.lit(min_doc_frac))
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            "gram",
+            "doc_freq",
+            "n_docs",
+            F.round("doc_frac", 6).alias("doc_frac"),
+        )
+    )

@@ -16,12 +16,7 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 from .driver_queries import _utc, q
 
-_W = r"LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'), x -> x <> '')"
-
-_BUCKET = (
-    "(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-)
+from .oracle_shared import _BUCKET, _ORACLE_DECONTAM, _W  # noqa: F401
 
 _ORACLE_CHUNKS = f"""
 WITH t AS (
@@ -90,26 +85,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=64)
 
 
-_ORACLE_DECONTAM = f"""
-WITH b AS (
-    SELECT doc_id, text, {_BUCKET} AS bkt FROM documents
-),
-g AS (
-    SELECT doc_id, bkt,
-           LIST_DISTINCT(LIST_TRANSFORM(
-               RANGE(1, LEN({_W}) - 3),
-               i -> ARRAY_TO_STRING(({_W})[i : i + 4], ' ')
-           )) AS grams
-    FROM b WHERE LEN({_W}) >= 5
-),
-tg AS (SELECT doc_id AS train_id, UNNEST(grams) AS gram FROM g WHERE bkt < 204),
-sg AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE bkt >= 230)
-SELECT sg.doc_id,
-       COUNT(DISTINCT sg.gram) AS n_shared_grams,
-       COUNT(DISTINCT tg.train_id) AS n_train_docs_hit
-FROM sg JOIN tg ON sg.gram = tg.gram
-GROUP BY sg.doc_id
-"""
 
 
 @q("ngram_decontamination", _ORACLE_DECONTAM)
@@ -130,13 +105,18 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_B = (
+    "(INSTR('0123456789abcdef', SUBSTRING(MD5('b|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('b|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
 _ORACLE_BALANCED = f"""
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 m AS (SELECT MIN(n) AS mn FROM c),
 k AS (
     SELECT d.source, COUNT(*) AS n_after
     FROM documents d JOIN c USING (source), m
-    WHERE {_BUCKET} < (m.mn / c.n) * 256
+    WHERE {_BUCKET_B} < (m.mn / c.n) * 256
     GROUP BY d.source
 )
 SELECT c.source, c.n AS n_before, COALESCE(k.n_after, 0) AS n_after

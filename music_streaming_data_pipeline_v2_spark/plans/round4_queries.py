@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..io.sources import load_table
 from ..operators import similarity as _sim
 from .driver_queries import _utc, cos_sql as _cos_sql, q
-from .round3_queries import _ORACLE_DECONTAM
+from .oracle_shared import _ORACLE_DECONTAM
 
 _DIMS, _BITS, _BANDS, _K, _NPROBE, _NCENT = 64, 16, 4, 10, 3, 8
 _PLANES = _sim.random_hyperplanes(_DIMS, _BITS, seed=42)

@@ -87,10 +87,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
-_BUCKET = (
-    "(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + (INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-)
+from .oracle_shared import _BUCKET  # noqa: E402
 
 _ORACLE_UNIGRAM = rf"""
 WITH b AS (SELECT doc_id, text, {_BUCKET} AS bkt FROM documents),
@@ -192,7 +189,7 @@ def pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIFORM_SQL = (
     "("
     + " + ".join(
-        f"(INSTR('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)),"
+        f"(INSTR('0123456789abcdef', SUBSTRING(MD5('u|' || CAST(doc_id AS VARCHAR)),"
         f" {j + 1}, 1)) - 1) * {16 ** (11 - j)}"
         for j in range(12)
     )
@@ -233,3 +230,42 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(weighted, "weight", "doc_id").select(
         "doc_id", "source", F.round("weight", 6).alias("weight")
     )
+
+
+from .oracle_shared import _W  # noqa: E402
+
+_ORACLE_TEMPLATE = f"""
+WITH t AS (SELECT doc_id, source, {_W} AS w FROM documents),
+g AS (
+    SELECT doc_id, source, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        RANGE(1, LEN(w) - 2), i -> ARRAY_TO_STRING(w[i : i + 3], ' ')))) AS gram
+    FROM t WHERE LEN(w) >= 4
+),
+per AS (
+    SELECT source AS stratum, gram, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM g GROUP BY 1, 2
+),
+tot AS (
+    SELECT source AS stratum, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY 1
+)
+SELECT stratum, gram, doc_freq, n_docs,
+       ROUND(CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS doc_frac
+FROM per JOIN tot USING (stratum)
+WHERE CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.05
+"""
+
+
+@q("boilerplate_ngrams", _ORACLE_TEMPLATE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection (operators/text.py:
+    template_ngrams): word 4-grams recurring across ≥5% of one
+    source's documents — the n-gram analogue of C4's duplicated-line
+    stripping, run per stratum so a template leaking into one crawl
+    source doesn't hide in the global average. Gram-keyed aggregate
+    joined against broadcast per-stratum doc counts."""
+    from ..operators.text import template_ngrams
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return template_ngrams(docs, n=4, min_doc_frac=0.05)

@@ -132,3 +132,123 @@ def test_bm25_empty_query_and_no_match(spark):
         [(0, "nomatch"), (1, "   ")], "query_id int, text string"
     )
     assert bm25_topk(corpus, queries, k=5).count() == 0
+
+
+def test_template_ngrams_finds_planted_boilerplate(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        template_ngrams,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, "a", f"unique{i} body text {i} " + boiler) for i in range(10)]
+    rows += [(100 + i, "a", f"clean{i} different words here now") for i in range(10)]
+    rows += [(200 + i, "b", f"other{i} stratum text entirely") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = template_ngrams(df, n=4, min_doc_frac=0.4, stratum_col="source")
+    got = {(r.stratum, r.gram): r for r in out.collect()}
+    # the planted 5-token boilerplate yields two 4-grams in stratum a,
+    # each in 10/20 docs
+    for gram in ("subscribe to our newsletter", "to our newsletter today"):
+        r = got[("a", gram)]
+        assert (r.doc_freq, r.n_docs, r.doc_frac) == (10, 20, 0.5)
+    # nothing repeats enough in stratum b
+    assert not any(s == "b" for s, _ in got)
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Raising a row's weight can never DROP it: the coin is fixed per
+    key, only the threshold moves — the property that makes iterative
+    weight tuning stable (hypothesis-driven over random weight pairs)."""
+    from hypothesis import given, settings, strategies as st
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lo=st.floats(min_value=0.0, max_value=1.0),
+        hi=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(lo, hi):
+        lo, hi = min(lo, hi), max(lo, hi)
+        a = {r.k for r in weighted_sample(df.withColumn("w", F.lit(lo)), "w", "k").collect()}
+        b = {r.k for r in weighted_sample(df.withColumn("w", F.lit(hi)), "w", "k").collect()}
+        assert a <= b
+
+    check()
+
+
+def test_bm25_matches_reference_implementation(spark):
+    """Property check against a plain-Python BM25 on a random-ish tiny
+    corpus: same ranking, same 9-dp scores."""
+    import itertools
+
+    vocab = ["red", "green", "blue", "cyan", "gold"]
+    docs = [
+        (i, " ".join(vocab[(i + j) % 5] for j in range((i % 7) + 1)))
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "red blue"), (1, "gold gold cyan")], "query_id int, text string"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(corpus, queries, k=5).collect()
+    }
+
+    # reference implementation
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    dl = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dl.values()) / N
+    dfreq = {}
+    for t in set(itertools.chain.from_iterable(toks.values())):
+        dfreq[t] = sum(1 for ts in toks.values() if t in ts)
+    k1, b = 1.2, 0.75
+    for qid, qtext in [(0, "red blue"), (1, "gold gold cyan")]:
+        scores = {}
+        for i in toks:
+            s = 0
+            for t in set(qtext.split()):
+                tf = toks[i].count(t)
+                if not tf:
+                    continue
+                idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl[i] / avgdl)) * 1e9)
+            if s:
+                scores[i] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rank, (doc, si) in enumerate(want, 1):
+            gd, gs = got[(qid, rank)]
+            assert gd == doc and abs(gs - si / 1e9) < 1e-12
+
+
+def test_sampling_passes_are_decorrelated_from_split(spark):
+    """Composition regression (found by the curation demo): every
+    sampling coin is salted differently from the split digest, so
+    rebalance/thin-then-split keeps val/test populated. Unsalted,
+    balanced_sample's b < frac·256 filter selected exactly the
+    low-bucket (train) region and the demo's val/test came out EMPTY."""
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        balanced_sample,
+        dataset_split,
+        hash_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    for thinned in (
+        balanced_sample(df, "src", "doc_id"),          # ~200 survivors
+        hash_sample(df, "doc_id", 64),                 # ~250 survivors
+        weighted_sample(df.withColumn("w", F.lit(0.25)), "w", "doc_id"),
+    ):
+        n = thinned.count()
+        splits = {
+            r["split"]: r["n"]
+            for r in dataset_split(thinned, "doc_id")
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert n > 100
+        # ~20% should land outside train; correlated coins gave 0
+        outside = splits.get("val", 0) + splits.get("test", 0)
+        assert outside > n * 0.08, (splits, n)
