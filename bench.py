@@ -74,6 +74,9 @@ HEADLINE = [
     "unigram_lm_quality",
     "pii_scan_counts",
     "weighted_doc_sample",
+    "boilerplate_ngrams",
+    "pq_codes",
+    "pq_topk_adc",
 ]
 
 

@@ -671,3 +671,209 @@ def semantic_dedup(
         "centroid_id",
         ((F.col("id") == F.col("_rep")) & F.col("_rep_kept")).alias("kept"),
     )
+
+
+def seed_vectors(
+    corpus: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """The ``n`` corpus vectors of smallest md5(id) — the seed-only
+    codebook trick ann_ivf_oracle introduced: derived with NO
+    floating-point aggregation, so any engine reproduces the exact
+    same centroids from the same data. The collect is bounded by n."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(n)
+        .collect()
+    )
+    return [list(map(float, r["_v"])) for r in rows]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces; sub-codebook ``s`` holds
+    the seed vectors' s-th slices. Seed-only construction (see
+    seed_vectors) keeps the whole PQ pipeline engine-replayable; a
+    production deployment swaps in per-subspace k-means (kmeans_lite)
+    with identical downstream shapes. Returns m × n_codes × (dims/m)."""
+    seeds = seed_vectors(corpus, n_codes, id_col, vec_col)
+    dims = len(seeds[0])
+    if dims % m:
+        raise ValueError(f"dims ({dims}) must divide into {m} subspaces")
+    sub = dims // m
+    return [
+        [v[s * sub : (s + 1) * sub] for v in seeds] for s in range(m)
+    ]
+
+
+def _pq_subdist_sql(vec_col: str, centroid: list[float], offset: int) -> str:
+    """Flat codegen SQL for ‖v[offset:offset+len] − c‖² — sequential
+    left-associated sum, replayed verbatim by the DuckDB oracles
+    (which use their own 1-based twin; ``offset`` here is 0-based)."""
+    return " + ".join(
+        f"POWER(CAST({vec_col}[{offset + j}] AS DOUBLE) - {float(c)!r}, 2)"
+        for j, c in enumerate(centroid)
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as one packed BIGINT of per-subspace nearest
+    sub-centroid ids (4 bits per code for ≤16 codes — m=8 subspaces
+    pack into 32 bits, the zorder.py bit-packing playbook). Returns
+    ``(id, pq_code)``.
+
+    Per subspace the argmin is an ``array_min`` over (dist², prio,
+    cid) structs with the same lower-id tie rule as assign_centroid;
+    each subspace is an independent flat Project column, so codegen
+    method-splitting applies (no giant CASE — see assign_centroid's
+    width-guard note). Ragged/NULL vectors get a NULL code. Map-only:
+    the 100 TB encode is one scan, and codes are 8 bytes/vector
+    (64× smaller than 64-dim float64 embeddings)."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if n_codes > 16:
+        raise ValueError("packed codes support at most 16 centroids (4 bits)")
+    dims = m * sub
+    safe = "_vsafe"
+    while safe in corpus.columns:
+        safe += "_"
+    parts = []
+    for s in range(m):
+        structs = ", ".join(
+            f"named_struct('d', {_pq_subdist_sql(safe, c, s * sub)},"
+            f" 'prio', {ci}, 'cid', {ci})"
+            for ci, c in enumerate(codebooks[s])
+        )
+        # array_min: smallest (d, prio) → nearest centroid, lower cid
+        # on exact ties
+        # cast BEFORE multiplying: cid is INT and code_7 × 2^28
+        # overflows int32 under ANSI
+        parts.append(
+            f"(CAST(array_min(array({structs}))['cid'] AS BIGINT)"
+            f" * {1 << (4 * s)})"
+        )
+    # NULL-code ragged/NULL vectors through ADDITION, not a CASE
+    # around the packed expression (that would inline all 1024 product
+    # terms into one un-splittable branch — the 64 KB lesson): x + NULL
+    # is NULL, and the guard branch itself is tiny
+    packed = (
+        " + ".join(parts)
+        + f" + CASE WHEN {safe} IS NULL THEN CAST(NULL AS BIGINT) ELSE 0 END"
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
+            ).alias(safe),
+        )
+        .withColumn("pq_code", F.expr(packed))
+        .select("id", "pq_code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k``: approximate L2² between a
+    query and an encoded vector is the sum over subspaces of the exact
+    distance from the query's slice to the vector's assigned
+    sub-centroid. Returns ``(query_id, rank, doc_id, adist)``.
+
+    Plan shape: the per-(query, subspace, code) distance table is
+    n_queries × m × n_codes rows, computed in-engine and BROADCAST;
+    codes explode into (doc, s, code) probes that hash-join the table
+    — the big side never shuffles vectors, only 8-byte codes. Distance
+    entries round to scaled BIGINTs so the cross-subspace sum is
+    aggregation-order-free (the bm25_topk playbook); ranking ties
+    break by doc id. At 100 TB this is the memory-resident rerank
+    path: 8 bytes/vector of state against full-vector scans."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dims = m * sub
+    entries = []
+    for s in range(m):
+        for ci, c in enumerate(codebooks[s]):
+            entries.append(
+                f"named_struct('s', {s}, 'code', {ci}, 'd2',"
+                f" {_pq_subdist_sql('_q', c, s * sub)})"
+            )
+    table = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(
+                f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
+            ).alias("_q"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.expr(f"array({', '.join(entries)})")).alias("_e"),
+        )
+        .select(
+            "query_id",
+            F.col("_e.s").alias("s"),
+            F.col("_e.code").alias("code"),
+            F.expr("CAST(ROUND(_e.d2 * 1e9) AS BIGINT)").alias("d_i"),
+        )
+        # EAGER materialization: the m×n_codes-struct array expression
+        # (~1000 product terms) otherwise rides inside the broadcast
+        # subtree, where the optimizer and codegen re-walk/recompile it
+        # per stage — measured 3.4 s → 0.3 s on a 640-row table at
+        # sf0.1. The table is n_queries × m × n_codes rows by
+        # construction, so the checkpoint is broadcast-scale.
+        .localCheckpoint(eager=True)
+    )
+    probes = codes.select(
+        F.col("id").alias("doc_id"),
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"named_struct('s', {s}, 'code',"
+                    f" CAST(shiftright(pq_code, {4 * s}) & 15 AS INT))"
+                    for s in range(m)
+                )
+                + ")"
+            )
+        ).alias("_p"),
+    ).select("doc_id", F.col("_p.s").alias("s"), F.col("_p.code").alias("code"))
+    scored = (
+        probes.join(F.broadcast(table), ["s", "code"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("d_i").alias("_d"))
+        # every doc yields exactly m probe rows, so a (query, doc)
+        # group is complete by construction
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("_d").cast("double") / F.lit(1e9)).alias("adist"),
+        )
+    )

@@ -3263,8 +3263,8 @@ from . import round5_queries  # noqa: E402,F401
 #      recent driver row is r3+;
 #   3. the remaining slots take the stalest r3-green queries
 #      (alphabetical is deliberate — mechanical, so the r6 rotation can
-#      take the complement without judgment calls). 22 r3-green queries
-#      remain for the r6 window (5 slots went to the new round-5
+#      take the complement without judgment calls). 24 r3-green queries
+#      remain for the r6 window (7 slots went to the new round-5
 #      registrants, which outrank re-checks).
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
@@ -3277,6 +3277,8 @@ _CHECK_FIRST = [
     "pii_scan_counts",
     "weighted_doc_sample",
     "boilerplate_ngrams",
+    "pq_codes",
+    "pq_topk_adc",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3300,7 +3302,7 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 24 alphabetically)
+    # -- 3. stalest r3-green re-checks (first 22 alphabetically)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
@@ -3323,8 +3325,6 @@ _CHECK_FIRST = [
     "interpolated_purchase_series",
     "intersect_entities",
     "inverted_index_tokens",
-    "minhash_lsh_oracle",
-    "monthly_retention_cohorts",
 ]
 
 def finalize_registry() -> dict[str, Q]:

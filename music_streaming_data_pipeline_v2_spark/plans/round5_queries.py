@@ -269,3 +269,155 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return template_ngrams(docs, n=4, min_doc_frac=0.05)
+
+
+# --- Product quantization (operators/similarity.py:pq_*) -------------
+# Seed-only codebooks (the ann_ivf_oracle trick): both engines derive
+# the SAME 16 sub-codebooks from md5-ordered corpus vectors with zero
+# FP aggregation, so codes and ADC distances replay exactly.
+
+_PQ_M, _PQ_CODES, _PQ_SUB = 8, 16, 8  # 8 subspaces × 8 dims, 4-bit codes
+
+
+def _pq_d2_sql(vec: str, cv: str, s: int) -> str:
+    """‖vec_sub − cv_sub‖² with explicit 1-based indices — the same
+    sequential sum as the Spark side's _pq_subdist_sql."""
+    return " + ".join(
+        f"POWER(CAST({vec}[{s * _PQ_SUB + j + 1}] AS DOUBLE)"
+        f" - CAST({cv}[{s * _PQ_SUB + j + 1}] AS DOUBLE), 2)"
+        for j in range(_PQ_SUB)
+    )
+
+
+_PQ_SEEDS = f"""
+seeds AS (
+    SELECT embedding AS cv,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS cid
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}
+)"""
+
+_PQ_DIST = (
+    "dist AS (\n    SELECT e.vec_id, s.cid,\n           "
+    + ",\n           ".join(
+        f"{_pq_d2_sql('e.embedding', 's.cv', s)} AS d{s}"
+        for s in range(_PQ_M)
+    )
+    + "\n    FROM embeddings e CROSS JOIN seeds s\n)"
+)
+
+_PQ_CODE_CTES = ",\n".join(
+    f"""c{s} AS (
+    SELECT vec_id, cid AS code FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d{s} ASC, cid ASC) AS rn
+        FROM dist
+    ) WHERE rn = 1
+)"""
+    for s in range(_PQ_M)
+)
+
+_PQ_PACKED = " + ".join(
+    f"(CAST(c{s}.code AS BIGINT) * {1 << (4 * s)})" for s in range(_PQ_M)
+)
+
+_PQ_JOINS = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(_PQ_M))
+
+_ORACLE_PQ_CODES = f"""
+WITH {_PQ_SEEDS},
+{_PQ_DIST},
+{_PQ_CODE_CTES}
+SELECT vec_id AS id, {_PQ_PACKED} AS pq_code
+FROM c0 {" ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))}
+"""
+
+
+@q("pq_codes", _ORACLE_PQ_CODES)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011;
+    operators/similarity.py:pq_encode): each 64-dim vector becomes ONE
+    packed BIGINT of 8 per-subspace nearest-sub-centroid ids — 8
+    bytes/vector, the memory-resident form ANN reranking keeps for
+    corpora whose full vectors don't fit. Seed-only codebooks make the
+    whole encode engine-replayable: the oracle re-derives the same
+    sub-codebooks from md5-ordered vectors and replays every distance
+    argmin digit-for-digit. Map-only scan; argmins are flat codegen
+    struct-min expressions (no CASE — the 64 KB lesson)."""
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    return pq_encode(emb, cbs)
+
+
+_PQ_TABLE_UNION = "\n    UNION ALL ".join(
+    f"SELECT query_id, {s} AS s, cid AS code,"
+    f" CAST(ROUND(({_pq_d2_sql('qv', 'cv', s)}) * 1e9) AS BIGINT) AS d_i"
+    " FROM qseeds"
+    for s in range(_PQ_M)
+)
+
+_PQ_PROBE_UNION = "\n    UNION ALL ".join(
+    f"SELECT id AS doc_id, {s} AS s,"
+    f" CAST((pq_code // {1 << (4 * s)}) % 16 AS INT) AS code FROM codes"
+    for s in range(_PQ_M)
+)
+
+_ORACLE_PQ_TOPK = f"""
+WITH {_PQ_SEEDS},
+{_PQ_DIST},
+{_PQ_CODE_CTES},
+codes AS (
+    SELECT vec_id AS id, {_PQ_PACKED} AS pq_code
+    FROM c0 {" ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))}
+),
+qseeds AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, s.cv, s.cid
+    FROM embeddings q CROSS JOIN seeds s
+    WHERE q.vec_id < 5
+),
+dtable AS (
+    {_PQ_TABLE_UNION}
+),
+probes AS (
+    {_PQ_PROBE_UNION}
+),
+scored AS (
+    SELECT t.query_id, p.doc_id, SUM(t.d_i) AS d
+    FROM probes p JOIN dtable t USING (s, code)
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, adist FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank,
+           CAST(d AS DOUBLE) / 1e9 AS adist
+    FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+@q("pq_topk_adc", _ORACLE_PQ_TOPK)
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (operators/similarity.py:
+    pq_topk): per-query distance tables to every sub-centroid are
+    broadcast; the corpus side moves only 8-byte codes. Distance
+    entries round to scaled BIGINTs so the cross-subspace sum is
+    aggregation-order-free, and the oracle replays the codebook
+    derivation, encoding, table build, and ranking end-to-end."""
+    from ..operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    # the codes ARE the PQ index — production computes them once at
+    # ingest (ivf_topk's materialization argument); checkpointing also
+    # keeps the 1024-term encode expression out of every downstream
+    # stage's optimizer/codegen walk
+    codes = pq_encode(emb, cbs).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(codes, queries, cbs, k=10)

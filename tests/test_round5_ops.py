@@ -252,3 +252,77 @@ def test_sampling_passes_are_decorrelated_from_split(spark):
         # ~20% should land outside train; correlated coins gave 0
         outside = splits.get("val", 0) + splits.get("test", 0)
         assert outside > n * 0.08, (splits, n)
+
+
+def test_pq_encode_decode_roundtrip_and_adc(spark):
+    """PQ on a constructed corpus where the nearest sub-centroid is
+    unambiguous: codes are the planted ones; ADC distance equals the
+    hand-computed table sum; a vector equal to a seed encodes to that
+    seed's code in every subspace with ADC distance 0 to itself."""
+    import math as _m
+
+    from music_streaming_data_pipeline_v2_spark.operators import (
+        similarity as sim,
+    )
+
+    # 4 dims, m=2 subspaces of 2; corpus of 6 vectors
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [1.0, 1.0, -10.0, -10.0]),
+        (2, [0.1, 0.1, 9.5, 9.9]),
+        (3, [0.9, 1.1, -9.9, -10.2]),
+        (4, [0.0, 1.0, 10.0, -10.0]),
+        (5, [1.0, 0.0, -10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = sim.pq_codebooks(df, m=2, n_codes=4)
+    codes = {r.id: r.pq_code for r in sim.pq_encode(df, cbs).collect()}
+    # a seed vector must encode to its own sub-centroids, so decoding
+    # its code and re-reading the codebook reproduces the vector
+    seeds = sim.seed_vectors(df, 4)
+    for sid, vec in enumerate(seeds):
+        enc = [r for r in rows if list(map(float, r[1])) == vec]
+        code = codes[enc[0][0]]
+        rebuilt = cbs[0][code & 15] + cbs[1][(code >> 4) & 15]
+        assert rebuilt == vec
+
+    queries = spark.createDataFrame(
+        [(0, [0.05, 0.05, 9.9, 9.9])], "query_id int, embedding array<double>"
+    )
+    top = sim.pq_topk(sim.pq_encode(df, cbs), queries, cbs, k=3).collect()
+    got = [(r.rank, r.doc_id) for r in top]
+    # hand-compute: adist(q, d) = Σ_s ||q_s - centroid(code_s(d))||²
+    def sub(v, s):
+        return v[2 * s : 2 * s + 2]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    q = [0.05, 0.05, 9.9, 9.9]
+    want = []
+    for vid, v in rows:
+        cs = [
+            min(range(4), key=lambda c: (d2(sub(v, s), cbs[s][c]), c))
+            for s in range(2)
+        ]
+        want.append(
+            (vid, sum(round(d2(sub(q, s), cbs[s][cs[s]]) * 1e9) for s in range(2)))
+        )
+    want.sort(key=lambda t: (t[1], t[0]))
+    assert got == [(i + 1, want[i][0]) for i in range(3)]
+    # the best match's adist matches the closed form to 1e-9 scaling
+    assert abs(top[0].adist - want[0][1] / 1e9) < 1e-12
+
+
+def test_pq_encode_ragged_vector_gets_null_code(spark):
+    from music_streaming_data_pipeline_v2_spark.operators import (
+        similarity as sim,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = sim.pq_codebooks(df.filter("vec_id = 0"), m=2, n_codes=1)
+    out = {r.id: r.pq_code for r in sim.pq_encode(df, cbs).collect()}
+    assert out[0] is not None and out[1] is None
