@@ -714,14 +714,31 @@ def pq_codebooks(
     ]
 
 
-def _pq_subdist_sql(vec_col: str, centroid: list[float], offset: int) -> str:
-    """Flat codegen SQL for ‖v[offset:offset+len] − c‖² — sequential
-    left-associated sum, replayed verbatim by the DuckDB oracles
-    (which use their own 1-based twin; ``offset`` here is 0-based)."""
-    return " + ".join(
-        f"POWER(CAST({vec_col}[{offset + j}] AS DOUBLE) - {float(c)!r}, 2)"
+def _pq_cc(centroid: list[float]) -> float:
+    """‖c‖² as a left-associated Python sum — the same IEEE double the
+    oracles' explicit SQL addition chain produces."""
+    acc = 0.0
+    for x in centroid:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _pq_rankdist_sql(vec_col: str, centroid: list[float], offset: int) -> str:
+    """Flat codegen SQL for ``‖c‖² − 2·v_sub·c`` — equal to
+    ‖v_sub − c‖² minus the per-row constant ‖v_sub‖², so ARGMIN over
+    centroids is unchanged (and ADC adds the query-side ‖q_sub‖² back
+    to recover the true distance). This form exists for the JVM 64 KB
+    generated-method limit: the POWER(v−c, 2) expansion put the encode
+    Project past it even split per subspace (whole-stage codegen
+    cannot method-split expressions over local variables), while the
+    multiply-only dot chain compiles. Sequential left-associated sum,
+    replayed verbatim by the DuckDB oracles (1-based twin there;
+    ``offset`` here is 0-based)."""
+    dot = " + ".join(
+        f"(CAST({vec_col}[{offset + j}] AS DOUBLE) * {float(c)!r})"
         for j, c in enumerate(centroid)
     )
+    return f"({_pq_cc(centroid)!r} - (2.0 * ({dot})))"
 
 
 def pq_encode(
@@ -736,12 +753,26 @@ def pq_encode(
     ``(id, pq_code)``.
 
     Per subspace the argmin is an ``array_min`` over (dist², prio,
-    cid) structs with the same lower-id tie rule as assign_centroid;
-    each subspace is an independent flat Project column, so codegen
-    method-splitting applies (no giant CASE — see assign_centroid's
-    width-guard note). Ragged/NULL vectors get a NULL code. Map-only:
-    the 100 TB encode is one scan, and codes are 8 bytes/vector
-    (64× smaller than 64-dim float64 embeddings)."""
+    cid) structs with the same lower-id tie rule as assign_centroid.
+    Ragged/NULL vectors get a NULL code. Map-only: the 100 TB encode
+    is one scan, and codes are 8 bytes/vector (64× smaller than
+    64-dim float64 embeddings).
+
+    Codegen shape, measured: the m argmins are separate projection
+    columns in the multiply-only ``_pq_rankdist_sql`` form (half the
+    generated code of the POWER(v−c,2) expansion), packed in a second
+    projection that ``_nocollapse`` keeps from being re-inlined
+    (SPARK-36718's don't-duplicate-expensive-expressions rule). Even
+    so, the FUSED whole-stage processNext() for m=8×n_codes=16 exceeds
+    the JVM's 64 KB method limit — whole-stage codegen cannot
+    method-split expressions over local variables — and Spark falls
+    back to PER-OPERATOR codegen for the stage (UnsafeProjection with
+    row-input splitting, which compiles; not row-by-row
+    interpretation). That is the accepted trade: the encode is a
+    map-only ingest-time pass, and the per-operator-codegen scan
+    throughput is within noise of fused at sf0.1. Shrinking the
+    codebook (m or n_codes) re-enters fused territory if a deployment
+    needs it."""
     m = len(codebooks)
     n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -751,39 +782,40 @@ def pq_encode(
     safe = "_vsafe"
     while safe in corpus.columns:
         safe += "_"
-    parts = []
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END").alias(
+            safe
+        ),
+    )
+    code_cols = []
     for s in range(m):
         structs = ", ".join(
-            f"named_struct('d', {_pq_subdist_sql(safe, c, s * sub)},"
+            f"named_struct('d', {_pq_rankdist_sql(safe, c, s * sub)},"
             f" 'prio', {ci}, 'cid', {ci})"
             for ci, c in enumerate(codebooks[s])
         )
         # array_min: smallest (d, prio) → nearest centroid, lower cid
         # on exact ties
-        # cast BEFORE multiplying: cid is INT and code_7 × 2^28
-        # overflows int32 under ANSI
-        parts.append(
-            f"(CAST(array_min(array({structs}))['cid'] AS BIGINT)"
-            f" * {1 << (4 * s)})"
+        code_cols.append(
+            F.expr(f"array_min(array({structs}))['cid']").alias(f"_c{s}")
         )
-    # NULL-code ragged/NULL vectors through ADDITION, not a CASE
-    # around the packed expression (that would inline all 1024 product
-    # terms into one un-splittable branch — the 64 KB lesson): x + NULL
-    # is NULL, and the guard branch itself is tiny
+    encoded = base.select("id", F.col(safe).isNull().alias("_bad"), *code_cols)
+    # each code column referenced TWICE (pack + _nocollapse) — blocks
+    # CollapseProject from rebuilding the single giant expression
+    nocollapse = " + ".join(f"_c{s}" for s in range(m))
+    # cast BEFORE multiplying: cid is INT and code_7 × 2^28 overflows
+    # int32 under ANSI. NULL-code ragged vectors through ADDITION, not
+    # a CASE around the pack (tiny guard branch, NULL propagates).
     packed = (
-        " + ".join(parts)
-        + f" + CASE WHEN {safe} IS NULL THEN CAST(NULL AS BIGINT) ELSE 0 END"
+        " + ".join(f"(CAST(_c{s} AS BIGINT) * {1 << (4 * s)})" for s in range(m))
+        + " + CASE WHEN _bad THEN CAST(NULL AS BIGINT) ELSE 0 END"
+        # numeric no-op second reference (x*0 is not constant-folded —
+        # x could be null); when codes ARE null, _bad already nulls
+        # the whole pack
+        + f" + (CAST(({nocollapse}) AS BIGINT) * 0)"
     )
-    return (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.expr(
-                f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
-            ).alias(safe),
-        )
-        .withColumn("pq_code", F.expr(packed))
-        .select("id", "pq_code")
-    )
+    return encoded.select("id", F.expr(packed).alias("pq_code"))
 
 
 def pq_topk(
@@ -813,38 +845,54 @@ def pq_topk(
     n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
     dims = m * sub
-    entries = []
-    for s in range(m):
-        for ci, c in enumerate(codebooks[s]):
-            entries.append(
-                f"named_struct('s', {s}, 'code', {ci}, 'd2',"
-                f" {_pq_subdist_sql('_q', c, s * sub)})"
+    qq_cols = [
+        F.expr(
+            " + ".join(
+                f"(CAST(_q[{s * sub + j}] AS DOUBLE)"
+                f" * CAST(_q[{s * sub + j}] AS DOUBLE))"
+                for j in range(sub)
             )
-    table = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.expr(
-                f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
-            ).alias("_q"),
+        ).alias(f"_qq{s}")
+        for s in range(m)
+    ]
+    qbase = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(
+            f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
+        ).alias("_q"),
+    ).select("query_id", "_q", *qq_cols)
+    # per-SUBSPACE explodes unioned together: one array of all
+    # m×n_codes structs put every product term into a single generated
+    # method — past the JVM's 64 KB limit, silently interpreting the
+    # stage. Each per-subspace array (n_codes×sub terms) compiles.
+    per_sub = []
+    for s in range(m):
+        entries = ", ".join(
+            f"named_struct('code', {ci}, 'd2',"
+            f" (_qq{s} + {_pq_rankdist_sql('_q', c, s * sub)}))"
+            for ci, c in enumerate(codebooks[s])
         )
-        .select(
-            "query_id",
-            F.explode(F.expr(f"array({', '.join(entries)})")).alias("_e"),
+        per_sub.append(
+            qbase.select(
+                "query_id",
+                F.lit(s).alias("s"),
+                F.explode(F.expr(f"array({entries})")).alias("_e"),
+            ).select(
+                "query_id",
+                "s",
+                F.col("_e.code").alias("code"),
+                F.expr("CAST(ROUND(_e.d2 * 1e9) AS BIGINT)").alias("d_i"),
+            )
         )
-        .select(
-            "query_id",
-            F.col("_e.s").alias("s"),
-            F.col("_e.code").alias("code"),
-            F.expr("CAST(ROUND(_e.d2 * 1e9) AS BIGINT)").alias("d_i"),
-        )
-        # EAGER materialization: the m×n_codes-struct array expression
-        # (~1000 product terms) otherwise rides inside the broadcast
-        # subtree, where the optimizer and codegen re-walk/recompile it
-        # per stage — measured 3.4 s → 0.3 s on a 640-row table at
-        # sf0.1. The table is n_queries × m × n_codes rows by
-        # construction, so the checkpoint is broadcast-scale.
-        .localCheckpoint(eager=True)
-    )
+    table = per_sub[0]
+    for t in per_sub[1:]:
+        table = table.unionByName(t)
+    # EAGER materialization: without it the optimizer and codegen
+    # re-walk the ~1000-term union subtree per consuming stage inside
+    # the broadcast — measured 3.4 s → 0.3 s on a 640-row table at
+    # sf0.1. The table is n_queries × m × n_codes rows by
+    # construction, so the checkpoint is broadcast-scale.
+    table = table.localCheckpoint(eager=True)
     probes = codes.select(
         F.col("id").alias("doc_id"),
         F.explode(
@@ -875,5 +923,64 @@ def pq_topk(
             "rank",
             "doc_id",
             (F.col("_d").cast("double") / F.lit(1e9)).alias("adist"),
+        )
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force L2² top-``k`` per query — the ground-truth
+    baseline PQ/IVF recall is measured against (cosine_topk's twin for
+    Euclidean ANN). Returns ``(query_id, rank, doc_id, d2)``.
+
+    Ranking is by the scaled-BIGINT ``ROUND(d2 × 1e9)`` with id ASC
+    ties — near-equal doubles could order differently across engines'
+    sort implementations at raw-double ties, the rounded integer
+    cannot. Broadcast query side; one corpus scan; flat codegen
+    distance sums (width-guarded by a sanitized vector column, the
+    assign_centroid pattern)."""
+    from pyspark.sql import Window
+
+    d2 = " + ".join(
+        f"POWER(CAST(_q[{i}] AS DOUBLE) - CAST(_v[{i}] AS DOUBLE), 2)"
+        for i in range(dims)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(
+            f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
+        ).alias("_q"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
+            ).alias("_v"),
+        )
+        .join(F.broadcast(q), how="cross")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"CAST(ROUND(({d2}) * 1e9) AS BIGINT)").alias("_d"),
+        )
+        .filter(F.col("_d").isNotNull())  # ragged rows are unrankable
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("_d").cast("double") / F.lit(1e9)).alias("d2"),
         )
     )

@@ -279,14 +279,30 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_SUB = 8, 16, 8  # 8 subspaces × 8 dims, 4-bit codes
 
 
-def _pq_d2_sql(vec: str, cv: str, s: int) -> str:
-    """‖vec_sub − cv_sub‖² with explicit 1-based indices — the same
-    sequential sum as the Spark side's _pq_subdist_sql."""
+def _pq_dot_sql(a: str, b: str, s: int) -> str:
     return " + ".join(
-        f"POWER(CAST({vec}[{s * _PQ_SUB + j + 1}] AS DOUBLE)"
-        f" - CAST({cv}[{s * _PQ_SUB + j + 1}] AS DOUBLE), 2)"
+        f"(CAST({a}[{s * _PQ_SUB + j + 1}] AS DOUBLE)"
+        f" * CAST({b}[{s * _PQ_SUB + j + 1}] AS DOUBLE))"
         for j in range(_PQ_SUB)
     )
+
+
+def _pq_rank_sql(vec: str, cv: str, s: int) -> str:
+    """``‖cv_sub‖² − 2·vec_sub·cv_sub`` with explicit 1-based indices —
+    the Spark side's _pq_rankdist_sql twin (there ‖c‖² folds to a
+    Python literal; the left-associated SQL chain over the identical
+    float32-widened doubles produces the same value). Argmin-equivalent
+    to the true sub-distance; the ADC table adds the query's ‖q_sub‖²
+    back (see _pq_d2_sql)."""
+    return (
+        f"(({_pq_dot_sql(cv, cv, s)}) - (2.0 * ({_pq_dot_sql(vec, cv, s)})))"
+    )
+
+
+def _pq_d2_sql(vec: str, cv: str, s: int) -> str:
+    """True sub-distance for the ADC table: ‖v_sub‖² + rank form, the
+    exact operation order of the Spark entries (_qq{s} + rankdist)."""
+    return f"(({_pq_dot_sql(vec, vec, s)}) + {_pq_rank_sql(vec, cv, s)})"
 
 
 _PQ_SEEDS = f"""
@@ -301,7 +317,7 @@ seeds AS (
 _PQ_DIST = (
     "dist AS (\n    SELECT e.vec_id, s.cid,\n           "
     + ",\n           ".join(
-        f"{_pq_d2_sql('e.embedding', 's.cv', s)} AS d{s}"
+        f"{_pq_rank_sql('e.embedding', 's.cv', s)} AS d{s}"
         for s in range(_PQ_M)
     )
     + "\n    FROM embeddings e CROSS JOIN seeds s\n)"
@@ -421,3 +437,99 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(codes, queries, cbs, k=10)
+
+
+def _l2_d2_sql(q: str, v: str) -> str:
+    return " + ".join(
+        f"POWER(CAST({q}[{i + 1}] AS DOUBLE) - CAST({v}[{i + 1}] AS DOUBLE), 2)"
+        for i in range(_PQ_M * _PQ_SUB)
+    )
+
+
+_ORACLE_PQ_RECALL = f"""
+WITH {_PQ_SEEDS},
+{_PQ_DIST},
+{_PQ_CODE_CTES},
+codes AS (
+    SELECT vec_id AS id, {_PQ_PACKED} AS pq_code
+    FROM c0 {" ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))}
+),
+qseeds AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, s.cv, s.cid
+    FROM embeddings q CROSS JOIN seeds s
+    WHERE q.vec_id < 5
+),
+dtable AS (
+    {_PQ_TABLE_UNION}
+),
+probes AS (
+    {_PQ_PROBE_UNION}
+),
+adc AS (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT t.query_id, p.doc_id, SUM(t.d_i) AS d
+        FROM probes p JOIN dtable t USING (s, code)
+        GROUP BY 1, 2
+    )
+),
+exact AS (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               CAST(ROUND(({_l2_d2_sql('q.embedding', 'e.embedding')}) * 1e9)
+                    AS BIGINT) AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+    )
+)
+SELECT (SELECT COUNT(DISTINCT query_id) FROM exact WHERE rank <= 10)
+           AS n_queries,
+       10 AS k,
+       (SELECT COUNT(*) FROM exact WHERE rank <= 10) AS n_exact,
+       (SELECT COUNT(*) FROM exact e
+        JOIN adc a ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+        WHERE e.rank <= 10 AND a.rank <= 10) AS n_hits
+"""
+
+
+@q("pq_recall", _ORACLE_PQ_RECALL)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ/ADC against exact brute-force L2 as a one-row
+    in-engine reduction — the ann_lsh_recall pattern for the quantized
+    index: the oracle replays BOTH sides (codebooks, codes, ADC
+    ranking, exact L2 ranking), so the recall number is deterministic
+    and driver-hashed, not a pinned threshold."""
+    from ..operators.similarity import (
+        l2_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    codes = pq_encode(emb, cbs).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(codes, queries, cbs, k=10)
+    exact = l2_topk(emb, queries, k=10, dims=_PQ_M * _PQ_SUB)
+    hits = exact.join(
+        approx.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    )
+    return (
+        exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_queries", F.lit(10).alias("k"), "n_exact", "n_hits"
+        )
+    )
