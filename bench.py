@@ -77,6 +77,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "pq_codes",
     "pq_topk_adc",
+    "ivfpq_topk_adc",
 ]
 
 

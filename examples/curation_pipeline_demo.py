@@ -4,7 +4,9 @@ The operators a 100 TB curation pipeline runs, composed in their
 canonical order — every stage is an engine operator with its own
 oracle-checked query, and the stage boundaries are plain DataFrames:
 
-1. quality gate      — Gopher/C4-style score filter (operators/text.py)
+1. quality gate      — Gopher/C4-style score filter + unigram-LM
+                       scoring (operators/text.py); PII and template
+                       audits alongside
 2. exact dedup       — md5-fingerprint groupBy (operators/dedup.py)
 3. near-dup dedup    — exact-Jaccard clusters, cost-based routing
                        (operators/clustering.py:dedup_clusters_auto)
@@ -14,7 +16,8 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
                        broadcast Bloom prefilter
                        (operators/text.py:ngram_contamination_bloom)
 5. domain rebalance  — hash-threshold downsample to the smallest
-                       source (operators/sampling.py:balanced_sample)
+                       source, then quality-weighted deterministic
+                       thinning (operators/sampling.py)
 8. boilerplate audit — heavy-hitter tokens (Misra-Gries + exact
                        verify, operators/frequency.py), reported not
                        dropped
@@ -22,6 +25,8 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
                        (operators/packing.py)
 7. split             — contamination-safe content-hash train/val/test
                        (operators/sampling.py:dataset_split)
+9. retrieval probe   — BM25 top-k over the finished corpus
+                       (operators/text.py:bm25_topk)
 
 Run:  python examples/curation_pipeline_demo.py  [sf_dir] [workdir]
 """

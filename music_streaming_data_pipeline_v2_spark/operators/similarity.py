@@ -818,31 +818,24 @@ def pq_encode(
     return encoded.select("id", F.expr(packed).alias("pq_code"))
 
 
-def pq_topk(
-    codes: DataFrame,
+def _pq_adc_table(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
-    k: int = 10,
-    query_id_col: str = "query_id",
-    vec_col: str = "embedding",
+    query_id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-``k``: approximate L2² between a
-    query and an encoded vector is the sum over subspaces of the exact
-    distance from the query's slice to the vector's assigned
-    sub-centroid. Returns ``(query_id, rank, doc_id, adist)``.
-
-    Plan shape: the per-(query, subspace, code) distance table is
-    n_queries × m × n_codes rows, computed in-engine and BROADCAST;
-    codes explode into (doc, s, code) probes that hash-join the table
-    — the big side never shuffles vectors, only 8-byte codes. Distance
-    entries round to scaled BIGINTs so the cross-subspace sum is
-    aggregation-order-free (the bm25_topk playbook); ranking ties
-    break by doc id. At 100 TB this is the memory-resident rerank
-    path: 8 bytes/vector of state against full-vector scans."""
-    from pyspark.sql import Window
-
+    """The per-(query, subspace, code) ADC distance table —
+    ``d2 = ‖q_sub‖² + (‖c‖² − 2·q_sub·c)`` rounded to scaled BIGINTs
+    (order-free sums downstream). Built as per-SUBSPACE explodes
+    unioned together: one array of all m×n_codes structs put every
+    product term into a single generated method — past the JVM's 64 KB
+    limit, silently interpreting the stage; each per-subspace array
+    compiles. EAGERLY localCheckpointed: without it the optimizer and
+    codegen re-walk the ~1000-term union subtree per consuming stage
+    inside the broadcast — measured 3.4 s → 0.3 s on a 640-row table
+    at sf0.1. The table is n_queries × m × n_codes rows by
+    construction, so the checkpoint is broadcast-scale."""
     m = len(codebooks)
-    n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
     dims = m * sub
     qq_cols = [
@@ -861,10 +854,6 @@ def pq_topk(
             f"CASE WHEN SIZE({vec_col}) = {dims} THEN {vec_col} END"
         ).alias("_q"),
     ).select("query_id", "_q", *qq_cols)
-    # per-SUBSPACE explodes unioned together: one array of all
-    # m×n_codes structs put every product term into a single generated
-    # method — past the JVM's 64 KB limit, silently interpreting the
-    # stage. Each per-subspace array (n_codes×sub terms) compiles.
     per_sub = []
     for s in range(m):
         entries = ", ".join(
@@ -887,13 +876,13 @@ def pq_topk(
     table = per_sub[0]
     for t in per_sub[1:]:
         table = table.unionByName(t)
-    # EAGER materialization: without it the optimizer and codegen
-    # re-walk the ~1000-term union subtree per consuming stage inside
-    # the broadcast — measured 3.4 s → 0.3 s on a 640-row table at
-    # sf0.1. The table is n_queries × m × n_codes rows by
-    # construction, so the checkpoint is broadcast-scale.
-    table = table.localCheckpoint(eager=True)
-    probes = codes.select(
+    return table.localCheckpoint(eager=True)
+
+
+def _pq_probe_rows(codes: DataFrame, m: int) -> DataFrame:
+    """Unpack (id, pq_code) into (doc_id, s, code) probe rows — pure
+    shift/mask arithmetic, m rows per code."""
+    return codes.select(
         F.col("id").alias("doc_id"),
         F.explode(
             F.expr(
@@ -907,13 +896,11 @@ def pq_topk(
             )
         ).alias("_p"),
     ).select("doc_id", F.col("_p.s").alias("s"), F.col("_p.code").alias("code"))
-    scored = (
-        probes.join(F.broadcast(table), ["s", "code"])
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("d_i").alias("_d"))
-        # every doc yields exactly m probe rows, so a (query, doc)
-        # group is complete by construction
-    )
+
+
+def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -925,6 +912,111 @@ def pq_topk(
             (F.col("_d").cast("double") / F.lit(1e9)).alias("adist"),
         )
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k``: approximate L2² between a
+    query and an encoded vector is the sum over subspaces of the exact
+    distance from the query's slice to the vector's assigned
+    sub-centroid. Returns ``(query_id, rank, doc_id, adist)``.
+
+    Plan shape: the per-(query, subspace, code) distance table
+    (see _pq_adc_table) is BROADCAST; codes explode into (doc, s,
+    code) probes that hash-join the table — the big side never
+    shuffles vectors, only 8-byte codes. Distance entries round to
+    scaled BIGINTs so the cross-subspace sum is aggregation-order-free
+    (the bm25_topk playbook); ranking ties break by doc id. At 100 TB
+    this is the memory-resident rerank path: 8 bytes/vector of state
+    against full-vector scans."""
+    m = len(codebooks)
+    table = _pq_adc_table(queries, codebooks, query_id_col, vec_col)
+    probes = _pq_probe_rows(codes, m)
+    scored = (
+        probes.join(F.broadcast(table), ["s", "code"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("d_i").alias("_d"))
+        # every doc yields exactly m probe rows, so a (query, doc)
+        # group is complete by construction
+    )
+    return _pq_rank(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC — the billion-scale ANN composition (Jégou et al., TPAMI
+    2011 §V; what FAISS's IndexIVFPQ runs): a coarse IVF codebook
+    prunes the search to the ``nprobe`` cells nearest each query, and
+    PQ asymmetric distance ranks only those cells' members from their
+    8-byte codes. Returns ``(query_id, rank, doc_id, adist)``.
+
+    Index state (cell id + packed code per vector) is built here and
+    eagerly materialized — a production deployment computes it once at
+    ingest (the ivf_topk materialization argument) and partitions the
+    code table by ``centroid_id`` so a query's candidate fetch
+    directory-prunes to its probed cells. Per query the work is
+    nprobe/n_cells of the corpus' CODES (not vectors): at 100 TB that
+    is the difference between scanning embeddings and streaming a few
+    GB of codes through a broadcast table join."""
+    cells = assign_centroid(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("id"), "centroid_id"
+    )
+    index = (
+        pq_encode(corpus, codebooks, id_col, vec_col)
+        .join(cells, "id")
+        .localCheckpoint(eager=True)
+    )
+    # nprobe cells per query — the ivf_topk probe selection (sanitized
+    # vector, one flat scorer expression, lazy CASE never indexes
+    # ragged rows)
+    cents = F.expr(
+        f"slice(reverse(array_sort(array("
+        f"{_centroid_score_structs('_qsafe', centroids)}"
+        f"))), 1, {int(nprobe)})"
+    )
+    probes_cells = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(
+                f"CASE WHEN SIZE({vec_col}) = {len(centroids[0])} "
+                f"THEN {vec_col} END"
+            ).alias("_qsafe"),
+        )
+        .select("query_id", F.explode(cents).alias("_probe"))
+        .select("query_id", F.col("_probe.cid").alias("centroid_id"))
+    )
+    cand = index.join(F.broadcast(probes_cells), "centroid_id").select(
+        "query_id", "id", "pq_code"
+    )
+    # (query, doc) pairs are unique (one cell per doc), but a doc
+    # probed by several queries must contribute ONE set of probe rows
+    # — unpack codes from the distinct doc side, then fan out by pair
+    cand_pairs = cand.select("query_id", F.col("id").alias("doc_id"))
+    doc_codes = cand.select("id", "pq_code").distinct()
+    table = _pq_adc_table(queries, codebooks, query_id_col, vec_col)
+    scored = (
+        _pq_probe_rows(doc_codes, len(codebooks))
+        .join(cand_pairs, "doc_id")
+        .join(F.broadcast(table), ["query_id", "s", "code"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("d_i").alias("_d"))
+    )
+    return _pq_rank(scored, k)
 
 
 def l2_topk(

@@ -3263,8 +3263,8 @@ from . import round5_queries  # noqa: E402,F401
 #      recent driver row is r3+;
 #   3. the remaining slots take the stalest r3-green queries
 #      (alphabetical is deliberate — mechanical, so the r6 rotation can
-#      take the complement without judgment calls). 25 r3-green queries
-#      remain for the r6 window (8 slots went to the new round-5
+#      take the complement without judgment calls). 26 r3-green queries
+#      remain for the r6 window (9 slots went to the new round-5
 #      registrants, which outrank re-checks).
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
@@ -3280,6 +3280,7 @@ _CHECK_FIRST = [
     "pq_codes",
     "pq_topk_adc",
     "pq_recall",
+    "ivfpq_topk_adc",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3303,7 +3304,7 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 21 alphabetically)
+    # -- 3. stalest r3-green re-checks (first 20 alphabetically)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
@@ -3324,7 +3325,6 @@ _CHECK_FIRST = [
     "idle_rich_customers",
     "incremental_daily_agg",
     "interpolated_purchase_series",
-    "intersect_entities",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -533,3 +533,105 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_queries", F.lit(10).alias("k"), "n_exact", "n_hits"
         )
     )
+
+
+# --- IVFADC: coarse IVF pruning + PQ asymmetric-distance ranking ----
+# The IVF codebook is the first 8 of the SAME md5-ordered seed set the
+# PQ sub-codebooks come from, so the whole two-level index derives
+# from one engine-portable ordering with zero FP aggregation.
+_IVFPQ_NPROBE, _IVFPQ_NCELLS = 3, 8
+
+_ORACLE_IVFPQ = f"""
+WITH {_PQ_SEEDS},
+ivf_seeds AS (SELECT cv, cid FROM seeds WHERE cid < {_IVFPQ_NCELLS}),
+{_PQ_DIST},
+{_PQ_CODE_CTES},
+codes AS (
+    SELECT vec_id AS id, {_PQ_PACKED} AS pq_code
+    FROM c0 {" ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))}
+),
+cells AS (
+    SELECT vec_id AS id, cid AS centroid_id FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {{COS}} DESC, s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN ivf_seeds s
+    ) WHERE rn = 1
+),
+qprobes AS (
+    SELECT query_id, cid AS centroid_id FROM (
+        SELECT qp.vec_id AS query_id, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qp.vec_id
+                   ORDER BY {{QCOS}} DESC, s.cid ASC) AS prn
+        FROM embeddings qp CROSS JOIN ivf_seeds s
+        WHERE qp.vec_id < 5
+    ) WHERE prn <= {_IVFPQ_NPROBE}
+),
+cand AS (
+    SELECT q.query_id, c.id AS doc_id
+    FROM cells c JOIN qprobes q USING (centroid_id)
+),
+qseeds AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, s.cv, s.cid
+    FROM embeddings q CROSS JOIN seeds s
+    WHERE q.vec_id < 5
+),
+dtable AS (
+    {_PQ_TABLE_UNION}
+),
+probes AS (
+    {_PQ_PROBE_UNION}
+),
+scored AS (
+    SELECT t.query_id, p.doc_id, SUM(t.d_i) AS d
+    FROM cand
+    JOIN probes p USING (doc_id)
+    JOIN dtable t ON t.query_id = cand.query_id
+                 AND t.s = p.s AND t.code = p.code
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, adist FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank,
+           CAST(d AS DOUBLE) / 1e9 AS adist
+    FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def _ivfpq_oracle() -> str:
+    from .driver_queries import cos_sql
+
+    return _ORACLE_IVFPQ.replace(
+        "{COS}", cos_sql("e.embedding", "s.cv")
+    ).replace("{QCOS}", cos_sql("qp.embedding", "s.cv"))
+
+
+@q("ivfpq_topk_adc", _ivfpq_oracle())
+def ivfpq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.py:ivfpq_topk — FAISS's
+    IndexIVFPQ architecture): the md5-seed IVF codebook prunes to 3 of
+    8 cells per query, PQ asymmetric distance ranks the cells' members
+    from 8-byte codes. Both codebooks derive from one md5-ordered seed
+    set, so the oracle replays cell assignment, probing, encoding, and
+    ADC ranking end-to-end."""
+    from ..operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        seed_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    cents = seed_vectors(emb, _IVFPQ_NCELLS)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, queries, cents, cbs, k=10, nprobe=_IVFPQ_NPROBE
+    )

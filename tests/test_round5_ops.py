@@ -326,3 +326,60 @@ def test_pq_encode_ragged_vector_gets_null_code(spark):
     cbs = sim.pq_codebooks(df.filter("vec_id = 0"), m=2, n_codes=1)
     out = {r.id: r.pq_code for r in sim.pq_encode(df, cbs).collect()}
     assert out[0] is not None and out[1] is None
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark):
+    """IVFADC returns exactly pq_topk's ranking RESTRICTED to members
+    of the query's nprobe nearest cells — the pruning contract."""
+    from music_streaming_data_pipeline_v2_spark.operators import (
+        similarity as sim,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = sim.pq_codebooks(emb, m=8, n_codes=16)
+    cents = sim.seed_vectors(emb, 8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.adist)
+        for r in sim.ivfpq_topk(emb, queries, cents, cbs, k=5, nprobe=2).collect()
+    }
+    # reference: full ADC ranking filtered to the probed cells' members
+    cells = {
+        r.id: r.centroid_id
+        for r in sim.assign_centroid(emb, cents).select(
+            F.col("vec_id").alias("id"), "centroid_id"
+        ).collect()
+    }
+    codes = sim.pq_encode(emb, cbs)
+    full = sim.pq_topk(codes, queries, cbs, k=10**6).collect()
+    qcells = {
+        r.query_id: r.centroid_id
+        for r in sim.assign_centroid(
+            queries, cents, "embedding"
+        ).select("query_id", "centroid_id").collect()
+    }
+    # probe sets: recompute with the operator's own scorer ordering
+    import math as _m
+
+    def probe_set(qvec, n=2):
+        scores = []
+        for i, c in enumerate(cents):
+            nc = _m.sqrt(sum(x * x for x in c))
+            dot = 0.0
+            for a, b in zip(qvec, c):
+                dot += float(a) * float(b)
+            scores.append((dot / nc, -i, i))
+        return {cid for _, _, cid in sorted(scores, reverse=True)[:n]}
+
+    qvecs = {r.query_id: list(r.embedding) for r in queries.collect()}
+    for qid in qvecs:
+        probed = probe_set(qvecs[qid])
+        want = [
+            (r.doc_id, r.adist)
+            for r in sorted(full, key=lambda r: r.rank)
+            if r.query_id == qid and cells[r.doc_id] in probed
+        ][:5]
+        assert [got[(qid, i + 1)] for i in range(len(want))] == want
