@@ -220,6 +220,49 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_dedup"
         timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental BM25 index over document waves (JSONL), plus
+        # one query over the accumulated state per drain — the serving
+        # read is part of what the index exists for
+        from music_streaming_data_pipeline_v2_spark.streaming.index_ingest import (
+            query_index,
+            run_incremental_index,
+        )
+
+        ix_in = os.path.join(work, "index", "in")
+        os.makedirs(ix_in, exist_ok=True)
+        staged = os.path.join(work, "index", "staged")
+        jwaves = []
+        key = F.pmod(F.hash("doc_id"), F.lit(3))
+        for wnum in range(3):
+            wdir = os.path.join(staged, f"w{wnum}")
+            docs.select("doc_id", "text").filter(key == wnum).repartition(
+                4
+            ).write.mode("overwrite").json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(staged, f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            jwaves.append(files)
+        probe = spark.createDataFrame(
+            [(0, "spark window join"), (1, "hash table scan")],
+            "query_id int, text string",
+        ).localCheckpoint()
+        wdirx = os.path.join(work, "index", "work")
+        t0 = time.monotonic()
+        for files in jwaves:
+            for f in files:
+                shutil.move(f, ix_in)
+            run_incremental_index(spark, ix_in, wdirx)
+            query_index(spark, wdirx, probe, k=10).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_index"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 
 
