@@ -383,3 +383,55 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark):
             if r.query_id == qid and cells[r.doc_id] in probed
         ][:5]
         assert [got[(qid, i + 1)] for i in range(len(want))] == want
+
+
+def test_pq_encode_matches_python_reference_fuzz(spark):
+    """The rankdist argmin (‖c‖² − 2·v·c) must pick the same code as a
+    Python replay of the identical IEEE operation order — including on
+    negative, zero, and duplicate vectors where d' values collide
+    (ties → lowest cid). Fuzzed over random small corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from music_streaming_data_pipeline_v2_spark.operators import (
+        similarity as sim,
+    )
+
+    vec = st.lists(
+        st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+        min_size=8, max_size=8,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(vecs=st.lists(vec, min_size=4, max_size=10))
+    def check(vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        m, sub = 2, 4
+        cbs = sim.pq_codebooks(df, m=m, n_codes=min(4, len(rows)))
+        got = {r.id: r.pq_code for r in sim.pq_encode(df, cbs).collect()}
+
+        def rankdist(v, c, off):
+            cc = sim._pq_cc(c)
+            dot = 0.0
+            for j, cj in enumerate(c):
+                dot += float(v[off + j]) * float(cj)
+            return cc - (2.0 * dot)
+
+        for vid, v in rows:
+            code = 0
+            for s in range(m):
+                best = min(
+                    range(len(cbs[s])),
+                    key=lambda ci: (rankdist(v, cbs[s][ci], s * sub), ci),
+                )
+                code += best << (4 * s)
+            assert got[vid] == code, (vid, got[vid], code)
+
+    check()
+
+
+def test_weighted_sample_null_weight_never_keeps(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "k long, w double"
+    )
+    assert {r.k for r in weighted_sample(df, "w", "k").collect()} == {1}
