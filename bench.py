@@ -78,6 +78,7 @@ HEADLINE = [
     "pq_codes",
     "pq_topk_adc",
     "ivfpq_topk_adc",
+    "duplicated_spans",
 ]
 
 

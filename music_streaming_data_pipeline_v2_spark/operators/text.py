@@ -788,3 +788,84 @@ def template_ngrams(
             F.round("doc_frac", 6).alias("doc_frac"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    min_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-document duplicated-substring spans (the removal
+    semantics of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — there via suffix arrays; here
+    via the relational equivalence that a duplicated substring of
+    ≥ ``min_tokens`` tokens exists exactly where a ``min_tokens``-gram
+    is shared across documents).
+
+    A token position is covered iff the ``min_tokens``-gram starting
+    there also occurs in ANOTHER document; overlapping covered windows
+    merge into maximal spans. Returns one row per span:
+    ``(id, span_start, span_end, n_span_tokens)`` — token indices,
+    inclusive, 0-based — what a cleanup pass slices out (or an auditor
+    reads). Within-document repetition alone does NOT create a span
+    (cross-doc semantics; the paper's self-dedup variant would drop
+    the distinct-document condition).
+
+    Shape: gram postings with positions (the codegen posexplode+lead
+    winnow machinery) → gram-keyed duplicate-gram aggregate (df ≥ 2
+    DISTINCT docs — vocabulary-sized output) → semi-join back →
+    per-doc interval merge with one lag window. Never doc×doc; the
+    shuffles are gram-keyed and doc-keyed. At 100 TB the dup-gram
+    relation is the corpus' repeated-gram inventory — the thing the
+    paper's suffix array also materializes, here as an aggregate."""
+    from pyspark.sql import Window as W
+
+    L = min_tokens
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w_doc = W.partitionBy("_id").orderBy("_pos")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
+    ).filter(F.col("_t") != "")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(w_doc) for i in range(1, L)]
+    )
+    posts = (
+        base.select(
+            "_id",
+            F.row_number().over(w_doc).alias("_tpos"),  # rank among tokens
+            gram.alias("_g"),
+            F.lead("_t", L - 1).over(w_doc).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("_id", (F.col("_tpos") - 1).alias("pos"), F.col("_g").alias("gram"))
+    )
+    dup = (
+        posts.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gram")
+    )
+    seeds = posts.join(dup, "gram", "left_semi")
+    w_pos = W.partitionBy("_id").orderBy("pos")
+    grouped = seeds.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w_pos) + (L - 1), 1
+        ).otherwise(0),
+    ).withColumn("_grp", F.sum("_new").over(w_pos))
+    return (
+        grouped.groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (L - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_span_tokens"
+            ),
+        )
+    )

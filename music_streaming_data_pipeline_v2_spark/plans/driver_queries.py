@@ -3263,8 +3263,8 @@ from . import round5_queries  # noqa: E402,F401
 #      recent driver row is r3+;
 #   3. the remaining slots take the stalest r3-green queries
 #      (alphabetical is deliberate — mechanical, so the r6 rotation can
-#      take the complement without judgment calls). 26 r3-green queries
-#      remain for the r6 window (9 slots went to the new round-5
+#      take the complement without judgment calls). 27 r3-green queries
+#      remain for the r6 window (10 slots went to the new round-5
 #      registrants, which outrank re-checks).
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
@@ -3281,6 +3281,7 @@ _CHECK_FIRST = [
     "pq_topk_adc",
     "pq_recall",
     "ivfpq_topk_adc",
+    "duplicated_spans",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3304,7 +3305,7 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 20 alphabetically)
+    # -- 3. stalest r3-green re-checks (first 19 alphabetically)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
@@ -3324,7 +3325,6 @@ _CHECK_FIRST = [
     "global_top_spenders",
     "idle_rich_customers",
     "incremental_daily_agg",
-    "interpolated_purchase_series",
 ]
 
 def finalize_registry() -> dict[str, Q]:

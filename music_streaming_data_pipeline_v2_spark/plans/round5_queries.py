@@ -635,3 +635,57 @@ def ivfpq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, cents, cbs, k=10, nprobe=_IVFPQ_NPROBE
     )
+
+
+_DUP_L = 5
+
+_ORACLE_DUP_SPANS = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+    SELECT doc_id, i - 1 AS pos,
+           ARRAY_TO_STRING(w[i : i + {_DUP_L - 1}], ' ') AS gram
+    FROM (SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) - {_DUP_L - 2})) AS i
+          FROM t WHERE LEN(w) >= {_DUP_L})
+),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+seeds AS (
+    SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+),
+grouped AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN pos > prev + {_DUP_L - 1} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM (SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM seeds)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {_DUP_L - 1} AS INT) AS span_end,
+       CAST(MAX(pos) + {_DUP_L - 1} - MIN(pos) + 1 AS INT) AS n_span_tokens
+FROM grouped
+GROUP BY doc_id, grp
+"""
+
+
+@q("duplicated_spans", _ORACLE_DUP_SPANS)
+def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicated-substring spans (Lee et al.,
+    ACL 2022 removal semantics; operators/text.py:duplicated_spans):
+    maximal token ranges whose every 5-gram window also occurs in
+    another document — the spans the paper's suffix-array pass cuts
+    out of C4. Gram-keyed and doc-keyed shuffles only, never
+    doc×doc."""
+    from ..operators.text import duplicated_spans
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicated_spans(docs, min_tokens=_DUP_L)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_span_tokens").cast("int").alias("n_span_tokens"),
+    )

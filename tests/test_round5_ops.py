@@ -435,3 +435,44 @@ def test_weighted_sample_null_weight_never_keeps(spark):
         [(1, 1.0), (2, None)], "k long, w double"
     )
     assert {r.k for r in weighted_sample(df, "w", "k").collect()} == {1}
+
+
+def test_duplicated_spans_planted_passage(spark):
+    """A passage shared verbatim by two docs must produce exactly one
+    maximal span in each, covering precisely the passage's tokens;
+    cross-doc semantics: a WITHIN-doc repetition alone yields nothing."""
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        duplicated_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (0, "alpha beta " + shared + " gamma"),        # span at tokens 2..10
+        (1, shared + " delta epsilon"),                # span at tokens 0..8
+        (2, "zeta eta theta iota kappa nothing here"),
+        # within-doc repetition only — 5-gram repeats inside ONE doc
+        (3, "rep one two three four rep one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_span_tokens)
+        for r in duplicated_spans(df, min_tokens=5).collect()
+    }
+    assert spans[0] == (2, 10, 9)
+    assert spans[1] == (0, 8, 9)
+    assert 2 not in spans and 3 not in spans
+
+    # two disjoint shared passages in one doc → two separate spans
+    df2 = spark.createDataFrame(
+        [
+            (0, shared + " filler words in between " + shared),
+            (1, shared),
+        ],
+        "doc_id long, text string",
+    )
+    rows2 = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicated_spans(df2, min_tokens=5).collect()
+        if r.doc_id == 0
+    )
+    assert rows2 == [(0, 8), (13, 21)]
