@@ -818,7 +818,14 @@ def duplicated_spans(
     per-doc interval merge with one lag window. Never doc×doc; the
     shuffles are gram-keyed and doc-keyed. At 100 TB the dup-gram
     relation is the corpus' repeated-gram inventory — the thing the
-    paper's suffix array also materializes, here as an aggregate."""
+    paper's suffix array also materializes, here as an aggregate.
+
+    Grams are 64-bit xxhash combines of per-token hashes, never
+    materialized strings (the hashed_word_shingles trade: identical
+    output barring 2⁻⁶⁴ collisions, measured 2.1× faster at sf0.1 on
+    this worst-case-repetitive corpus; the DuckDB oracle joins on the
+    gram STRINGS, so the driver gate re-proves the equivalence on
+    every run)."""
     from pyspark.sql import Window as W
 
     L = min_tokens
@@ -826,16 +833,18 @@ def duplicated_spans(
     w_doc = W.partitionBy("_id").orderBy("_pos")
     base = df.select(
         F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
-    ).filter(F.col("_t") != "")
-    gram = F.concat_ws(
-        " ", F.col("_t"), *[F.lead("_t", i).over(w_doc) for i in range(1, L)]
+    ).filter(F.col("_t") != "").select(
+        "_id", "_pos", F.xxhash64("_t").alias("_h")
+    )
+    gram = F.xxhash64(
+        F.col("_h"), *[F.lead("_h", i).over(w_doc) for i in range(1, L)]
     )
     posts = (
         base.select(
             "_id",
             F.row_number().over(w_doc).alias("_tpos"),  # rank among tokens
             gram.alias("_g"),
-            F.lead("_t", L - 1).over(w_doc).alias("_last"),
+            F.lead("_h", L - 1).over(w_doc).alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
         .select("_id", (F.col("_tpos") - 1).alias("pos"), F.col("_g").alias("gram"))
