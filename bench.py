@@ -79,6 +79,7 @@ HEADLINE = [
     "pq_topk_adc",
     "ivfpq_topk_adc",
     "duplicated_spans",
+    "dsir_gumbel_topk",
 ]
 
 

@@ -136,7 +136,7 @@ def balanced_sample(
     )
 
 
-def hash_uniform(key: str | Column) -> Column:
+def hash_uniform(key: str | Column, salt: str = "u|") -> Column:
     """Deterministic uniform in [0, 1) from md5('u|' + key): the first
     12 hex digits as a 48-bit integer over 16^12 — fine enough for
     per-row Bernoulli thresholds (2⁻⁴⁸ resolution), exactly
@@ -149,9 +149,14 @@ def hash_uniform(key: str | Column) -> Column:
     coin CORRELATED with split assignment — a weighted_sample pass
     then silently empties the val/test buckets (every survivor has a
     small hash prefix, hence a small bucket). Found by the curation
-    demo: 69/69 post-sampling docs landed in train."""
+    demo: 69/69 post-sampling docs landed in train.
+
+    ``salt`` (default the canonical ``'u|'``) decorrelates
+    INDEPENDENT uses of the uniform — e.g. the Gumbel coin in
+    ``dsir_gumbel_topk`` must not be the coin ``weighted_sample``
+    already spent on the same key."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.md5(F.concat(F.lit("u|"), c.cast("string")))
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     v = F.lit(0).cast("long")
     for j in range(12):
         v = v + _hexval(F.substring(h, j + 1, 1)).cast("long") * (16 ** (11 - j))
@@ -176,3 +181,137 @@ def weighted_sample(
     downsampling pass (e.g. sampling web text ∝ LM quality score)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.filter(hash_uniform(key_col) < w)
+
+
+def _dsir_feature_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+) -> DataFrame:
+    """One row per hashed-n-gram feature OCCURRENCE: lowercased
+    whitespace unigrams + bigrams, md5-hashed ('d|' salt) into
+    ``num_buckets`` buckets. Occurrence-level (not distinct) because
+    DSIR's bag-of-hashed-ngrams likelihood counts multiplicity."""
+    from .packing import engine_safe_tokens
+
+    toks = F.transform(engine_safe_tokens(text_col), F.lower)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.concat(toks, bigrams)).alias("_gram"),
+    ).select(
+        "_doc", hash_bucket(F.col("_gram"), num_buckets, salt="d|").alias("bkt")
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every ``raw`` document by how much more likely its hashed-n-gram
+    bag is under the ``target`` corpus's bucket distribution than
+    under ``raw``'s own, ``log w(x) = Σ_f log(p_target(b_f) /
+    p_raw(b_f))`` over feature occurrences ``f`` — the standard
+    cheap proxy for "select pretraining text that looks like the
+    high-quality target domain".
+
+    Model: unigram+bigram features hashed into ``num_buckets`` md5
+    buckets; each side's bucket distribution is add-one smoothed,
+    ``p(b) = (c(b)+1) / (total+B)``. Returns ``(id, n_feats,
+    log_weight)`` for every raw document with ≥1 token.
+
+    Engine portability: the per-bucket log ratio is rounded to 9 dp
+    and scaled to BIGINT; per-doc sums are integer sums (the
+    bm25/unigram-LM playbook), so aggregation order can never flip a
+    hash. Plan shape: two bucket-count aggregates (≤``num_buckets``
+    groups each, map-side combined), their join broadcast back onto
+    the exploded raw features, one doc-keyed integer-sum aggregate.
+    At 100 TB both distributions are bucket-sized (256 rows), the
+    scoring join is a broadcast, and the featurize is map-only — the
+    only corpus-sized shuffle is the partial-aggregated per-doc sum.
+    """
+    r_b = _dsir_feature_buckets(raw, text_col, id_col, num_buckets)
+    t_b = _dsir_feature_buckets(target, text_col, id_col, num_buckets)
+    r_cnt = r_b.groupBy("bkt").agg(F.count("*").alias("rc"))
+    t_cnt = t_b.groupBy("bkt").agg(F.count("*").alias("tc"))
+    r_tot = r_cnt.groupBy().agg(F.sum("rc").alias("rtot"))
+    t_tot = t_cnt.groupBy().agg(F.sum("tc").alias("ttot"))
+    lr = (
+        r_cnt.join(t_cnt, "bkt", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .withColumn(
+            "_lr_i",
+            F.expr(
+                "CAST(ROUND(LN("
+                "((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0)"
+                f" / (CAST(ttot AS DOUBLE) + {float(num_buckets)!r}))"
+                " / ((CAST(rc AS DOUBLE) + 1.0)"
+                f" / (CAST(rtot AS DOUBLE) + {float(num_buckets)!r}))"
+                ") * 1e9) AS BIGINT)"
+            ),
+        )
+        .select("bkt", "_lr_i")
+    )
+    return (
+        r_b.join(F.broadcast(lr), "bkt")
+        .groupBy("_doc")
+        .agg(F.count("*").alias("n_feats"), F.sum("_lr_i").alias("_sum"))
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_feats",
+            (F.col("_sum").cast("double") / F.lit(1e9)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "log_weight",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling over DSIR log-weights:
+    sampling k documents WITHOUT replacement ∝ w(x) is exactly
+    taking the top k of ``log w(x) + Gumbel(0,1)`` (the Gumbel-max
+    trick); the Gumbel draw is the content-hash uniform
+    (``hash_uniform``, 'g|' salt — decorrelated from the
+    ``weighted_sample`` coin) pushed through ``-ln(-ln(u))``, so the
+    selected set is a pure function of content, stable across runs
+    and engines.
+
+    Integer-exact ordering: both the log-weight and the Gumbel are
+    scaled-9dp BIGINTs; the sort key is their integer sum, ties
+    broken by id. Top-k is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition heaps then a k-row merge,
+    never a global sort; the k-row rank window is bounded by k."""
+    u = F.greatest(hash_uniform(id_col, salt="g|"), F.lit(1e-12))
+    scored = (
+        weights.withColumn("_u", u)
+        .withColumn(
+            "_score_i",
+            F.expr(f"CAST(ROUND({logw_col} * 1e9) AS BIGINT)")
+            + F.expr("CAST(ROUND(-LN(-LN(_u)) * 1e9) AS BIGINT)"),
+        )
+        .orderBy(F.col("_score_i").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_score_i").desc(), F.col(id_col).asc())
+    return scored.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        id_col,
+        (F.col("_score_i").cast("double") / F.lit(1e9)).alias("score"),
+    )

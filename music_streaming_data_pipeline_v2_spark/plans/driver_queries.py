@@ -3282,6 +3282,8 @@ _CHECK_FIRST = [
     "pq_recall",
     "ivfpq_topk_adc",
     "duplicated_spans",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3323,8 +3325,6 @@ _CHECK_FIRST = [
     "ewma_per_user",
     "fuzzy_part_pairs",
     "global_top_spenders",
-    "idle_rich_customers",
-    "incremental_daily_agg",
 ]
 
 def finalize_registry() -> dict[str, Q]:

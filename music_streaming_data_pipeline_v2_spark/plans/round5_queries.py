@@ -689,3 +689,136 @@ def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("int").alias("span_end"),
         F.col("n_span_tokens").cast("int").alias("n_span_tokens"),
     )
+
+
+#: DSIR target domain: three of the twenty synthetic sources stand in
+#: for the "high-quality" corpus; the rest are the raw pool.
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+#: md5 hex-digit bucket of a gram under the 'd|' feature salt — the
+#: DuckDB twin of hash_bucket(gram, 256, salt='d|').
+_DSIR_BKT = (
+    "((INSTR('0123456789abcdef', SUBSTRING(MD5('d|' || gram), 1, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTRING(MD5('d|' || gram), 2, 1)) - 1))"
+)
+
+#: Shared oracle prefix: occurrence-level hashed unigram+bigram
+#: features, both bucket distributions, the scaled log-ratio table,
+#: and the per-doc integer-sum scores for the raw pool.
+_DSIR_CTES = rf"""
+WITH w AS (
+    SELECT doc_id, source,
+           LIST_TRANSFORM({_W}, t -> LOWER(t)) AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, source,
+           UNNEST(LIST_CONCAT(
+               toks,
+               LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+           )) AS gram
+    FROM w
+),
+b AS (SELECT doc_id, source, {_DSIR_BKT} AS bkt FROM f),
+tc AS (
+    SELECT bkt, COUNT(*) AS tc FROM b
+    WHERE source IN ({_DSIR_TGT_IN}) GROUP BY 1
+),
+rc AS (
+    SELECT bkt, COUNT(*) AS rc FROM b
+    WHERE source NOT IN ({_DSIR_TGT_IN}) GROUP BY 1
+),
+tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttot FROM tc),
+rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot FROM rc),
+lr AS (
+    SELECT rc.bkt,
+           CAST(ROUND(LN(
+               ((CAST(COALESCE(tc.tc, 0) AS DOUBLE) + 1.0)
+                / (CAST(ttot AS DOUBLE) + 256.0))
+               / ((CAST(rc.rc AS DOUBLE) + 1.0)
+                  / (CAST(rtot AS DOUBLE) + 256.0))
+           ) * 1e9) AS BIGINT) AS lr_i
+    FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tt CROSS JOIN rt
+),
+s AS (
+    SELECT b.doc_id, COUNT(*) AS n_feats,
+           CAST(SUM(lr_i) AS BIGINT) AS sum_i
+    FROM b JOIN lr USING (bkt)
+    WHERE source NOT IN ({_DSIR_TGT_IN})
+    GROUP BY 1
+)
+"""
+
+_ORACLE_DSIR_WEIGHTS = (
+    _DSIR_CTES
+    + """
+SELECT doc_id, n_feats, CAST(sum_i AS DOUBLE) / 1e9 AS log_weight FROM s
+"""
+)
+
+_DSIR_UNIFORM = (
+    "("
+    + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING(MD5('g|' || CAST(doc_id AS VARCHAR)),"
+        f" {j + 1}, 1)) - 1) * {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    + f") / {float(16**12)!r}"
+)
+
+_DSIR_K = 50
+
+_ORACLE_DSIR_TOPK = (
+    _DSIR_CTES
+    + f"""
+, g AS (
+    SELECT doc_id,
+           sum_i + CAST(ROUND(-LN(-LN(GREATEST({_DSIR_UNIFORM}, 1e-12)))
+                         * 1e9) AS BIGINT) AS score_i
+    FROM s
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_i DESC, doc_id ASC) AS INTEGER)
+           AS rank,
+       doc_id,
+       CAST(score_i AS DOUBLE) / 1e9 AS score
+FROM g ORDER BY score_i DESC, doc_id ASC LIMIT {_DSIR_K}
+"""
+)
+
+
+def _dsir_split(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET))
+    raw = docs.filter(~F.col("source").isin(*_DSIR_TARGET))
+    return raw, target
+
+
+@q("dsir_importance_weights", _ORACLE_DSIR_WEIGHTS)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023;
+    operators/sampling.py:dsir_importance): hashed unigram+bigram
+    log-likelihood ratio of each raw-pool document against the target
+    domain (three synthetic sources). The oracle replays the md5
+    bucket hash digit-for-digit and the smoothed log-ratio as a
+    scaled-BIGINT sum, so partition order can never flip the hash."""
+    _utc(spark)
+    from ..operators.sampling import dsir_importance
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_importance(raw, target)
+
+
+@q("dsir_gumbel_topk", _ORACLE_DSIR_TOPK)
+def dsir_gumbel_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resampling (sampling k docs without
+    replacement ∝ importance weight, derandomized by the 'g|'
+    content-hash uniform; operators/sampling.py:dsir_gumbel_topk).
+    Sort key is the integer sum of two scaled-9dp BIGINTs — exact on
+    both engines; TakeOrderedAndProject, no global sort."""
+    _utc(spark)
+    from ..operators.sampling import dsir_gumbel_topk, dsir_importance
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_gumbel_topk(dsir_importance(raw, target), k=_DSIR_K)

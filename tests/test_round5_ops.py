@@ -476,3 +476,50 @@ def test_duplicated_spans_planted_passage(spark):
         if r.doc_id == 0
     )
     assert rows2 == [(0, 8), (13, 21)]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over the dog"),
+            (2, "zxqv wplk mntr ggga hhhb cccx"),
+            (3, "quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.log_weight for r in dsir_importance(raw, target).collect()}
+    assert set(w) == {1, 2, 3}
+    # target-vocabulary docs outscore hash-bucket gibberish
+    assert w[1] > w[2] and w[3] > w[2]
+
+
+def test_dsir_gumbel_topk_deterministic_and_bounded(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        dsir_gumbel_topk,
+        dsir_importance,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta token{i} gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    weights = dsir_importance(raw, target)
+    a = dsir_gumbel_topk(weights, k=5).collect()
+    b = dsir_gumbel_topk(weights, k=5).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.rank for r in a] == [1, 2, 3, 4, 5]
+    # scores descend; ranks align with score order
+    scores = [r.score for r in a]
+    assert scores == sorted(scores, reverse=True)
