@@ -189,24 +189,36 @@ def _dsir_feature_buckets(
     """One row per hashed-n-gram feature OCCURRENCE: lowercased
     whitespace unigrams + bigrams, md5-hashed ('d|' salt) into
     ``num_buckets`` buckets. Occurrence-level (not distinct) because
-    DSIR's bag-of-hashed-ngrams likelihood counts multiplicity."""
-    from .packing import engine_safe_tokens
+    DSIR's bag-of-hashed-ngrams likelihood counts multiplicity.
 
-    toks = F.transform(engine_safe_tokens(text_col), F.lower)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(F.concat(toks, bigrams)).alias("_gram"),
-    ).select(
-        "_doc", hash_bucket(F.col("_gram"), num_buckets, salt="d|").alias("bkt")
+    Built on the codegen posexplode+lead machinery (the winnow/
+    duplicated_spans pattern), NOT array higher-order functions: HOF
+    lambdas run interpreted, and the testdata parquet is one row
+    group, so an array-built featurize md5-hashed every gram of the
+    corpus on a single task (measured 17 s at sf0.1 — 8× the corpus
+    scan). The doc-keyed window shuffle both restores codegen and
+    spreads the per-gram md5 across cores; the bigram is a lead(1)
+    concat over the empty-filtered token sequence, identical to
+    pairing the filtered token list."""
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \t\n\r\f]+")
+    base = df.select(
+        F.col(id_col).alias("_doc"), F.posexplode(toks).alias("_pos", "_t")
+    ).filter(F.col("_t") != "")
+    w = W.partitionBy("_doc").orderBy("_pos")
+    with_bi = base.withColumn(
+        "_bi", F.concat(F.col("_t"), F.lit(" "), F.lead("_t").over(w))
+    )
+    return (
+        with_bi.select(
+            "_doc", F.explode(F.array(F.col("_t"), F.col("_bi"))).alias("_gram")
+        )
+        .filter(F.col("_gram").isNotNull())
+        .select(
+            "_doc",
+            hash_bucket(F.col("_gram"), num_buckets, salt="d|").alias("bkt"),
+        )
     )
 
 
@@ -237,9 +249,10 @@ def dsir_importance(
     hash. Plan shape: two bucket-count aggregates (≤``num_buckets``
     groups each, map-side combined), their join broadcast back onto
     the exploded raw features, one doc-keyed integer-sum aggregate.
-    At 100 TB both distributions are bucket-sized (256 rows), the
-    scoring join is a broadcast, and the featurize is map-only — the
-    only corpus-sized shuffle is the partial-aggregated per-doc sum.
+    At 100 TB both distributions are bucket-sized (256 rows) and the
+    scoring join is a broadcast; the corpus-sized shuffle is the
+    doc-keyed featurize window, whose partitioning the downstream
+    per-doc sum reuses.
     """
     r_b = _dsir_feature_buckets(raw, text_col, id_col, num_buckets)
     t_b = _dsir_feature_buckets(target, text_col, id_col, num_buckets)
