@@ -328,3 +328,77 @@ def dsir_gumbel_topk(
         id_col,
         (F.col("_score_i").cast("double") / F.lit(1e9)).alias("score"),
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Per-stratum α-temperature sampling rates (the multilingual
+    data-mixing recipe of Conneau & Lample, NeurIPS 2019, and XLM-R:
+    sample strata ∝ p_s^α so low-resource strata are up-weighted
+    without drowning the head): with ``q_s = p_s^α / Σ_t p_t^α``, the
+    per-row keep rate is ``min(1, budget_frac · N · q_s / n_s)``,
+    i.e. the corpus shrinks to ~``budget_frac·N`` rows distributed by
+    the temperature-flattened mixture. α=1 keeps the natural mix,
+    α→0 approaches uniform-per-stratum.
+
+    Engine portability: the only cross-row float reduction — Σ p^α —
+    accumulates the per-stratum ``ROUND(p^α·1e9)`` as BIGINT (the
+    scaled-sum playbook), and the emitted rate is rounded to 6 dp, so
+    both the rate column and every downstream coin comparison are
+    digit-identical on any engine and partitioning. Two |strata|-row
+    aggregates plus broadcast 1-row totals — nothing corpus-sized."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(F.sum("_n").cast("long").alias("_total"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_pow_i",
+        F.expr(
+            "CAST(ROUND(POWER(CAST(_n AS DOUBLE) / CAST(_total AS DOUBLE),"
+            f" {float(alpha)!r}) * 1e9) AS BIGINT)"
+        ),
+    )
+    s = powed.agg(F.sum("_pow_i").cast("long").alias("_sum_i"))
+    return (
+        powed.crossJoin(F.broadcast(s))
+        .withColumn(
+            rate_col,
+            F.expr(
+                f"ROUND(LEAST(1.0, {float(budget_frac)!r}"
+                " * CAST(_total AS DOUBLE)"
+                " * (CAST(_pow_i AS DOUBLE) / CAST(_sum_i AS DOUBLE))"
+                " / CAST(_n AS DOUBLE)), 6)"
+            ),
+        )
+        .select(stratum_col, F.col("_n").alias("n_rows"), rate_col)
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Apply ``temperature_rates`` as a deterministic Bernoulli pass:
+    keep a row iff its 't|'-salted content-hash uniform is below its
+    stratum's rate (purpose-salted — see hash_uniform; the split/
+    sample/balance coins must stay independent). The rates relation
+    is |strata| rows, broadcast; the join is null-safe so a NULL
+    stratum samples at its own rate instead of vanishing (the
+    balanced_sample lesson). Map-only over the corpus."""
+    rates = temperature_rates(
+        df, stratum_col, alpha=alpha, budget_frac=budget_frac, rate_col=rate_col
+    ).select(F.col(stratum_col).alias("_stratum"), rate_col)
+    return (
+        df.join(
+            F.broadcast(rates), df[stratum_col].eqNullSafe(rates["_stratum"])
+        )
+        .filter(hash_uniform(key_col, salt="t|") < F.col(rate_col))
+        .select(*df.columns, rate_col)
+    )

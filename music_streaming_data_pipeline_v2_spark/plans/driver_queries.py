@@ -3284,6 +3284,7 @@ _CHECK_FIRST = [
     "duplicated_spans",
     "dsir_importance_weights",
     "dsir_gumbel_topk",
+    "temperature_lang_sample",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3324,7 +3325,6 @@ _CHECK_FIRST = [
     "embedding_quantize_codes",
     "ewma_per_user",
     "fuzzy_part_pairs",
-    "global_top_spenders",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -822,3 +822,55 @@ def dsir_gumbel_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw, target = _dsir_split(spark, sf_dir)
     return dsir_gumbel_topk(dsir_importance(raw, target), k=_DSIR_K)
+
+
+_TEMP_ALPHA, _TEMP_BUDGET = 0.3, 0.5
+
+_TEMP_UNIFORM = (
+    "("
+    + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING(MD5('t|' || CAST(doc_id AS VARCHAR)),"
+        f" {j + 1}, 1)) - 1) * {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    + f") / {float(16**12)!r}"
+)
+
+_ORACLE_TEMPERATURE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+p AS (
+    SELECT lang, n,
+           CAST(ROUND(POWER(CAST(n AS DOUBLE) / CAST(total AS DOUBLE),
+                            {_TEMP_ALPHA!r}) * 1e9) AS BIGINT) AS pow_i
+    FROM c CROSS JOIN t
+),
+s AS (SELECT CAST(SUM(pow_i) AS BIGINT) AS sum_i FROM p),
+r AS (
+    SELECT lang,
+           ROUND(LEAST(1.0, {_TEMP_BUDGET!r} * CAST(total AS DOUBLE)
+               * (CAST(pow_i AS DOUBLE) / CAST(sum_i AS DOUBLE))
+               / CAST(n AS DOUBLE)), 6) AS rate
+    FROM p CROSS JOIN t CROSS JOIN s
+)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE {_TEMP_UNIFORM} < r.rate
+"""
+
+
+@q("temperature_lang_sample", _ORACLE_TEMPERATURE)
+def temperature_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature language rebalancing (Conneau & Lample 2019 /
+    XLM-R; operators/sampling.py:temperature_sample): sample the
+    corpus to ~half size with language shares flattened by p^0.3 —
+    low-resource languages up-weighted, the head kept. The oracle
+    replays the scaled-BIGINT Σp^α, the 6-dp rate, and the 't|'
+    content-hash coin digit-for-digit."""
+    _utc(spark)
+    from ..operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "lang", "doc_id", alpha=_TEMP_ALPHA, budget_frac=_TEMP_BUDGET
+    ).select("doc_id", "lang", "rate")

@@ -523,3 +523,27 @@ def test_dsir_gumbel_topk_deterministic_and_bounded(spark):
     # scores descend; ranks align with score order
     scores = [r.score for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_temperature_sample_flattens_strata(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(400 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {r.lang: r.rate for r in temperature_rates(df, "lang").collect()}
+    # temperature up-weights the low-resource stratum
+    assert rates["small"] > rates["big"]
+    kept = temperature_sample(df, "lang", "doc_id").collect()
+    # deterministic: same call, same membership
+    again = temperature_sample(df, "lang", "doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+    # roughly the budgeted half survives (hash coin, so approximate)
+    assert 0.3 * 440 < len(kept) < 0.7 * 440
+    by = {}
+    for r in kept:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    # flattening: small's survival fraction strictly exceeds big's
+    assert by["small"] / 40 > by["big"] / 400
