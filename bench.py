@@ -265,6 +265,49 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_index"
         timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental DSIR state over the same JSONL waves, plus
+        # one scoring read over the accumulated state per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.dsir_ingest import (
+            query_dsir_scores,
+            run_incremental_dsir,
+        )
+
+        ds_in = os.path.join(work, "dsir", "in")
+        os.makedirs(ds_in, exist_ok=True)
+        target = (
+            docs.filter(F.col("source").isin("src0", "src1", "src2"))
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        dwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "dsir", "staged", f"w{wnum}")
+            docs.filter(~F.col("source").isin("src0", "src1", "src2")).select(
+                "doc_id", "text"
+            ).filter(key == wnum).repartition(4).write.mode("overwrite").json(
+                wdir
+            )
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "dsir", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            dwaves.append(files)
+        wdird = os.path.join(work, "dsir", "work")
+        t0 = time.monotonic()
+        for files in dwaves:
+            for f in files:
+                shutil.move(f, ds_in)
+            run_incremental_dsir(spark, ds_in, wdird)
+            query_dsir_scores(spark, wdird, target).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_dsir"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 
 

@@ -222,6 +222,36 @@ def _dsir_feature_buckets(
     )
 
 
+def dsir_log_ratio(
+    r_cnt: DataFrame, t_cnt: DataFrame, num_buckets: int
+) -> DataFrame:
+    """The scaled-BIGINT smoothed log-ratio table from two bucket-count
+    relations ``(bkt, rc)`` / ``(bkt, tc)``: one row per raw-side
+    bucket, ``_lr_i = round(ln(p_target/p_raw)·1e9)`` with add-one
+    smoothing over ``num_buckets``. Shared by the batch operator and
+    the ingest-time index (streaming/dsir_ingest.py) so both score
+    with literally the same expression."""
+    r_tot = r_cnt.groupBy().agg(F.sum("rc").alias("rtot"))
+    t_tot = t_cnt.groupBy().agg(F.sum("tc").alias("ttot"))
+    return (
+        r_cnt.join(t_cnt, "bkt", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .withColumn(
+            "_lr_i",
+            F.expr(
+                "CAST(ROUND(LN("
+                "((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0)"
+                f" / (CAST(ttot AS DOUBLE) + {float(num_buckets)!r}))"
+                " / ((CAST(rc AS DOUBLE) + 1.0)"
+                f" / (CAST(rtot AS DOUBLE) + {float(num_buckets)!r}))"
+                ") * 1e9) AS BIGINT)"
+            ),
+        )
+        .select("bkt", "_lr_i")
+    )
+
+
 def dsir_importance(
     raw: DataFrame,
     target: DataFrame,
@@ -258,25 +288,7 @@ def dsir_importance(
     t_b = _dsir_feature_buckets(target, text_col, id_col, num_buckets)
     r_cnt = r_b.groupBy("bkt").agg(F.count("*").alias("rc"))
     t_cnt = t_b.groupBy("bkt").agg(F.count("*").alias("tc"))
-    r_tot = r_cnt.groupBy().agg(F.sum("rc").alias("rtot"))
-    t_tot = t_cnt.groupBy().agg(F.sum("tc").alias("ttot"))
-    lr = (
-        r_cnt.join(t_cnt, "bkt", "left")
-        .crossJoin(F.broadcast(r_tot))
-        .crossJoin(F.broadcast(t_tot))
-        .withColumn(
-            "_lr_i",
-            F.expr(
-                "CAST(ROUND(LN("
-                "((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0)"
-                f" / (CAST(ttot AS DOUBLE) + {float(num_buckets)!r}))"
-                " / ((CAST(rc AS DOUBLE) + 1.0)"
-                f" / (CAST(rtot AS DOUBLE) + {float(num_buckets)!r}))"
-                ") * 1e9) AS BIGINT)"
-            ),
-        )
-        .select("bkt", "_lr_i")
-    )
+    lr = dsir_log_ratio(r_cnt, t_cnt, num_buckets)
     return (
         r_b.join(F.broadcast(lr), "bkt")
         .groupBy("_doc")
