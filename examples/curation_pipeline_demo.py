@@ -18,6 +18,9 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
 5. domain rebalance  — hash-threshold downsample to the smallest
                        source, then quality-weighted deterministic
                        thinning (operators/sampling.py)
+5b. domain match/mix — DSIR importance vs a target slice (Gumbel
+                       top-k exemplars) + alpha-temperature language
+                       flattening (operators/sampling.py)
 8. boilerplate audit — heavy-hitter tokens (Misra-Gries + exact
                        verify, operators/frequency.py), reported not
                        dropped
@@ -55,7 +58,10 @@ from music_streaming_data_pipeline_v2_spark.operators.packing import (
 from music_streaming_data_pipeline_v2_spark.operators.sampling import (
     balanced_sample,
     dataset_split,
+    dsir_gumbel_topk,
+    dsir_importance,
     hash_bucket,
+    temperature_sample,
 )
 from music_streaming_data_pipeline_v2_spark.operators.similarity import (
     kmeans_lite,
@@ -146,6 +152,17 @@ def main() -> None:
     ).drop("_w")
     n5 = good.count()
 
+    # 5b. target-domain match + language mix: DSIR importance of each
+    # survivor against the src0-2 "target domain" (top exemplars via
+    # the derandomized Gumbel-top-k — reported, a config would drive a
+    # resample), then temperature-flatten the language mixture
+    target_side = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    exemplars = dsir_gumbel_topk(dsir_importance(good, target_side), k=3).collect()
+    good = temperature_sample(
+        good, "lang", "doc_id", alpha=0.3, budget_frac=0.9
+    ).drop("rate")
+    n5b = good.count()
+
     # 6. chunk to context windows, pack into token budgets
     chunks = chunk_documents(good, chunk_tokens=24, overlap=8)
     packed = pack_sequences(good, budget=256)
@@ -181,6 +198,8 @@ def main() -> None:
     print(f"semantic:      {n3b} kept")
     print(f"decontam:      {n4} kept")
     print(f"rebalanced:    {n5} kept")
+    print(f"domain+mix:    {n5b} kept; DSIR exemplars "
+          f"{[(r.doc_id, round(r.score, 3)) for r in exemplars]}")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
     print(f"splits:        {splits} -> {out}")
     print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%); "
