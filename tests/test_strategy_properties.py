@@ -185,3 +185,72 @@ def test_hashed_shingles_match_string_shingles(spark, rows, k):
             if sa | sb:
                 assert len(sa & sb) == len(ha & hb)
                 assert len(sa | sb) == len(ha | hb)
+
+
+# --- sampling determinism: the engine-portability claims of the DSIR /
+# temperature operators are partition- and plan-shape-invariance; fuzz
+# them with randomized corpora across different physical layouts.
+
+_WORDS = [f"v{i}" for i in range(30)]
+
+
+@st.composite
+def doc_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    rows = []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8))
+        lang = draw(st.sampled_from(["en", "fr", "zh"]))
+        rows.append((i, " ".join(toks), lang))
+    return rows
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_corpus(), split=st.integers(min_value=1, max_value=3))
+def test_dsir_weights_partition_invariant(spark, rows, split):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = spark.createDataFrame(
+        rows[:split], "doc_id long, text string, lang string"
+    )
+    one = {
+        (r.doc_id, r.n_feats, r.log_weight)
+        for r in dsir_importance(raw.coalesce(1), target).collect()
+    }
+    many = {
+        (r.doc_id, r.n_feats, r.log_weight)
+        for r in dsir_importance(raw.repartition(7), target.repartition(5)).collect()
+    }
+    assert one == many
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_corpus())
+def test_temperature_sample_partition_invariant(spark, rows):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    one = {
+        (r.doc_id, r.rate)
+        for r in temperature_sample(df.coalesce(1), "lang", "doc_id").collect()
+    }
+    many = {
+        (r.doc_id, r.rate)
+        for r in temperature_sample(
+            df.repartition(9), "lang", "doc_id"
+        ).collect()
+    }
+    assert one == many
