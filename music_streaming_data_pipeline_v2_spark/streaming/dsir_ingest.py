@@ -115,11 +115,17 @@ def query_dsir_scores(
     from ..operators.sampling import _dsir_feature_buckets, dsir_log_ratio
 
     # explicit schema (+ the batch_id partition column): state reads
-    # must not depend on data files existing (ADVICE r4 / the
-    # semantic_ingest lesson)
+    # must not depend on data files existing, and an undrained (or
+    # all-empty-batches) state is a legitimate "nothing scored yet"
+    # relation, not a crash (ADVICE r4 / the semantic_ingest lesson)
+    db_dir = os.path.join(work_dir, "docbuckets")
+    if not os.path.isdir(db_dir):
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_feats long, log_weight double"
+        )
     db = (
         spark.read.schema("doc_id long, bkt int, cnt long, batch_id int")
-        .parquet(os.path.join(work_dir, "docbuckets"))
+        .parquet(db_dir)
         .drop("batch_id")
     )
     r_cnt = db.groupBy("bkt").agg(F.sum("cnt").alias("rc"))

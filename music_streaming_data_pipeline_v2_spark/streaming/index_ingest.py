@@ -119,8 +119,13 @@ def query_index(
     from ..operators.text import tokens as _tokens
 
     # explicit schemas (+ the batch_id partition column): state reads
-    # must not depend on data files existing (ADVICE r4 / the
+    # must not depend on data files existing, and an undrained state is
+    # a legitimate "no results" relation, not a crash (ADVICE r4 / the
     # semantic_ingest lesson)
+    if not os.path.isdir(os.path.join(work_dir, "postings")):
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
     tf = (
         spark.read.schema("doc_id long, token string, tf long, batch_id int")
         .parquet(os.path.join(work_dir, "postings"))

@@ -90,3 +90,20 @@ def test_incremental_dsir_target_like_docs_win(spark, tmp_path):
     }
     # doc 0 shares the target's vocabulary; doc 1 is lorem-ipsum noise
     assert w[0] > w[1]
+
+
+def test_query_before_any_drain_is_empty_not_crash(spark, tmp_path):
+    from music_streaming_data_pipeline_v2_spark.streaming.index_ingest import (
+        query_index,
+    )
+
+    out = query_dsir_scores(spark, str(tmp_path / "nowhere"), _target(spark))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_feats",
+        "log_weight",
+    ]
+    probe = spark.createDataFrame([(0, "x")], "query_id int, text string")
+    idx = query_index(spark, str(tmp_path / "nowhere2"), probe)
+    assert idx.count() == 0
