@@ -404,6 +404,12 @@ def temperature_sample(
     is |strata| rows, broadcast; the join is null-safe so a NULL
     stratum samples at its own rate instead of vanishing (the
     balanced_sample lesson). Map-only over the corpus."""
+    # the bloom.py r4 lesson: a joined-on output column that collides
+    # with a caller column is an ambiguity error or a silent overwrite
+    assert rate_col not in df.columns, (
+        f"temperature_sample: column {rate_col!r} already exists; "
+        "pass a different rate_col"
+    )
     rates = temperature_rates(
         df, stratum_col, alpha=alpha, budget_frac=budget_frac, rate_col=rate_col
     ).select(F.col(stratum_col).alias("_stratum"), rate_col)
