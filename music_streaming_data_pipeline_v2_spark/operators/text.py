@@ -878,3 +878,106 @@ def duplicated_spans(
             ),
         )
     )
+
+
+def bm25_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    n: int = 5,
+    max_jaccard: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training — the BM25-negatives
+    recipe of Karpukhin et al. ("Dense Passage Retrieval", EMNLP 2020):
+    per query, the top-ranked document is the presumed positive and the
+    candidates ranked below it become training negatives, EXCEPT those
+    that near-duplicate the positive (distinct word ``n``-gram Jaccard
+    > ``max_jaccard``) — lexically-duplicated "negatives" are usually
+    unlabeled positives, the known failure mode of naive BM25 mining.
+
+    Returns ``(query_id, doc_id, bm25_rank, score,
+    jaccard_with_pos)`` for every surviving negative.
+
+    Scale: everything after retrieval is bounded by queries×k, not the
+    corpus — the gram relation is built over the ≤q·k retrieved docs
+    only (corpus semi-joined down first), so at 100 TB this costs one
+    bm25_topk plus candidate-sized joins. Jaccard is exact integer set
+    arithmetic (|∩| / |pos|+|cand|−|∩|) rounded at 6 dp, so the oracle
+    replays it digit-for-digit; a doc shorter than ``n`` tokens has an
+    empty gram set and Jaccard 0 by definition (the u = 0 guard)."""
+    top = bm25_topk(
+        corpus,
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).localCheckpoint()  # ≤ queries×k rows, reused by four consumers
+    pos = top.filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_id").alias("_pos_doc")
+    )
+    involved = top.select(F.col("doc_id").alias(id_col)).distinct()
+    grams = word_ngram_postings(
+        corpus.join(F.broadcast(involved), id_col, "left_semi"),
+        n,
+        text_col,
+        id_col,
+        out_id="_doc",
+    ).localCheckpoint()  # candidate-bounded; feeds three consumers
+    sizes = grams.groupBy("_doc").agg(F.count("*").alias("_sz"))
+    pos_grams = pos.join(
+        grams, pos["_pos_doc"] == grams["_doc"]
+    ).select("query_id", "gram")
+    cands = top.filter(F.col("rank") >= 2)
+    inter = (
+        cands.select("query_id", "doc_id")
+        .join(grams, F.col("doc_id") == F.col("_doc"))
+        .join(pos_grams, ["query_id", "gram"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("_i"))
+    )
+    jacc = (
+        "CASE WHEN _u = 0 THEN 0.0 "
+        "ELSE ROUND(CAST(_ii AS DOUBLE) / CAST(_u AS DOUBLE), 6) END"
+    )
+    return (
+        cands.join(F.broadcast(pos), "query_id")
+        .join(
+            F.broadcast(sizes.select(F.col("_doc"), F.col("_sz").alias("_psz"))),
+            F.col("_pos_doc") == F.col("_doc"),
+            "left",
+        )
+        .drop("_doc")
+        .join(
+            F.broadcast(sizes.select(F.col("_doc"), F.col("_sz").alias("_csz"))),
+            F.col("doc_id") == F.col("_doc"),
+            "left",
+        )
+        .drop("_doc")
+        .join(F.broadcast(inter), ["query_id", "doc_id"], "left")
+        .withColumn("_ii", F.coalesce("_i", F.lit(0)))
+        .withColumn(
+            "_u",
+            F.coalesce("_psz", F.lit(0))
+            + F.coalesce("_csz", F.lit(0))
+            - F.col("_ii"),
+        )
+        .withColumn("jaccard_with_pos", F.expr(jacc))
+        .filter(F.col("jaccard_with_pos") <= max_jaccard)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("bm25_rank"),
+            "score",
+            "jaccard_with_pos",
+        )
+    )

@@ -3285,6 +3285,7 @@ _CHECK_FIRST = [
     "dsir_importance_weights",
     "dsir_gumbel_topk",
     "temperature_lang_sample",
+    "bm25_hard_negatives",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3324,7 +3325,6 @@ _CHECK_FIRST = [
     "doc_repetition_filter",
     "embedding_quantize_codes",
     "ewma_per_user",
-    "fuzzy_part_pairs",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -874,3 +874,113 @@ def temperature_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         docs, "lang", "doc_id", alpha=_TEMP_ALPHA, budget_frac=_TEMP_BUDGET
     ).select("doc_id", "lang", "rate")
+
+
+_HN_K, _HN_N, _HN_MAXJ = 20, 5, 0.5
+
+#: Full replay: BM25 scoring (same literals as _ORACLE_BM25), top-k
+#: ranking, candidate-only distinct 5-gram sets, exact integer-set
+#: Jaccard against the rank-1 positive, near-dup exclusion.
+_ORACLE_HARD_NEG = rf"""
+WITH tf AS (
+    SELECT doc_id AS _doc, LOWER(t.tok) AS token, COUNT(*) AS tf
+    FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    GROUP BY 1, 2
+),
+dl AS (SELECT _doc, SUM(tf) AS dl FROM tf GROUP BY _doc),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+stats AS (SELECT COUNT(DISTINCT _doc) AS n_docs, SUM(tf) AS sum_dl FROM tf),
+qt AS (
+    SELECT DISTINCT query_id, LOWER(t.tok) AS token
+    FROM (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)})
+         AS q(query_id, qtext),
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(qtext), '\s+')) AS t(tok)
+),
+scored AS (
+    SELECT qt.query_id, tf._doc,
+           SUM(CAST(ROUND(
+               LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE)
+                         + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
+               / (CAST(tf AS DOUBLE) + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                  + {_BM25_B!r} * CAST(dl AS DOUBLE)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               * 1e9) AS BIGINT)) AS _score_i
+    FROM tf
+    JOIN qt USING (token)
+    JOIN dfreq USING (token)
+    JOIN dl USING (_doc)
+    CROSS JOIN stats
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT query_id, doc_id, bm25_rank, score FROM (
+        SELECT query_id, _doc AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY _score_i DESC, _doc ASC
+               ) AS INTEGER) AS bm25_rank,
+               CAST(_score_i AS DOUBLE) / 1e9 AS score
+        FROM scored
+    ) WHERE bm25_rank <= {_HN_K}
+),
+pos AS (SELECT query_id, doc_id AS pos_doc FROM top WHERE bm25_rank = 1),
+grams AS (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        RANGE(1, LEN(w) - {_HN_N - 2}),
+        i -> ARRAY_TO_STRING(w[i : i + {_HN_N - 1}], ' ')
+    ))) AS gram
+    FROM (
+        SELECT doc_id, {{W}} AS w FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM top)
+    ) WHERE LEN(w) >= {_HN_N}
+),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM grams GROUP BY 1),
+pos_g AS (
+    SELECT p.query_id, g.gram FROM pos p JOIN grams g ON g.doc_id = p.pos_doc
+),
+inter AS (
+    SELECT c.query_id, c.doc_id, COUNT(*) AS i
+    FROM top c
+    JOIN grams g ON g.doc_id = c.doc_id
+    JOIN pos_g pg ON pg.query_id = c.query_id AND pg.gram = g.gram
+    WHERE c.bm25_rank >= 2
+    GROUP BY 1, 2
+),
+neg AS (
+    SELECT c.query_id, c.doc_id, c.bm25_rank, c.score,
+           COALESCE(i.i, 0) AS ii,
+           COALESCE(ps.s, 0) + COALESCE(cs.s, 0) - COALESCE(i.i, 0) AS u
+    FROM top c
+    JOIN pos p USING (query_id)
+    LEFT JOIN sz ps ON ps.doc_id = p.pos_doc
+    LEFT JOIN sz cs ON cs.doc_id = c.doc_id
+    LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+    WHERE c.bm25_rank >= 2
+)
+SELECT query_id, doc_id, bm25_rank, score,
+       CASE WHEN u = 0 THEN 0.0
+            ELSE ROUND(CAST(ii AS DOUBLE) / CAST(u AS DOUBLE), 6)
+       END AS jaccard_with_pos
+FROM neg
+WHERE CASE WHEN u = 0 THEN 0.0
+           ELSE ROUND(CAST(ii AS DOUBLE) / CAST(u AS DOUBLE), 6)
+      END <= {_HN_MAXJ!r}
+""".replace("{W}", _W)
+
+
+@q("bm25_hard_negatives", _ORACLE_HARD_NEG)
+def bm25_hard_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (Karpukhin et al., EMNLP 2020;
+    operators/text.py:bm25_hard_negatives): per fixed query, the
+    below-top candidates minus near-duplicates of the rank-1 positive
+    (distinct 5-gram Jaccard > 0.5). Everything past retrieval is
+    candidate-bounded; the oracle replays BM25 AND the integer-set
+    Jaccard end-to-end."""
+    from ..operators.text import bm25_hard_negatives
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    return bm25_hard_negatives(
+        docs, qdf, k=_HN_K, n=_HN_N, max_jaccard=_HN_MAXJ
+    )

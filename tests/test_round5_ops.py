@@ -547,3 +547,30 @@ def test_temperature_sample_flattens_strata(spark):
         by[r.lang] = by.get(r.lang, 0) + 1
     # flattening: small's survival fraction strictly exceeds big's
     assert by["small"] / 40 > by["big"] / 400
+
+
+def test_bm25_hard_negatives_excludes_near_dups_of_positive(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, passage),                                   # the positive
+            (2, passage + " extra"),                        # near-dup of it
+            (3, "alpha beta unrelated words entirely new distinct thing"),
+            (4, "nothing in common with anything at all"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "query_id int, text string"
+    )
+    out = bm25_hard_negatives(corpus, queries, k=4, n=3, max_jaccard=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 1 not in rows          # the positive is never a negative
+    assert 2 not in rows          # near-dup of the positive excluded
+    assert 3 in rows              # lexically-distinct candidate survives
+    assert rows[3].bm25_rank >= 2
+    assert 0.0 <= rows[3].jaccard_with_pos <= 0.5
