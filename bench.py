@@ -80,6 +80,7 @@ HEADLINE = [
     "ivfpq_topk_adc",
     "duplicated_spans",
     "dsir_gumbel_topk",
+    "bm25_hard_negatives",
 ]
 
 
