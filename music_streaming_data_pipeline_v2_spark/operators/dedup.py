@@ -766,3 +766,64 @@ def _jaccard_bitmask_allpairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus exact LINE deduplication — the C4 rule family
+    (Raffel et al., JMLR 2020 discard repeated three-sentence spans;
+    RefinedWeb and MassiveText dedup repeated lines): every distinct
+    non-empty line keeps only its FIRST occurrence in the corpus
+    (ordered by ``(id, line position)``); all later occurrences —
+    cross-document or repeats inside one document — are dropped, and
+    each document's text is reassembled from its surviving lines.
+
+    Returns one row per input document: ``(id, text, n_lines,
+    n_dropped)`` where ``text`` is the kept lines joined by newline
+    ('' when every line was dropped or the document had none),
+    ``n_lines`` counts the original non-empty lines, and blank /
+    whitespace-only lines are normalized away.
+
+    Determinism: first-occurrence is a ``row_number`` over the
+    line-keyed window ordered by ``(id, pos)`` — a pure function of
+    corpus content, so an engine replay keeps the identical set.
+    Scale: one line-keyed shuffle (the window — line-sized rows, the
+    same key profile as a gram-postings aggregate) and one doc-keyed
+    reassembly aggregate. Never doc×doc."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        )
+        .filter(F.trim(F.col("_line")) != "")
+    )
+    w = Window.partitionBy("_line").orderBy("_id", "_pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    stats = lines.groupBy("_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(stats, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )

@@ -3286,6 +3286,7 @@ _CHECK_FIRST = [
     "dsir_gumbel_topk",
     "temperature_lang_sample",
     "bm25_hard_negatives",
+    "line_dedup_docs",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3324,7 +3325,6 @@ _CHECK_FIRST = [
     "disjunctive_part_revenue",
     "doc_repetition_filter",
     "embedding_quantize_codes",
-    "ewma_per_user",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -984,3 +984,75 @@ def bm25_hard_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_hard_negatives(
         docs, qdf, k=_HN_K, n=_HN_N, max_jaccard=_HN_MAXJ
     )
+
+
+_LD_W = 10  # tokens per synthetic line
+
+_ORACLE_LINE_DEDUP = f"""
+WITH w AS (
+    SELECT doc_id, {_W} AS t FROM documents
+),
+l AS (
+    SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+           ARRAY_TO_STRING(t[(i - 1) * {_LD_W} + 1 : (i - 1) * {_LD_W} + {_LD_W}], ' ') AS line
+    FROM w, UNNEST(RANGE(1, CAST(CEIL(LEN(t) / {float(_LD_W)!r}) AS BIGINT) + 1)) AS r(i)
+),
+ne AS (SELECT doc_id, pos, line FROM l WHERE TRIM(line) <> ''),
+kept AS (
+    SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM ne
+    ) WHERE rn = 1
+),
+stats AS (SELECT doc_id, COUNT(*) AS n_lines FROM ne GROUP BY 1),
+rebuilt AS (
+    SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(s.n_lines, 0) AS n_lines,
+       COALESCE(s.n_lines, 0) - COALESCE(r.n_kept, 0) AS n_dropped
+FROM documents d
+LEFT JOIN stats s ON s.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
+@q("line_dedup_docs", _ORACLE_LINE_DEDUP)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact line dedup with reassembly (C4 / RefinedWeb
+    repeated-line removal; operators/dedup.py:dedup_lines). The flat
+    testdata text is line-ified deterministically into 10-token
+    chunks on BOTH engines first (the pii_scan_counts injection
+    pattern — the corpus has no newlines of its own); the oracle then
+    replays first-occurrence selection and the newline reassembly
+    verbatim, value-comparing the rebuilt text itself."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.dedup import dedup_lines
+    from ..operators.packing import engine_safe_tokens
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = engine_safe_tokens("text")
+    lineified = F.when(
+        F.size(toks) >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(toks) / F.lit(float(_LD_W))).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * _LD_W + 1, _LD_W), " "
+                ),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    return dedup_lines(
+        docs.select("doc_id", lineified.alias("text")), "text", "doc_id"
+    )

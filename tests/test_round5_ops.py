@@ -574,3 +574,30 @@ def test_bm25_hard_negatives_excludes_near_dups_of_positive(spark):
     assert 3 in rows              # lexically-distinct candidate survives
     assert rows[3].bm25_rank >= 2
     assert 0.0 <= rows[3].jaccard_with_pos <= 0.5
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared line\nalpha two"),
+            (2, "shared line\nbeta one\nshared line"),
+            (3, "   \n\ngamma only"),
+            (4, "shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    # doc 1 holds the first occurrence of the shared line
+    assert out[1].text == "alpha one\nshared line\nalpha two"
+    assert out[1].n_dropped == 0
+    # doc 2 loses BOTH later occurrences (cross-doc and its own repeat)
+    assert out[2].text == "beta one"
+    assert out[2].n_lines == 3 and out[2].n_dropped == 2
+    # blank lines are normalized away, not deduped
+    assert out[3].text == "gamma only" and out[3].n_lines == 1
+    # a doc whose every line duplicates earlier content empties out
+    assert out[4].text == "" and out[4].n_dropped == 1
