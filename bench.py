@@ -81,6 +81,7 @@ HEADLINE = [
     "duplicated_spans",
     "dsir_gumbel_topk",
     "bm25_hard_negatives",
+    "line_dedup_docs",
 ]
 
 
