@@ -1257,33 +1257,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.jaccard_pairs(docs, "lang", threshold=0.8)
 
 
-_ORACLE_DEDUP_CLUSTERS = r"""
-WITH RECURSIVE toks AS (
-    SELECT doc_id, lang,
-           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS tok
-    FROM documents
-),
-pairs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
-          / LEN(LIST_DISTINCT(LIST_CONCAT(a.tok, b.tok))) >= 0.8
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION ALL
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, r) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-),
-cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-alldocs AS (
-    SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
-    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
-)
+from .oracle_shared import _CC_CTES as _CC  # noqa: E402
+
+_ORACLE_DEDUP_CLUSTERS = f"""{_CC}
 SELECT doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS cluster_size,
        CAST(doc_id = component AS BIGINT) AS keep
@@ -3287,6 +3263,8 @@ _CHECK_FIRST = [
     "temperature_lang_sample",
     "bm25_hard_negatives",
     "line_dedup_docs",
+    "leakage_safe_split",
+    "cluster_representatives",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3310,7 +3288,9 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 19 alphabetically)
+    # -- 3. stalest r3-green re-checks (first 12 alphabetically — two
+    #       slots went to the late round-5 cluster-curation queries,
+    #       which outrank re-checks of already-driver-proven entries)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
@@ -3323,8 +3303,6 @@ _CHECK_FIRST = [
     "dataset_split_counts",
     "dim_merge_upsert",
     "disjunctive_part_revenue",
-    "doc_repetition_filter",
-    "embedding_quantize_codes",
 ]
 
 def finalize_registry() -> dict[str, Q]:

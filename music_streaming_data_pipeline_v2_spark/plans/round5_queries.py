@@ -1056,3 +1056,118 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(
         docs.select("doc_id", lineified.alias("text")), "text", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level curation: leakage-safe splits and representative
+# selection. Both compose the near-dup connected components the engine
+# already proves (dedup_clusters) with the content-hash split /
+# quality machinery — the step a real curation pipeline runs BETWEEN
+# dedup and training: never let two near-duplicates straddle
+# train/test, and keep the best copy of each duplicate cluster rather
+# than an arbitrary one.
+# ---------------------------------------------------------------------------
+
+from .oracle_shared import _CC_CTES, _md5_bucket_sql  # noqa: E402
+
+_ORACLE_LEAKAGE_SPLIT = f"""{_CC_CTES},
+b AS (
+    SELECT doc_id, component, {_md5_bucket_sql('component')} AS bkt
+    FROM alldocs
+)
+SELECT doc_id, component,
+       CASE WHEN bkt < 204 THEN 'train'
+            WHEN bkt < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@q("leakage_safe_split", _ORACLE_LEAKAGE_SPLIT)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe dataset split at CLUSTER granularity: the
+    split coin is hashed on the near-dup component id, not the doc id,
+    so two near-duplicate documents can never land in different splits
+    (doc-keyed splits leak test content into train through surviving
+    near-dups — the GPT-3 contamination failure mode, which
+    ngram_decontamination then has to patch after the fact; splitting
+    by component prevents it structurally). Components come from the
+    same cost-based clustering dedup_clusters proves; the split is the
+    engine's canonical md5 identity coin (operators/sampling.py:
+    dataset_split), a pure function of component id. Scale: the only
+    cost beyond clustering itself is one map-side hash — no new
+    shuffle; the oracle replays closure + coin exactly."""
+    from ..operators.clustering import dedup_clusters_auto
+    from ..operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8).select(
+        "doc_id", "component"
+    )
+    return dataset_split(cc, "component")
+
+
+_ORACLE_CLUSTER_REPS = rf"""{_CC_CTES},
+qual AS (
+    SELECT d.doc_id, a.component, d.n_chars,
+           CAST(LEN(LIST_DISTINCT(
+                REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(d.text)), '\s+'))) AS DOUBLE)
+             / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(d.text)), '\s+'))
+             AS uniq_ratio
+    FROM documents d JOIN alldocs a ON a.doc_id = d.doc_id
+)
+SELECT component, rep_doc_id, cluster_size, cluster_size - 1 AS n_dropped
+FROM (
+    SELECT component, doc_id AS rep_doc_id,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY uniq_ratio DESC, n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM qual
+) WHERE rn = 1
+"""
+
+
+@q("cluster_representatives", _ORACLE_CLUSTER_REPS)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax representative per near-dup cluster: instead of
+    dedup_clusters' keep-the-min-id rule, keep the best copy — ordered
+    by distinct-token ratio (boilerplate-heavy copies score low), then
+    n_chars, then doc_id as the deterministic tiebreak (the same total
+    order in both engines; the ratio is a single IEEE division of two
+    small ints, bit-identical cross-engine). One doc-keyed join to
+    attach quality and one component-keyed window — the same shuffle
+    key profile the clustering output already has, no new skew
+    surface. The oracle replays closure, quality, and the argmax
+    verbatim."""
+    from pyspark.sql import Window
+
+    from ..operators.clustering import dedup_clusters_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8).select(
+        "doc_id", "component"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qual = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    wsz = Window.partitionBy("component")
+    wrn = Window.partitionBy("component").orderBy(
+        F.desc("uniq_ratio"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        cc.join(qual, "doc_id")
+        .withColumn("cluster_size", F.count("*").over(wsz))
+        .withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )

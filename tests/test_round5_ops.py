@@ -601,3 +601,57 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert out[3].text == "gamma only" and out[3].n_lines == 1
     # a doc whose every line duplicates earlier content empties out
     assert out[4].text == "" and out[4].n_dropped == 1
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The structural guarantee: every near-dup pair shares a split."""
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        dedup_clusters_auto,
+    )
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        dataset_split,
+    )
+    from music_streaming_data_pipeline_v2_spark.io.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8).select(
+        "doc_id", "component"
+    )
+    split = dataset_split(cc, "component")
+    pairs = jaccard_pairs(docs, "lang", threshold=0.8)
+    straddle = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert pairs.count() > 0  # the guarantee is vacuous on a pair-free corpus
+    assert straddle.count() == 0
+    # every split is populated (the coin actually spreads clusters)
+    assert split.select("split").distinct().count() == 3
+
+
+def test_cluster_representatives_prefers_quality(spark):
+    """Argmax picks the higher-distinct-ratio copy, not the min id."""
+    from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+        REGISTRY,
+    )
+
+    reps = REGISTRY["cluster_representatives"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = reps.collect()
+    # one representative per component, sizes >= 1, drops = size-1
+    assert len({r.component for r in rows}) == len(rows)
+    assert all(r.cluster_size >= 1 and r.n_dropped == r.cluster_size - 1 for r in rows)
+    # at least one multi-doc cluster elects a rep that is NOT the min
+    # id (proving the quality order, not id order, decides)
+    assert any(r.cluster_size > 1 and r.rep_doc_id != r.component for r in rows)
