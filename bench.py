@@ -82,6 +82,12 @@ HEADLINE = [
     "dsir_gumbel_topk",
     "bm25_hard_negatives",
     "line_dedup_docs",
+    # round 5 late: cluster-level curation (leakage-safe splits share
+    # the clustering subtree with cluster_representatives — timed
+    # separately, cache-cold per pass like everything else)
+    "leakage_safe_split",
+    "cluster_representatives",
+    "bigram_lm_quality",
 ]
 
 
@@ -309,6 +315,48 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
             query_dsir_scores(spark, wdird, target).count()
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_dsir"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental line dedup over lineified document waves,
+        # plus one read of the accumulated deduped output per drain
+        from music_streaming_data_pipeline_v2_spark.operators.packing import (
+            lineify_tokens,
+        )
+        from music_streaming_data_pipeline_v2_spark.streaming.line_ingest import (
+            read_deduped_docs,
+            run_incremental_line_dedup,
+        )
+
+        ld_in = os.path.join(work, "linededup", "in")
+        os.makedirs(ld_in, exist_ok=True)
+        lwaves = []
+        lined = docs.select(
+            "doc_id", lineify_tokens("text", 10).alias("text")
+        )
+        for wnum in range(3):
+            wdir = os.path.join(work, "linededup", "staged", f"w{wnum}")
+            lined.filter(key == wnum).repartition(4).write.mode(
+                "overwrite"
+            ).json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "linededup", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            lwaves.append(files)
+        wdirl = os.path.join(work, "linededup", "work")
+        t0 = time.monotonic()
+        for files in lwaves:
+            for f in files:
+                shutil.move(f, ld_in)
+            run_incremental_line_dedup(spark, ld_in, wdirl)
+            read_deduped_docs(spark, wdirl).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_linededup"
         timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 

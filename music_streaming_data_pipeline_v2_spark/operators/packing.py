@@ -42,6 +42,30 @@ def engine_safe_tokens(col: str | Column = "text") -> Column:
     return F.filter(F.split(F.trim(c), ENGINE_SAFE_WS), lambda t: t != F.lit(""))
 
 
+def lineify_tokens(col: str | Column = "text", width: int = 10) -> Column:
+    """Rewrite flat text as synthetic newline-separated 'lines' of
+    ``width`` tokens each — the deterministic line-ification both
+    engines replay identically (the line_dedup_docs oracle's l CTE),
+    used to exercise line-granular operators over corpora whose text
+    carries no newlines of its own. '' for token-free input."""
+    toks = engine_safe_tokens(col)
+    return F.when(
+        F.size(toks) >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(toks) / F.lit(float(width))).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * width + 1, width), " "
+                ),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -694,6 +694,95 @@ def unigram_logprob_score(
     )
 
 
+def _bigram_pairs(df: DataFrame, keep, text_col: str) -> DataFrame:
+    """(keep..., prev, cur) for every adjacent lowercased token pair —
+    map-only (zip of two shifted slices + one generator), no window
+    shuffle; documents under two tokens contribute nothing."""
+    t = df.withColumn(
+        "_t", F.transform(tokens(text_col), F.lower)
+    ).filter(F.size("_t") >= 2)
+    n1 = F.size("_t") - F.lit(1)
+    t = t.withColumn("_pv", F.slice("_t", F.lit(1), n1)).withColumn(
+        "_cr", F.slice("_t", F.lit(2), n1)
+    )
+    return t.select(
+        *keep, F.explode(F.arrays_zip("_pv", "_cr")).alias("_bg")
+    ).select(
+        *keep,
+        F.col("_bg._pv").alias("prev"),
+        F.col("_bg._cr").alias("cur"),
+    )
+
+
+def bigram_logprob_score(
+    corpus: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean transition log-probability under a
+    Jelinek-Mercer-interpolated bigram LM trained on ``lm_corpus`` —
+    the next step up from ``unigram_logprob_score`` toward CCNet's
+    KenLM 5-gram (Wenzek et al., LREC 2020): fluent word ORDER now
+    scores high, a bag of in-vocabulary words in scrambled order no
+    longer does.
+
+    Model: ``p(w|v) = λ·c(v,w)/c(v) + (1-λ)·(c(w)+1)/(total+V)``; an
+    unseen context ``v`` contributes only the smoothed unigram term,
+    so every transition has positive probability. Returns
+    ``(id, n_bigrams, avg_logprob)`` over documents with ≥2 tokens.
+
+    Engine portability: per-transition ``ln p`` is rounded to 9 dp and
+    summed as a scaled BIGINT (the bm25_topk playbook); the
+    interpolation expression is written in one fixed operation order
+    so both engines produce bit-identical doubles. Plan shape: bigram
+    extraction is map-only (two shifted slices zipped — no window
+    shuffle); the three LM relations are reference-split-sized
+    aggregates broadcast into one token-pair-keyed scoring join. At
+    100 TB the reference split stays small by construction (that's
+    what makes it a reference); if its bigram table ever outgrows the
+    broadcast threshold the same plan works as a pair-keyed
+    sort-merge join."""
+    lmb = _bigram_pairs(lm_corpus, [], text_col).groupBy("prev", "cur").agg(
+        F.count("*").alias("cb")
+    )
+    cc = lmb.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    uni = lm_corpus.select(
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("cur")
+    ).groupBy("cur").agg(F.count("*").alias("c"))
+    stats = uni.groupBy().agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    big = _bigram_pairs(
+        corpus.select(F.col(id_col).alias("_doc"), F.col(text_col)),
+        ["_doc"],
+        text_col,
+    )
+    contrib = (
+        f"CAST(ROUND(LN({lam!r} * (CASE WHEN cc IS NULL THEN 0.0"
+        " ELSE CAST(COALESCE(cb, 0) AS DOUBLE) / CAST(cc AS DOUBLE) END)"
+        f" + {1.0 - lam!r} * (CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)"
+        " / (CAST(total AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9) AS BIGINT)"
+    )
+    return (
+        big.join(F.broadcast(lmb), ["prev", "cur"], "left")
+        .join(F.broadcast(cc), "prev", "left")
+        .join(F.broadcast(uni), "cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_lp", F.expr(contrib))
+        .groupBy("_doc")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("_lp").alias("_sum"))
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_bigrams",
+            (
+                F.col("_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e9)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 #: Engine-portable PII patterns — the common RE2/Java-regex subset
 #: (no backreferences, no lookaround), so DuckDB oracles replay them
 #: verbatim. Deliberately conservative recall: production scanners add

@@ -3265,6 +3265,7 @@ _CHECK_FIRST = [
     "line_dedup_docs",
     "leakage_safe_split",
     "cluster_representatives",
+    "bigram_lm_quality",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3302,7 +3303,6 @@ _CHECK_FIRST = [
     "daily_kpis",
     "dataset_split_counts",
     "dim_merge_upsert",
-    "disjunctive_part_revenue",
 ]
 
 def finalize_registry() -> dict[str, Q]:

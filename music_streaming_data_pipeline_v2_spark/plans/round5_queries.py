@@ -1030,29 +1030,12 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — the corpus has no newlines of its own); the oracle then
     replays first-occurrence selection and the newline reassembly
     verbatim, value-comparing the rebuilt text itself."""
-    from pyspark.sql import functions as F  # noqa: F811
-
     from ..operators.dedup import dedup_lines
-    from ..operators.packing import engine_safe_tokens
+    from ..operators.packing import lineify_tokens
 
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = engine_safe_tokens("text")
-    lineified = F.when(
-        F.size(toks) >= 1,
-        F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.ceil(F.size(toks) / F.lit(float(_LD_W))).cast("int"),
-                ),
-                lambda i: F.array_join(
-                    F.slice(toks, (i - 1) * _LD_W + 1, _LD_W), " "
-                ),
-            ),
-            "\n",
-        ),
-    ).otherwise(F.lit(""))
+    lineified = lineify_tokens("text", _LD_W)
     return dedup_lines(
         docs.select("doc_id", lineified.alias("text")), "text", "doc_id"
     )
@@ -1170,4 +1153,70 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality — the word-ORDER-sensitive step up
+# from unigram_lm_quality toward CCNet's KenLM scoring.
+# ---------------------------------------------------------------------------
+
+_BG_LAM = 0.7
+
+_ORACLE_BIGRAM = rf"""
+WITH b AS (SELECT doc_id, text, {_BUCKET} AS bkt FROM documents),
+tk AS (
+    SELECT doc_id, bkt,
+           LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                          t -> LOWER(t)) AS w
+    FROM b
+),
+bg AS (
+    SELECT doc_id, bkt, w[i] AS prev, w[i + 1] AS cur
+    FROM tk, UNNEST(RANGE(1, LEN(w))) AS r(i)
+    WHERE LEN(w) >= 2
+),
+lmb AS (SELECT prev, cur, COUNT(*) AS cb FROM bg WHERE bkt < 204 GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(cb) AS cc FROM lmb GROUP BY 1),
+uni AS (
+    SELECT LOWER(t.tok) AS cur, COUNT(*) AS c
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt < 204
+    GROUP BY 1
+),
+stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM uni),
+sc AS (SELECT doc_id, prev, cur FROM bg WHERE bkt >= 230)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(LN({_BG_LAM!r} * (CASE WHEN cc IS NULL THEN 0.0
+           ELSE CAST(COALESCE(cb, 0) AS DOUBLE) / CAST(cc AS DOUBLE) END)
+           + {1.0 - _BG_LAM!r} * (CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+           / (CAST(total AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9) AS BIGINT))
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS avg_logprob
+FROM sc
+LEFT JOIN lmb USING (prev, cur)
+LEFT JOIN ctx USING (prev)
+LEFT JOIN uni USING (cur)
+CROSS JOIN stats
+GROUP BY 1
+"""
+
+
+@q("bigram_lm_quality", _ORACLE_BIGRAM)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer bigram LM quality over the engine's own hash
+    split (operators/text.py:bigram_logprob_score): transition
+    probabilities trained on the train split score the test split —
+    word order now matters, unlike unigram_lm_quality. Per-transition
+    log-probs sum as scaled BIGINTs; the interpolation expression is
+    evaluated in one fixed operation order so both engines produce
+    the identical double before rounding."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import bigram_logprob_score
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return bigram_logprob_score(
+        docs.filter(b >= 230), docs.filter(b < 204), lam=_BG_LAM
     )

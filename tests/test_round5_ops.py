@@ -655,3 +655,27 @@ def test_cluster_representatives_prefers_quality(spark):
     # at least one multi-doc cluster elects a rep that is NOT the min
     # id (proving the quality order, not id order, decides)
     assert any(r.cluster_size > 1 and r.rep_doc_id != r.component for r in rows)
+
+
+def test_bigram_logprob_closed_form(spark):
+    import math
+
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    lm = spark.createDataFrame([(100, "a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob_score(docs, lm).collect()}
+    # LM: bigram (a,b)=1, ctx a=1; unigrams a=1,b=1, total=2, V=2
+    p_seen = 0.7 * 1.0 + 0.3 * (1 + 1) / (2 + 2)
+    p_unseen_ctx = 0.3 * (1 + 1) / (2 + 2)  # 'b' never a context
+    assert math.isclose(out[1].avg_logprob, math.log(p_seen), rel_tol=1e-8)
+    assert math.isclose(
+        out[2].avg_logprob, math.log(p_unseen_ctx), rel_tol=1e-8
+    )
+    assert 3 not in out  # <2 tokens → no transitions to score
+    # fluent order must beat the same bag of words scrambled
+    assert out[1].avg_logprob > out[2].avg_logprob
