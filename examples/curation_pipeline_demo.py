@@ -9,7 +9,9 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
                        audits alongside
 2. exact dedup       — md5-fingerprint groupBy (operators/dedup.py)
 3. near-dup dedup    — exact-Jaccard clusters, cost-based routing
-                       (operators/clustering.py:dedup_clusters_auto)
+                       (operators/clustering.py:dedup_clusters_auto),
+                       keeping the QUALITY-argmax representative per
+                       cluster (cluster_representatives), not min-id
 3b. semantic dedup   — SemDeDup over the embedding column, centroid-
                        blocked (operators/similarity.py:semantic_dedup)
 4. decontamination   — n-gram overlap vs the eval split through the
@@ -26,8 +28,11 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
                        dropped
 6. chunk + pack      — context windows then fixed-budget bins
                        (operators/packing.py)
-7. split             — contamination-safe content-hash train/val/test
-                       (operators/sampling.py:dataset_split)
+7. split             — contamination-safe train/val/test coined on
+                       the near-dup COMPONENT id, so surviving near
+                       duplicates can never straddle splits
+                       (operators/sampling.py:dataset_split over the
+                       component carried from stage 3)
 9. retrieval probe   — BM25 top-k over the finished corpus
                        (operators/text.py:bm25_topk)
 
@@ -44,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+    cluster_representatives,
     dedup_clusters_auto,
 )
 from music_streaming_data_pipeline_v2_spark.operators.dedup import exact_dedup
@@ -110,9 +116,15 @@ def main() -> None:
     good = good.join(keep_exact, "doc_id")
     n2 = good.count()
 
-    # 3. near-dup clusters → keep one doc per cluster
+    # 3. near-dup clusters → keep the best-quality doc per cluster
+    # (argmax by distinct-token ratio, not min-id), carrying the
+    # component id forward so the split in stage 7 is leakage-safe
     clusters = dedup_clusters_auto(good, "lang", "text", "doc_id", 0.8)
-    good = good.join(clusters.filter("keep").select("doc_id"), "doc_id")
+    reps = cluster_representatives(good, clusters)
+    good = good.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id"), "component"),
+        "doc_id",
+    )
     n3 = good.count()
 
     # 3b. semantic dedup over the embedding column (1:1 doc_id↔vec_id
@@ -168,8 +180,10 @@ def main() -> None:
     packed = pack_sequences(good, budget=256)
     n_chunks, n_bins = chunks.count(), packed.select("stratum", "bin_id").distinct().count()
 
-    # 7. contamination-safe split, written partitioned by split
-    final = dataset_split(good, "doc_id")
+    # 7. contamination-safe split coined on the near-dup component —
+    # near-duplicates (including any that survived through different
+    # lang blocks) can never straddle train/test
+    final = dataset_split(good, "component")
     out = os.path.join(workdir, "corpus")
     final.write.mode("overwrite").partitionBy("split").parquet(out)
     splits = {

@@ -326,3 +326,47 @@ def dedup_clusters(
         .withColumn("cluster_size", F.count("*").over(w))
         .withColumn("keep", F.col("doc_id") == F.col("component"))
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-argmax representative per near-dup cluster: instead of
+    the keep-the-min-id rule, elect the best copy of each duplicate
+    cluster — ordered by distinct-token ratio (boilerplate-heavy
+    copies score low), then ``n_chars``, then id as the deterministic
+    tiebreak (a total order, so results are engine- and
+    partitioning-independent; the ratio is one IEEE division of two
+    small ints, bit-identical cross-engine).
+
+    ``clusters`` is (id, component) — ``connected_components`` /
+    ``dedup_clusters_auto`` output. Returns ``(component, rep_doc_id,
+    cluster_size, n_dropped)``. Scale: one id-keyed join to attach
+    quality and one component-keyed window — the same shuffle key
+    profile the clustering output already has."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    qual = docs.select(
+        F.col(id_col),
+        "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_uniq_ratio"),
+    )
+    wsz = Window.partitionBy("component")
+    wrn = Window.partitionBy("component").orderBy(
+        F.desc("_uniq_ratio"), F.desc("n_chars"), F.asc(id_col)
+    )
+    return (
+        clusters.select(id_col, "component")
+        .join(qual, id_col)
+        .withColumn("cluster_size", F.count("*").over(wsz))
+        .withColumn("_rn", F.row_number().over(wrn))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("rep_doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )

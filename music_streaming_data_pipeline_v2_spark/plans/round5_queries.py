@@ -1124,36 +1124,14 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     key profile the clustering output already has, no new skew
     surface. The oracle replays closure, quality, and the argmax
     verbatim."""
-    from pyspark.sql import Window
-
+    from ..operators.clustering import (
+        cluster_representatives as _reps,
+    )
     from ..operators.clustering import dedup_clusters_auto
 
     docs = load_table(spark, sf_dir, "documents")
-    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8).select(
-        "doc_id", "component"
-    )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    qual = docs.select(
-        "doc_id",
-        "n_chars",
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
-    )
-    wsz = Window.partitionBy("component")
-    wrn = Window.partitionBy("component").orderBy(
-        F.desc("uniq_ratio"), F.desc("n_chars"), F.asc("doc_id")
-    )
-    return (
-        cc.join(qual, "doc_id")
-        .withColumn("cluster_size", F.count("*").over(wsz))
-        .withColumn("rn", F.row_number().over(wrn))
-        .filter(F.col("rn") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("rep_doc_id"),
-            "cluster_size",
-            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
-        )
-    )
+    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8)
+    return _reps(docs, cc)
 
 
 # ---------------------------------------------------------------------------
