@@ -88,6 +88,14 @@ HEADLINE = [
     "leakage_safe_split",
     "cluster_representatives",
     "bigram_lm_quality",
+    # round 5 late: retrieval composition (hybrid RRF over BM25+dense,
+    # MRR/nDCG eval, MMR diversification), whole-document NFD bin
+    # packing (pandas recurrence kernel), PSI drift audit
+    "rrf_hybrid_topk",
+    "retrieval_mrr_ndcg",
+    "mmr_rerank_topk",
+    "nfd_bin_packing",
+    "source_drift_psi",
 ]
 
 

@@ -33,8 +33,11 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
                        duplicates can never straddle splits
                        (operators/sampling.py:dataset_split over the
                        component carried from stage 3)
-9. retrieval probe   — BM25 top-k over the finished corpus
-                       (operators/text.py:bm25_topk)
+9. retrieval probe   — BM25 top-k over the finished corpus, fused
+                       with a dense cosine ranking by reciprocal-rank
+                       fusion (operators/retrieval.py:rrf_fuse)
+10. drift audit      — per-source PSI of the char-length distribution
+                       vs the finished corpus (operators/drift.py)
 
 Run:  python examples/curation_pipeline_demo.py  [sf_dir] [workdir]
 """
@@ -69,7 +72,10 @@ from music_streaming_data_pipeline_v2_spark.operators.sampling import (
     hash_bucket,
     temperature_sample,
 )
+from music_streaming_data_pipeline_v2_spark.operators.drift import psi_drift
+from music_streaming_data_pipeline_v2_spark.operators.retrieval import rrf_fuse
 from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+    cosine_topk,
     kmeans_lite,
     semantic_dedup,
 )
@@ -200,10 +206,36 @@ def main() -> None:
 
     # 9. retrieval sanity probe over the finished corpus: BM25 top-3
     # for a fixed query — the serving-side check that curated shards
-    # still answer keyword lookups
+    # still answer keyword lookups — fused with a dense cosine ranking
+    # over the surviving embeddings (hybrid search, RRF)
     probes = spark.createDataFrame([(0, "spark window join")],
                                    "query_id int, text string")
-    top = bm25_topk(good, probes, k=3).collect()
+    bm = bm25_topk(good, probes, k=10)
+    surv = emb.join(good.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    qv = surv.orderBy("vec_id").limit(1).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    dn = cosine_topk(surv, qv, k=10).select(
+        "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+    )
+    hybrid = rrf_fuse(
+        {"bm25": bm.select("query_id", "rank", "doc_id"), "dense": dn}, k=3
+    )
+    top = bm.filter("rank <= 3").collect()
+    htop = hybrid.collect()
+
+    # 10. drift audit: PSI of each source's char-length distribution
+    # vs the finished corpus — the per-shard health line a sharded
+    # ingest watches before trusting a new crawl
+    psi_hi = (
+        psi_drift(
+            good,
+            "source",
+            F.expr("LEAST(CAST(n_chars DIV 64 AS INT), 8)"),
+        )
+        .agg(F.max("psi"))
+        .first()[0]
+    )
 
     print(f"corpus:        {n0} docs")
     print(f"quality gate:  {n1} kept")
@@ -220,6 +252,8 @@ def main() -> None:
           f"{n_templates} template 4-grams (>=20% of a source)")
     print(f"pii audit:     {n_pii} docs flagged; min LM score {lm_lo:.3f}")
     print(f"bm25 probe:    {[(r.doc_id, round(r.score, 3)) for r in top]}")
+    print(f"hybrid probe:  {[(r.doc_id, r.n_sources) for r in htop]}")
+    print(f"drift audit:   max source PSI {psi_hi:.3f}")
 
 
 if __name__ == "__main__":

@@ -136,3 +136,84 @@ def pack_sequences(
         F.floor(start / budget).alias("bin_id"),
         (start % budget).alias("bin_offset"),
     )
+
+
+def pack_bins_nfd(
+    df: DataFrame,
+    budget: int = 256,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Next-fit-decreasing bin packing: documents sorted by token count
+    descending (ties by id) are scanned once per stratum; a document
+    opens a new bin whenever it would overflow the current one. Unlike
+    ``pack_sequences`` (concat-and-split, which SPLITS documents
+    across bin boundaries), NFD keeps every document whole — the
+    packing trainers use when examples must not be cut — at the cost
+    of bounded slack per bin. Decreasing order is the classical
+    1.5×-ish-of-optimal heuristic (next-fit alone is 2×); a document
+    longer than the budget still gets a bin of its own.
+
+    Returns ``(stratum, doc_id, n_tokens, bin_id, bin_fill)`` where
+    ``bin_fill`` is the bin's occupancy immediately after placement.
+
+    Physical shape: the scan is a true recurrence (each placement
+    depends on the previous placement's fill), so no window frame
+    expresses it — the ewma_by_entity playbook applies: hash-
+    repartition by stratum, sort within partitions by (stratum,
+    n_tokens desc, id), and run ONE pandas kernel per PARTITION via
+    ``mapInPandas`` (never one per stratum — per-group kernel
+    invocation overhead dominates tiny groups). Strata parallelize
+    across the cluster; the per-stratum scan is the same bound as any
+    ordered window. The kernel is pickle-self-contained (no
+    module-level references — driver workers may not have this repo
+    importable)."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    d = df.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    n_part = (
+        num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    )
+    arranged = d.repartition(n_part, "stratum").sortWithinPartitions(
+        F.asc("stratum"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    budget_ = int(budget)
+
+    def kernel(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        # Arrow batches can split a stratum; concat the whole
+        # partition before scanning (the ewma_by_entity pattern)
+        pdf = pd.concat(chunks, ignore_index=True)
+        bins, fills = [], []
+        cur = object()  # sentinel unequal to any stratum value
+        b = 0
+        fill = 0
+        for s, n in zip(pdf["stratum"].to_numpy(), pdf["n_tokens"].to_numpy()):
+            n = int(n)
+            if s != cur:
+                cur, b, fill = s, 0, 0
+            if fill > 0 and fill + n > budget_:
+                b += 1
+                fill = 0
+            fill += n
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        yield pdf
+
+    return arranged.mapInPandas(
+        kernel,
+        "stratum string, doc_id long, n_tokens long, bin_id long, "
+        "bin_fill long",
+    )

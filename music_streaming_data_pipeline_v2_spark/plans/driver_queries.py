@@ -3266,6 +3266,11 @@ _CHECK_FIRST = [
     "leakage_safe_split",
     "cluster_representatives",
     "bigram_lm_quality",
+    "rrf_hybrid_topk",
+    "retrieval_mrr_ndcg",
+    "mmr_rerank_topk",
+    "nfd_bin_packing",
+    "source_drift_psi",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3289,20 +3294,17 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 12 alphabetically — two
-    #       slots went to the late round-5 cluster-curation queries,
-    #       which outrank re-checks of already-driver-proven entries)
+    # -- 3. stalest r3-green re-checks (first 6 alphabetically — the
+    #       other slots went to late round-5 registrants: the
+    #       cluster-curation queries, then the retrieval/packing/drift
+    #       batch. New never-driver-checked queries always outrank
+    #       re-checks of already-driver-proven entries.)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
     "cdc_latest_state",
     "click_purchase_funnel",
     "click_purchase_funnel_native",
-    "corpus_curation",
-    "cumulative_unique_buyers",
-    "daily_kpis",
-    "dataset_split_counts",
-    "dim_merge_upsert",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -27,8 +27,9 @@ _BM25_QUERIES = [
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-_ORACLE_BM25 = rf"""
-WITH tf AS (
+# The tf→scored CTE chain is shared verbatim with the hybrid-fusion
+# oracle (_ORACLE_RRF below) — ONE copy of the BM25 replay.
+_BM25_CTES = rf"""tf AS (
     SELECT doc_id AS _doc, LOWER(t.tok) AS token, COUNT(*) AS tf
     FROM documents, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
     GROUP BY 1, 2
@@ -58,7 +59,10 @@ scored AS (
     JOIN dl USING (_doc)
     CROSS JOIN stats
     GROUP BY 1, 2
-)
+)"""
+
+_ORACLE_BM25 = f"""
+WITH {_BM25_CTES}
 SELECT query_id, rank, doc_id, score FROM (
     SELECT query_id, _doc AS doc_id,
            CAST(ROW_NUMBER() OVER (
@@ -1198,3 +1202,407 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(
         docs.filter(b >= 230), docs.filter(b < 204), lam=_BG_LAM
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval composition: hybrid RRF fusion, ranking-quality metrics,
+# MMR diversification (operators/retrieval.py) — plus NFD bin packing
+# and PSI drift auditing. The late round-5 batch.
+# ---------------------------------------------------------------------------
+
+_RRF_C, _RRF_DEPTH, _RRF_K = 60, 20, 10
+
+
+def _oracle_rrf() -> str:
+    """Hybrid-fusion replay: the shared BM25 CTE chain ranked to depth
+    20, the dense cosine ranking for query vectors 0-2 ranked to depth
+    20, per-source 1/(c+rank) contributions as scaled BIGINTs, fused
+    and re-ranked."""
+    from .driver_queries import cos_sql
+
+    contrib = (
+        f"CAST(ROUND(1e9 / ({_RRF_C} + CAST(rank AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+WITH {_BM25_CTES},
+bmr AS (
+    SELECT query_id, _doc AS doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY _score_i DESC, _doc ASC
+           ) AS rank
+    FROM scored
+),
+qv AS (
+    SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS v
+    FROM embeddings WHERE vec_id < 3
+),
+dsc AS (
+    SELECT q.query_id, e.vec_id AS doc_id,
+           {cos_sql('q.v', 'e.embedding')} AS cos
+    FROM embeddings e CROSS JOIN qv q
+),
+dnr AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id ASC
+           ) AS rank
+    FROM dsc
+),
+u AS (
+    SELECT query_id, doc_id, {contrib} AS c FROM bmr WHERE rank <= {_RRF_DEPTH}
+    UNION ALL
+    SELECT query_id, doc_id, {contrib} FROM dnr WHERE rank <= {_RRF_DEPTH}
+),
+fused AS (
+    SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS ci,
+           CAST(COUNT(*) AS INTEGER) AS n_sources
+    FROM u GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, rrf_score, n_sources FROM (
+    SELECT query_id, doc_id, n_sources,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ci DESC, doc_id ASC
+           ) AS INTEGER) AS rank,
+           CAST(ci AS DOUBLE) / 1e9 AS rrf_score
+    FROM fused
+)
+WHERE rank <= {_RRF_K}
+"""
+
+
+@q("rrf_hybrid_topk", _oracle_rrf())
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 (lexical) and exact-cosine (dense) rankings
+    for the same three queries fused by reciprocal-rank fusion
+    (operators/retrieval.py:rrf_fuse) — the standard two-retriever
+    combiner, needing no score calibration because only ranks enter.
+    Query texts pair with query vectors 0-2 (doc_id ↔ vec_id is 1:1 in
+    the testdata). Per-source 1/(60+rank) contributions sum as scaled
+    BIGINTs, so the fused ordering is partition- and engine-
+    independent."""
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import cosine_topk
+    from ..operators.text import bm25_topk
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    bm = bm25_topk(docs, queries, k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    dn = cosine_topk(emb, qv, k=_RRF_DEPTH).select(
+        "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+    )
+    return rrf_fuse(
+        {"bm25": bm.select("query_id", "rank", "doc_id"), "dense": dn},
+        k=_RRF_K,
+        c=_RRF_C,
+    )
+
+
+def _oracle_retrieval_metrics() -> str:
+    """MRR/nDCG replay: self-excluded dense top-10 per query vector
+    0-9, relevance = shared label, DCG/IDCG as scaled-BIGINT sums."""
+    from .driver_queries import cos_sql
+
+    dcg_term = (
+        "CASE WHEN rel = 1 THEN CAST(ROUND(1e9 / LOG2(CAST(rank AS DOUBLE)"
+        " + 1.0)) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    idcg = (
+        "CASE WHEN n_relevant <= 0 THEN CAST(0 AS BIGINT) ELSE "
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEAST(CAST(n_relevant AS INTEGER), 10) + 1), "
+        "i -> CAST(ROUND(1e9 / LOG2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT))) END"
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+    FROM embeddings WHERE vec_id < 10
+),
+cls AS (SELECT label, COUNT(*) AS cn FROM embeddings GROUP BY 1),
+nr AS (
+    SELECT q.query_id, CAST(cls.cn - 1 AS BIGINT) AS n_relevant, q.qlab
+    FROM q JOIN cls ON cls.label = q.qlab
+),
+sc AS (
+    SELECT q.query_id, e.vec_id AS nbr, e.label AS nlab,
+           {cos_sql('q.qv', 'e.embedding')} AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, nbr, nlab,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, nbr ASC
+           ) AS rank
+    FROM sc
+),
+h AS (
+    SELECT r.query_id, r.rank,
+           CASE WHEN r.nlab = nr.qlab THEN 1 ELSE 0 END AS rel
+    FROM r JOIN nr USING (query_id)
+    WHERE r.rank <= 10
+),
+a AS (
+    SELECT query_id,
+           MIN(CASE WHEN rel = 1 THEN rank END) AS frr,
+           CAST(SUM({dcg_term}) AS BIGINT) AS dcg_i
+    FROM h GROUP BY 1
+)
+SELECT nr.query_id, nr.n_relevant,
+       CAST(frr AS INTEGER) AS first_rel_rank,
+       CASE WHEN frr IS NULL THEN 0.0
+            ELSE 1.0 / CAST(frr AS DOUBLE) END AS mrr,
+       CASE WHEN CAST({idcg} AS BIGINT) > 0
+            THEN CAST(dcg_i AS DOUBLE) / CAST(CAST({idcg} AS BIGINT) AS DOUBLE)
+       END AS ndcg
+FROM nr JOIN a USING (query_id)
+"""
+
+
+@q("retrieval_mrr_ndcg", _oracle_retrieval_metrics())
+def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (operators/retrieval.py:
+    retrieval_metrics): exact-cosine top-10 per query vector 0-9
+    (query excluded from its own candidates), a neighbor is relevant
+    iff it carries the query's label, per-query MRR and binary nDCG@10.
+    DCG terms and the ideal-DCG prefix both accumulate as scaled
+    BIGINTs, so nDCG is one division of two exact integers."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import retrieval_metrics
+    from ..operators.similarity import cosine
+
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(qv), how="cross")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("embedding")))
+        .filter(F.col("_cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    ranking = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id")
+    )
+    return retrieval_metrics(
+        ranking, emb.select("vec_id", "label"), k=10
+    ).orderBy("query_id")
+
+
+_MMR_LAM, _MMR_KC, _MMR_KS = 0.7, 15, 5
+
+
+def _oracle_mmr() -> str:
+    """Greedy MMR replay: the selection loop unrolled into one plain
+    CTE per step (no recursion — window argmax per step), every
+    similarity rounded to 6 dp before comparison exactly like the
+    Spark operator, the λ/(1−λ) literals repr-injected so both engines
+    see bit-identical doubles."""
+    from .driver_queries import cos_sql
+
+    lam, one_m = _MMR_LAM, 1.0 - _MMR_LAM
+    parts = [
+        f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 3
+),
+sc AS (
+    SELECT q.query_id, e.vec_id AS cid,
+           ROUND({cos_sql('q.qv', 'e.embedding')}, 6) AS simq
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+cand AS (
+    SELECT query_id, cid, simq FROM (
+        SELECT query_id, cid, simq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY simq DESC, cid ASC
+               ) AS rn
+        FROM sc
+    ) WHERE rn <= {_MMR_KC}
+),
+cv AS (
+    SELECT c.query_id, c.cid, e.embedding AS v
+    FROM cand c JOIN embeddings e ON e.vec_id = c.cid
+),
+pair AS (
+    SELECT a.query_id, a.cid AS pa, b.cid AS pb,
+           ROUND({cos_sql('a.v', 'b.v')}, 6) AS sim
+    FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.cid <> b.cid
+),
+sel1 AS (
+    SELECT query_id, cid, 1 AS step, simq AS relevance, simq AS mmr_score
+    FROM (
+        SELECT query_id, cid, simq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY simq DESC, cid ASC
+               ) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+selected1 AS (SELECT query_id, cid FROM sel1)"""
+    ]
+    for s in range(2, _MMR_KS + 1):
+        score = f"ROUND({lam!r} * simq - {one_m!r} * maxsim, 6)"
+        parts.append(
+            f""",
+scored{s} AS (
+    SELECT c.query_id, c.cid, c.simq, MAX(p.sim) AS maxsim
+    FROM cand c
+    JOIN pair p ON p.query_id = c.query_id AND p.pa = c.cid
+    JOIN selected{s - 1} t ON t.query_id = p.query_id AND t.cid = p.pb
+    WHERE NOT EXISTS (
+        SELECT 1 FROM selected{s - 1} x
+        WHERE x.query_id = c.query_id AND x.cid = c.cid
+    )
+    GROUP BY 1, 2, 3
+),
+sel{s} AS (
+    SELECT query_id, cid, {s} AS step, simq AS relevance,
+           {score} AS mmr_score
+    FROM (
+        SELECT query_id, cid, simq, maxsim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {score} DESC, cid ASC
+               ) AS rn
+        FROM scored{s}
+    ) WHERE rn = 1
+),
+selected{s} AS (
+    SELECT query_id, cid FROM selected{s - 1}
+    UNION ALL SELECT query_id, cid FROM sel{s}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, step, cid AS vec_id, relevance, mmr_score FROM sel{s}"
+        for s in range(1, _MMR_KS + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+@q("mmr_rerank_topk", _oracle_mmr())
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/retrieval.py:mmr_rerank): greedy
+    λ·relevance − (1−λ)·redundancy selection of 5 from each query's
+    top-15 exact-cosine candidates, the selection loop unrolled into a
+    static DataFrame plan (one anti-join + bounded pair join + argmax
+    window per step — no Python kernel). The oracle unrolls the same
+    five steps as plain CTEs; every similarity is rounded to 6 dp
+    before any comparison and the λ literals are repr-injected, so the
+    greedy path is bit-identical across engines."""
+    from ..operators.retrieval import mmr_rerank
+
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(
+        emb, qv, k_candidates=_MMR_KC, k_select=_MMR_KS, lam=_MMR_LAM
+    )
+
+
+_NFD_BUDGET = 64
+
+_ORACLE_NFD = f"""
+WITH RECURSIVE t AS (
+    SELECT stratum, doc_id, n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY stratum ORDER BY n_tokens DESC, doc_id ASC
+           ) AS rn
+    FROM (
+        SELECT source AS stratum, doc_id,
+               CAST(LEN({_W}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+),
+walk AS (
+    SELECT stratum, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.stratum, t.doc_id, t.n_tokens, t.rn,
+           CASE WHEN w.bin_fill + t.n_tokens > {_NFD_BUDGET}
+                THEN w.bin_id + 1 ELSE w.bin_id END,
+           CASE WHEN w.bin_fill + t.n_tokens > {_NFD_BUDGET}
+                THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+    FROM walk w JOIN t ON t.stratum = w.stratum AND t.rn = w.rn + 1
+)
+SELECT stratum, doc_id, n_tokens, bin_id, bin_fill FROM walk
+"""
+
+
+@q("nfd_bin_packing", _ORACLE_NFD)
+def nfd_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing bin packing into 64-token bins per source
+    (operators/packing.py:pack_bins_nfd) — keeps documents WHOLE,
+    unlike sequence_packing's concat-and-split. A true recurrence
+    (placement depends on the previous placement's fill), so the
+    engine runs the ewma-style sorted-partition pandas kernel; the
+    oracle replays the same scan as a recursive CTE stepping one rank
+    at a time per stratum. Integer arithmetic end-to-end — nothing
+    for float drift to flip."""
+    from ..operators.packing import pack_bins_nfd
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins_nfd(docs, budget=_NFD_BUDGET)
+
+
+from ..operators.drift import psi_term_sql as _psi_term_sql  # noqa: E402
+
+_PSI_BIN_SQL = "LEAST(CAST(n_chars // 64 AS INTEGER), 8)"
+
+_ORACLE_PSI = f"""
+WITH base AS (
+    SELECT source AS grp, {_PSI_BIN_SQL} AS bin FROM documents
+),
+bins AS (SELECT bin, COUNT(*) AS cb FROM base GROUP BY 1),
+grps AS (SELECT grp, COUNT(*) AS ng FROM base GROUP BY 1),
+cells AS (SELECT grp, bin, COUNT(*) AS cgb FROM base GROUP BY 1, 2),
+tot AS (
+    SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+    FROM bins
+),
+grid AS (
+    SELECT g.grp, g.ng, b.bin, b.cb, COALESCE(c.cgb, 0) AS cgb, t.n, t.nb
+    FROM grps g CROSS JOIN bins b
+    LEFT JOIN cells c ON c.grp = g.grp AND c.bin = b.bin
+    CROSS JOIN tot t
+)
+SELECT grp AS source, CAST(ng AS BIGINT) AS n_rows,
+       CAST(CAST(SUM({_psi_term_sql('cgb', 'ng', 'cb', 'n', 'nb', 1.0)})
+            AS BIGINT) AS DOUBLE) / 1e9 AS psi
+FROM grid
+GROUP BY 1, 2
+"""
+
+
+@q("source_drift_psi", _ORACLE_PSI)
+def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's char-length
+    distribution against the whole corpus (operators/drift.py:
+    psi_drift) — the per-slice drift audit a sharded 100 TB ingest
+    runs before trusting a new crawl. Bins are deterministic
+    64-char-wide buckets capped at 8; Laplace smoothing makes empty
+    bins finite; per-bin terms sum as scaled BIGINTs."""
+    from ..operators.drift import psi_drift
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.expr("LEAST(CAST(n_chars DIV 64 AS INT), 8)")
+    return psi_drift(docs, "source", bin_col, smoothing=1.0)

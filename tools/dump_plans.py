@@ -23,6 +23,17 @@ from bench import HEADLINE
 
 # Cross-round bench-number context the plan shapes alone don't show.
 BENCH_NOTES = {
+    "mmr_rerank_topk": (
+        "the dumped plan is only the tail union of localCheckpointed "
+        "step picks — the greedy selection executes EAGERLY while the "
+        "plan is built (k_select sequential argmax jobs over the "
+        "candidate/pair checkpoints; each step's real shape is "
+        "anti-join + bounded pair join + per-query argmax window). "
+        "Checkpointing per step keeps plan growth linear in k_select "
+        "instead of exponential (each step references the "
+        "selected-so-far set twice); with the candidate repartition "
+        "this took the fixed cost 4.2 → 2.3 s at sf0.1."
+    ),
     "winnowed_fingerprints": (
         "r3→r4 0.31→0.74 s is a MEASUREMENT correction, not a code "
         "regression: r3's number read the sketch subtree winnow_overlap_pairs "
