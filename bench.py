@@ -96,6 +96,8 @@ HEADLINE = [
     "mmr_rerank_topk",
     "nfd_bin_packing",
     "source_drift_psi",
+    "char_entropy_scores",
+    "embedding_decontamination",
 ]
 
 
@@ -365,6 +367,48 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
             read_deduped_docs(spark, wdirl).count()
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_linededup"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental PSI drift state over (doc, source) waves,
+        # plus one drift read over the accumulated state per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.psi_ingest import (
+            query_psi,
+            run_incremental_psi,
+        )
+
+        ps_in = os.path.join(work, "psi", "in")
+        os.makedirs(ps_in, exist_ok=True)
+        # fresh projection: `docs` above was pruned to (doc_id, lang,
+        # text) — filters on `source` resolve through the child, but a
+        # select cannot
+        pdocs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        pwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "psi", "staged", f"w{wnum}")
+            pdocs.filter(key == wnum).repartition(4).write.mode(
+                "overwrite"
+            ).json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "psi", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            pwaves.append(files)
+        wdirp = os.path.join(work, "psi", "work")
+        t0 = time.monotonic()
+        for files in pwaves:
+            for f in files:
+                shutil.move(f, ps_in)
+            run_incremental_psi(spark, ps_in, wdirp)
+            query_psi(spark, wdirp).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_psi"
         timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 

@@ -70,15 +70,34 @@ def psi_drift(
     broadcasts. Shuffle ∝ groups×bins, never rows.
     """
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
-    base = df.select(F.col(group_col).alias("_grp"), b.alias("_bin")).filter(
-        F.col("_bin").isNotNull()
+    base = df.select(F.col(group_col).alias("grp"), b.alias("bin")).filter(
+        F.col("bin").isNotNull()
     )
-    # ONE scan: the (group, bin) cell counts; the bin marginal, group
-    # marginal, and totals are all re-aggregations of that tiny
-    # (groups×bins-bounded) relation — not re-scans of the input
-    cells = base.groupBy("_grp", "_bin").agg(
-        F.count("*").alias("_cgb")
-    ).localCheckpoint(eager=True)  # feeds four consumers below
+    # ONE scan: the (group, bin) cell counts; everything downstream is
+    # re-aggregation of that tiny (groups×bins-bounded) relation
+    cells = base.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
+    return psi_from_cells(cells, smoothing).withColumnRenamed(
+        "grp", group_col
+    )
+
+
+def psi_from_cells(cells: DataFrame, smoothing: float = 1.0) -> DataFrame:
+    """PSI per group from a pre-aggregated ``(grp, bin, cnt)`` cell
+    relation — the arithmetic core of ``psi_drift``, shared with the
+    streaming drift monitor (streaming/psi_ingest.py), whose state IS
+    this relation summed across batches: one code path means the
+    incremental monitor is exactly the batch audit by construction.
+    Returns ``(grp, n_rows, psi)``."""
+    cells = (
+        cells.select(
+            F.col("grp").alias("_grp"),
+            F.col("bin").alias("_bin"),
+            F.col("cnt").cast("long").alias("_cgb"),
+        )
+        # bin marginal, group marginal, totals, and the grid below are
+        # four consumers of this groups×bins-bounded relation
+        .localCheckpoint(eager=True)
+    )
     bins = cells.groupBy("_bin").agg(F.sum("_cgb").alias("_cb"))
     groups = cells.groupBy("_grp").agg(F.sum("_cgb").alias("_ng"))
     # totals as one broadcast scalar row (n rows, B observed bins)
@@ -98,7 +117,7 @@ def psi_drift(
         .groupBy("_grp", "_ng")
         .agg(F.sum("_t").alias("_psi_i"))
         .select(
-            F.col("_grp").alias(group_col),
+            F.col("_grp").alias("grp"),
             F.col("_ng").alias("n_rows"),
             (F.col("_psi_i").cast("double") / F.lit(1e9)).alias("psi"),
         )

@@ -182,12 +182,17 @@ def retrieval_metrics(
     )
 
 
-def _rounded_cosine(a: Column, b: Column, dp: int = 6) -> Column:
-    """Cosine rounded for cross-engine argmax stability: MMR compares
-    scores across engines, so every similarity is pinned to 6 dp
-    before any comparison (1-ulp libm drift can't flip an argmax
-    unless the true value sits exactly on a rounding boundary)."""
-    return F.round(cosine(a, b), dp)
+def _cos6i(a: Column, b: Column) -> Column:
+    """Cosine as an exact scaled integer (×1e6) for cross-engine
+    argmax stability: MMR compares DERIVED scores across engines, so
+    similarities are pinned to 6-dp integers once, and every score
+    after that is exact BIGINT arithmetic — no rounding of computed
+    values anywhere. (Rounding the λ-combination instead was measurably
+    unsafe: 0.7·x − 0.3·y of two 6-dp values lands EXACTLY on the
+    7th-decimal rounding boundary for ~10% of inputs, where engines'
+    half-up/half-even conventions diverge — caught by the
+    test_mmr_matches_python_greedy fuzz.)"""
+    return F.round(cosine(a, b) * F.lit(1e6)).cast("long")
 
 
 def mmr_rerank(
@@ -220,9 +225,11 @@ def mmr_rerank(
     Returns ``(query_id, step, vec_id, relevance, mmr_score)`` —
     ``step`` is the 1-based selection order; ``mmr_score`` of step 1
     is its plain relevance (nothing selected yet to be redundant
-    with). Determinism: every similarity is rounded to 6 dp before
-    comparison and ties break by id ascending, so the greedy path is
-    engine- and partitioning-independent.
+    with). Determinism: similarities are pinned to 6-dp INTEGERS once
+    and every derived score is exact ``λ_i·simq_i − (1e6−λ_i)·max_i``
+    BIGINT arithmetic (ties break by id ascending), so the greedy
+    path is engine- and partitioning-independent with NO rounding of
+    computed scores — see ``_cos6i``.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -233,7 +240,7 @@ def mmr_rerank(
     scored = (
         corp.join(F.broadcast(q), how="cross")
         .filter(F.col("_cid") != F.col("query_id"))
-        .withColumn("_simq", _rounded_cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("_simq", _cos6i(F.col("_qv"), F.col("_cv")))
         .filter(F.col("_simq").isNotNull())
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))
@@ -261,12 +268,12 @@ def mmr_rerank(
             "query_id",
         )
         .filter(F.col("_a") != F.col("_b"))
-        .withColumn("_sim", _rounded_cosine(F.col("_av"), F.col("_bv")))
+        .withColumn("_sim", _cos6i(F.col("_av"), F.col("_bv")))
         .select("query_id", "_a", "_b", "_sim")
         .localCheckpoint(eager=True)  # reused by every greedy step
     )
     cand = cand.drop("_cv")
-    lam = float(lam)
+    lam_i = int(round(float(lam) * 1e6))
     # step 1: pure relevance argmax
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))
     selected = (
@@ -276,8 +283,8 @@ def mmr_rerank(
             "query_id",
             F.lit(1).alias("step"),
             F.col("_cid").alias("_sel"),
-            F.col("_simq").alias("relevance"),
-            F.col("_simq").alias("mmr_score"),
+            (F.col("_simq").cast("double") / F.lit(1e6)).alias("relevance"),
+            (F.col("_simq").cast("double") / F.lit(1e6)).alias("mmr_score"),
         )
         # each step's pick is checkpointed eagerly: step s references
         # the selected-so-far set TWICE (anti-join + redundancy join)
@@ -304,13 +311,12 @@ def mmr_rerank(
             )
             .groupBy("query_id", "_cid", "_simq")
             .agg(F.max("_sim").alias("_maxsim"))
+            # exact BIGINT score: |simq_i| ≤ 1e6, so the products are
+            # ≤ 1e12 — no overflow, no float, no rounding boundary
             .withColumn(
                 "_score",
-                F.round(
-                    F.lit(lam) * F.col("_simq")
-                    - F.lit(1.0 - lam) * F.col("_maxsim"),
-                    6,
-                ),
+                F.lit(lam_i) * F.col("_simq")
+                - F.lit(1_000_000 - lam_i) * F.col("_maxsim"),
             )
         )
         ws = Window.partitionBy("query_id").orderBy(
@@ -323,8 +329,12 @@ def mmr_rerank(
                 "query_id",
                 F.lit(s).alias("step"),
                 F.col("_cid").alias("_sel"),
-                F.col("_simq").alias("relevance"),
-                F.col("_score").alias("mmr_score"),
+                (F.col("_simq").cast("double") / F.lit(1e6)).alias(
+                    "relevance"
+                ),
+                (F.col("_score").cast("double") / F.lit(1e12)).alias(
+                    "mmr_score"
+                ),
             )
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=True)

@@ -1076,3 +1076,55 @@ def l2_topk(
             (F.col("_d").cast("double") / F.lit(1e9)).alias("d2"),
         )
     )
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Embedding-space decontamination: for each probe (an eval-set
+    item), the nearest corpus vector by cosine and whether it clears
+    ``threshold`` — the semantic companion to n-gram decontamination
+    (paraphrased eval leakage that shares no 5-gram still lands next
+    to its source in embedding space; see the decontamination
+    discussions in GPT-3 §4 / SemDeDup).
+
+    Returns ``(probe_id, nearest_id, max_cos, contaminated)`` — one
+    row per probe with a non-degenerate nearest (zero-norm pairs rank
+    nowhere), argmax ties broken by corpus id ascending, ``max_cos``
+    rounded to 6 dp for the cross-engine hash (ordering uses the
+    unrounded value, the ann_cosine_topk convention).
+
+    Scale shape: eval sets are tiny and corpora are huge, so the PROBE
+    side broadcasts and the corpus is scanned exactly once — the same
+    plan at 100 TB, no shuffle of corpus vectors (the per-probe argmax
+    reduces map-side through the ranking window's partial sort). For
+    recall-traded acceleration swap the scan for the IVF/LSH-bucketed
+    candidate generation (`ivf_topk`/`lsh_topk`) — same decision
+    schema."""
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(p), how="cross")
+        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        .filter(F.col("_cos").isNotNull())
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "probe_id",
+            F.col("_cid").alias("nearest_id"),
+            F.round("_cos", 6).alias("max_cos"),
+            (F.col("_cos") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )

@@ -1070,3 +1070,52 @@ def bm25_hard_negatives(
             "jaccard_with_pos",
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap gibberish/binary-in-text detector: natural language sits
+    in a narrow entropy band (~3.5-4.5 bits/char for English), while
+    base64 blobs, minified code, and key-mash noise land far above it
+    and single-character runs far below. A standard early quality
+    gate alongside the rule scores in ``quality_score``.
+
+    ``H = −Σ_c (n_c/N)·log2(n_c/N)`` over the document's exact char
+    counts. Returns ``(id, n_chars, entropy)``; documents with empty
+    text produce no row (no distribution to measure) — both engines
+    agree because the index sequence is empty.
+
+    Engine portability: characters are enumerated by position
+    (``SUBSTRING(text, i, 1)`` over a generated 1..N sequence —
+    identical 1-indexed semantics in Spark and DuckDB, no split-regex
+    edge cases), and each char class's ``−p·log2(p)`` term is rounded
+    to 9 dp and summed as a scaled BIGINT. Scale: one (doc, char)
+    hash aggregate and one doc aggregate — shuffles keyed by id, rows
+    ∝ corpus chars; no UDF, fully codegen."""
+    d = df.select(
+        F.col(id_col).alias("_doc"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= 1)
+    chars = d.select(
+        "_doc",
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_i"),
+        "_t",
+    ).select("_doc", F.expr("SUBSTRING(_t, _i, 1)").alias("_c"))
+    counts = chars.groupBy("_doc", "_c").agg(F.count("*").alias("_nc"))
+    totals = counts.groupBy("_doc").agg(F.sum("_nc").alias("_n"))
+    term = (
+        "CAST(ROUND(-(CAST(_nc AS DOUBLE) / CAST(_n AS DOUBLE))"
+        " * LOG2(CAST(_nc AS DOUBLE) / CAST(_n AS DOUBLE)) * 1e9) AS BIGINT)"
+    )
+    return (
+        counts.join(totals, "_doc")
+        .withColumn("_term", F.expr(term))
+        .groupBy("_doc", "_n")
+        .agg(F.sum("_term").alias("_h_i"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_n").alias("n_chars"),
+            (F.col("_h_i").cast("double") / F.lit(1e9)).alias("entropy"),
+        )
+    )

@@ -3271,6 +3271,8 @@ _CHECK_FIRST = [
     "mmr_rerank_topk",
     "nfd_bin_packing",
     "source_drift_psi",
+    "char_entropy_scores",
+    "embedding_decontamination",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3294,17 +3296,16 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 6 alphabetically — the
+    # -- 3. stalest r3-green re-checks (first 4 alphabetically — the
     #       other slots went to late round-5 registrants: the
     #       cluster-curation queries, then the retrieval/packing/drift
-    #       batch. New never-driver-checked queries always outrank
-    #       re-checks of already-driver-proven entries.)
+    #       batch, then entropy/embedding-decontamination. New
+    #       never-driver-checked queries always outrank re-checks of
+    #       already-driver-proven entries.)
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
     "cdc_latest_state",
-    "click_purchase_funnel",
-    "click_purchase_funnel_native",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -1405,13 +1405,17 @@ _MMR_LAM, _MMR_KC, _MMR_KS = 0.7, 15, 5
 
 def _oracle_mmr() -> str:
     """Greedy MMR replay: the selection loop unrolled into one plain
-    CTE per step (no recursion — window argmax per step), every
-    similarity rounded to 6 dp before comparison exactly like the
-    Spark operator, the λ/(1−λ) literals repr-injected so both engines
-    see bit-identical doubles."""
+    CTE per step (no recursion — window argmax per step). Similarities
+    pin to 6-dp INTEGERS once; every derived score is exact
+    ``λ_i·simq_i − (1e6−λ_i)·maxsim_i`` BIGINT arithmetic, mirroring
+    operators/retrieval.py:_cos6i — rounding a λ-combination of 6-dp
+    doubles instead lands EXACTLY on the 7th-decimal boundary for
+    ~10% of inputs, where engine rounding conventions diverge (caught
+    by the test_mmr_matches_python_greedy fuzz)."""
     from .driver_queries import cos_sql
 
-    lam, one_m = _MMR_LAM, 1.0 - _MMR_LAM
+    lam_i = int(round(_MMR_LAM * 1e6))
+    one_m_i = 1_000_000 - lam_i
     parts = [
         f"""
 WITH q AS (
@@ -1420,7 +1424,8 @@ WITH q AS (
 ),
 sc AS (
     SELECT q.query_id, e.vec_id AS cid,
-           ROUND({cos_sql('q.qv', 'e.embedding')}, 6) AS simq
+           CAST(ROUND({cos_sql('q.qv', 'e.embedding')} * 1e6) AS BIGINT)
+               AS simq
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> q.query_id
 ),
@@ -1439,11 +1444,13 @@ cv AS (
 ),
 pair AS (
     SELECT a.query_id, a.cid AS pa, b.cid AS pb,
-           ROUND({cos_sql('a.v', 'b.v')}, 6) AS sim
+           CAST(ROUND({cos_sql('a.v', 'b.v')} * 1e6) AS BIGINT) AS sim
     FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.cid <> b.cid
 ),
 sel1 AS (
-    SELECT query_id, cid, 1 AS step, simq AS relevance, simq AS mmr_score
+    SELECT query_id, cid, 1 AS step,
+           CAST(simq AS DOUBLE) / 1e6 AS relevance,
+           CAST(simq AS DOUBLE) / 1e6 AS mmr_score
     FROM (
         SELECT query_id, cid, simq,
                ROW_NUMBER() OVER (
@@ -1455,7 +1462,7 @@ sel1 AS (
 selected1 AS (SELECT query_id, cid FROM sel1)"""
     ]
     for s in range(2, _MMR_KS + 1):
-        score = f"ROUND({lam!r} * simq - {one_m!r} * maxsim, 6)"
+        score = f"({lam_i} * simq - {one_m_i} * maxsim)"
         parts.append(
             f""",
 scored{s} AS (
@@ -1470,8 +1477,9 @@ scored{s} AS (
     GROUP BY 1, 2, 3
 ),
 sel{s} AS (
-    SELECT query_id, cid, {s} AS step, simq AS relevance,
-           {score} AS mmr_score
+    SELECT query_id, cid, {s} AS step,
+           CAST(simq AS DOUBLE) / 1e6 AS relevance,
+           CAST({score} AS DOUBLE) / 1e12 AS mmr_score
     FROM (
         SELECT query_id, cid, simq, maxsim,
                ROW_NUMBER() OVER (
@@ -1606,3 +1614,94 @@ def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bin_col = F.expr("LEAST(CAST(n_chars DIV 64 AS INT), 8)")
     return psi_drift(docs, "source", bin_col, smoothing=1.0)
+
+
+_ORACLE_ENTROPY = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 1),
+chars AS (
+    SELECT doc_id, SUBSTRING(text, CAST(i AS INTEGER), 1) AS c
+    FROM d, UNNEST(RANGE(1, LEN(text) + 1)) AS r(i)
+),
+counts AS (SELECT doc_id, c, COUNT(*) AS nc FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n FROM counts GROUP BY 1)
+SELECT doc_id, n AS n_chars,
+       CAST(CAST(SUM(CAST(ROUND(
+           -(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+           * LOG2(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS DOUBLE) / 1e9 AS entropy
+FROM counts JOIN tot USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@q("char_entropy_scores", _ORACLE_ENTROPY)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/text.py:char_entropy) — the cheap gibberish/binary
+    detector. Characters enumerate by position (identical 1-indexed
+    SUBSTRING semantics in both engines); each −p·log2(p) term sums
+    as a scaled BIGINT."""
+    from ..operators.text import char_entropy
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+_DECON_TAU = 0.4
+
+
+def _oracle_embdecon() -> str:
+    """Cross-split embedding decontamination replay: md5 hash split on
+    vec_id, brute-force nearest-train cosine per test probe, flag from
+    the UNROUNDED cosine (max_cos rounds only for the hash)."""
+    from .driver_queries import cos_sql
+
+    b = _md5_bucket_sql("vec_id")
+    return f"""
+WITH lab AS (SELECT vec_id, embedding, {b} AS bkt FROM embeddings),
+tr AS (SELECT vec_id AS cid, embedding AS cv FROM lab WHERE bkt < 204),
+te AS (SELECT vec_id AS probe_id, embedding AS pv FROM lab WHERE bkt >= 230),
+sc AS (
+    SELECT te.probe_id, tr.cid, {cos_sql('te.pv', 'tr.cv')} AS cos
+    FROM tr CROSS JOIN te
+)
+SELECT probe_id, nearest_id, max_cos, contaminated FROM (
+    SELECT probe_id, cid AS nearest_id, ROUND(cos, 6) AS max_cos,
+           cos >= {_DECON_TAU!r} AS contaminated,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, cid ASC
+           ) AS rn
+    FROM sc
+) WHERE rn = 1
+"""
+
+
+@q("embedding_decontamination", _oracle_embdecon())
+def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination over the engine's own hash
+    split (operators/similarity.py:embedding_decontamination): each
+    test-split probe's nearest train-split vector by cosine, flagged
+    at τ=0.4 — the semantic companion to ngram_decontamination
+    (paraphrased leakage shares no 5-gram but stays close in embedding
+    space). The probe side broadcasts; the corpus scans once."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.similarity import embedding_decontamination
+
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = hash_bucket("vec_id")
+    # testdata parquet is ONE row group → one scan partition; the
+    # probe×corpus cosine work is CPU-bound (HOF aggregates don't
+    # codegen), so spread the corpus side first (22.6 → 1.0 s at
+    # sf0.1). Real corpora split at maxPartitionBytes on their own.
+    train = emb.filter(b < 204).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return embedding_decontamination(
+        train,
+        emb.filter(b >= 230).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        ),
+        threshold=_DECON_TAU,
+    )

@@ -679,3 +679,64 @@ def test_bigram_logprob_closed_form(spark):
     assert 3 not in out  # <2 tokens → no transitions to score
     # fluent order must beat the same bag of words scrambled
     assert out[1].avg_logprob > out[2].avg_logprob
+
+
+def test_char_entropy_hand_computed(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aabb"),   # two classes, p=0.5 each -> H = 1.0
+            (2, "abcd"),   # uniform over 4 -> H = 2.0
+            (3, "aaaa"),   # single class -> H = 0.0
+            (4, ""),       # empty -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_chars == 4 and abs(got[1].entropy - 1.0) < 1e-9
+    assert abs(got[2].entropy - 2.0) < 1e-9
+    assert got[3].entropy == 0.0
+    # natural text sits between the degenerate run and uniform noise
+    mixed = spark.createDataFrame(
+        [(9, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    h = char_entropy(mixed).collect()[0].entropy
+    assert 0.0 < h < 4.0
+
+
+def test_embedding_decontamination_nearest_and_flag(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.7071, 0.7071]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, [0.99, 0.01]),   # nearest corpus 1, cos ~1 -> flagged
+            (101, [-1.0, -1.0]),   # nearest is the least-negative: ties
+            (102, [0.0, 0.0]),     # zero-norm -> no row
+        ],
+        "probe_id long, embedding array<double>",
+    )
+    got = {
+        r.probe_id: r
+        for r in embedding_decontamination(
+            corpus, probes, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {100, 101}
+    assert got[100].nearest_id == 1 and got[100].contaminated
+    # probe 101 is anti-parallel to 3 and equally negative to 1 and 2
+    # (cos = -0.7071 each): argmax ties break by corpus id ascending
+    assert got[101].nearest_id == 1 and not got[101].contaminated

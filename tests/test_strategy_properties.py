@@ -254,3 +254,147 @@ def test_temperature_sample_partition_invariant(spark, rows):
         ).collect()
     }
     assert one == many
+
+
+@st.composite
+def _packing_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        stratum = draw(st.sampled_from(["s0", "s1", "s2"]))
+        k = draw(st.integers(min_value=0, max_value=30))
+        rows.append((i, stratum, " ".join("w" for _ in range(k))))
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_packing_corpus(), budget=st.integers(min_value=1, max_value=20))
+def test_nfd_packing_matches_python_reference(spark, rows, budget):
+    """pack_bins_nfd (sorted-partition pandas recurrence kernel) must
+    equal a plain sequential Python reference on any corpus, any
+    budget — including zero-token docs and over-budget docs."""
+    from music_streaming_data_pipeline_v2_spark.operators.packing import (
+        pack_bins_nfd,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.stratum, r.doc_id): (r.n_tokens, r.bin_id, r.bin_fill)
+        for r in pack_bins_nfd(df, budget=budget).collect()
+    }
+
+    # reference: per stratum, sort by (n_tokens desc, id), next-fit scan
+    want = {}
+    by_stratum: dict = {}
+    for i, stratum, text in rows:
+        n = len([t for t in text.split() if t])
+        by_stratum.setdefault(stratum, []).append((n, i))
+    for stratum, docs in by_stratum.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        b, fill = 0, 0
+        for n, i in docs:
+            if fill > 0 and fill + n > budget:
+                b, fill = b + 1, 0
+            fill += n
+            want[(stratum, i)] = (n, b, fill)
+    assert got == want
+
+
+@st.composite
+def _mmr_instance(draw):
+    n = draw(st.integers(min_value=3, max_value=12))
+    dims = 4
+    vecs = []
+    for i in range(n):
+        v = [
+            draw(
+                st.integers(min_value=-4, max_value=4)
+            )  # integer grid → exact doubles, no parse drift
+            for _ in range(dims)
+        ]
+        if all(x == 0 for x in v):
+            v[0] = 1
+        vecs.append((i, [float(x) for x in v]))
+    return vecs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_mmr_instance())
+def test_mmr_matches_python_greedy(spark, vecs):
+    """mmr_rerank (unrolled static DataFrame plan) must follow the
+    exact greedy path of a sequential Python reference: similarities
+    pinned to 6-dp integers once, every derived score exact BIGINT
+    λ-arithmetic, id tie-breaks. (The first version of this fuzz
+    caught a real hazard: rounding the λ-combination of two 6-dp
+    DOUBLES lands exactly on the 7th-decimal boundary for ~10% of
+    inputs, where half-up vs half-even conventions diverge — the
+    operator now never rounds a computed score.)"""
+    import math
+
+    from music_streaming_data_pipeline_v2_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    lam, kc, ks = 0.7, 5, 3
+    lam_i, one_m_i = 700000, 300000
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.step, r.vec_id, r.mmr_score)
+        for r in mmr_rerank(
+            emb, q, k_candidates=kc, k_select=ks, lam=lam
+        ).collect()
+    ]
+    got.sort()
+
+    # Python reference mirroring the operator's integer arithmetic
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return None if na * nb == 0 else d / (na * nb)
+
+    def c6i(x):  # half-away-from-zero at 6 dp, as a plain int
+        v = x * 1e6
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    byid = dict(vecs)
+    qv = byid[0]
+    simq = {}
+    for i, v in vecs:
+        if i == 0:
+            continue
+        c = cos(qv, v)
+        if c is not None:
+            simq[i] = c6i(c)
+    cand = sorted(simq, key=lambda i: (-simq[i], i))[:kc]
+    want = []
+    selected = []
+    for step in range(1, ks + 1):
+        best = None  # (id, score_i or None, reported)
+        for i in cand:
+            if i in selected:
+                continue
+            if step == 1:
+                key, rep = simq[i], simq[i] / 1e6
+            else:
+                maxsim = max(c6i(cos(byid[i], byid[s])) for s in selected)
+                key = lam_i * simq[i] - one_m_i * maxsim
+                rep = key / 1e12
+            if best is None or (-key, i) < (-best[1], best[0]):
+                best = (i, key, rep)
+        if best is None:
+            break
+        selected.append(best[0])
+        want.append((step, best[0], best[2]))
+    assert got == want
