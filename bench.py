@@ -98,6 +98,8 @@ HEADLINE = [
     "source_drift_psi",
     "char_entropy_scores",
     "embedding_decontamination",
+    "textrank_keywords",
+    "nb_domain_routing",
 ]
 
 

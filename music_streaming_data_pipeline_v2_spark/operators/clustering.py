@@ -370,3 +370,72 @@ def cluster_representatives(
             (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank (Page et al. 1999) in EXACT scaled-integer
+    arithmetic: ranks are BIGINTs out of ``scale``, every transfer is
+    ``(rank·w) DIV out_weight`` and the damping mix is
+    ``((100−d)·(scale DIV N)) DIV 100 + (d·Σin) DIV 100`` — all
+    integer operations on positive values, so any engine and any
+    partitioning produces bit-identical ranks (the float formulation
+    would drift per-iteration across aggregation orders; see the MMR
+    rounding lesson in operators/retrieval.py:_cos6i). The truncation
+    mass lost to integer division is deterministic and identical
+    everywhere — this computes a *defined integer recurrence*, not an
+    approximation of the real-valued one.
+
+    ``iterations`` is a small fixed constant, so the power iteration
+    unrolls into a static DataFrame plan — one edge-keyed join + one
+    dst-keyed aggregate per round, the textbook distributed PageRank
+    shape. Nodes are the edge endpoints (for an undirected graph every
+    node has out-edges, so no dangling-mass term). Returns
+    ``(node, rank_i)`` with ``rank_i`` the scaled BIGINT rank.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_wsum"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    stats = nodes.groupBy().agg(F.count("*").alias("_n"))
+    d, scale = int(damping_pct), int(scale)
+    base = f"(({100 - d} * ({scale} DIV _n)) DIV 100)"
+    p = nodes.crossJoin(F.broadcast(stats)).select(
+        "node", F.expr(f"{scale} DIV _n").alias("_r")
+    )
+    for _ in range(int(iterations)):
+        inc = (
+            e.join(p.withColumnRenamed("node", "_src"), "_src")
+            .join(outw, "_src")
+            .select("_dst", F.expr("(_r * _w) DIV _wsum").alias("_t"))
+            .groupBy("_dst")
+            .agg(F.sum("_t").alias("_s"))
+        )
+        p = (
+            nodes.crossJoin(F.broadcast(stats))
+            .join(inc.withColumnRenamed("_dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base} + ({d} * COALESCE(_s, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("_r"),
+            )
+        )
+    return p.select("node", F.col("_r").alias("rank_i"))

@@ -1119,3 +1119,153 @@ def char_entropy(
             (F.col("_h_i").cast("double") / F.lit(1e9)).alias("entropy"),
         )
     )
+
+
+def textrank_keywords(
+    corpus: DataFrame,
+    k: int = 30,
+    iterations: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the corpus-level word co-occurrence graph —
+    nodes are lowercased tokens, undirected edges weighted by
+    adjacent-pair counts (the map-only zip-slice bigram extraction,
+    no window shuffle), self-loops dropped. Centrality in that graph
+    is the classic unsupervised keyword signal.
+
+    Returns the top-``k`` ``(pos, keyword, rank_i)`` by final rank
+    (ties by keyword ascending); ``rank_i`` is the exact scaled-BIGINT
+    rank from ``pagerank_scaled`` — integer end-to-end, so the oracle
+    compares ranks exactly, no float tolerance anywhere. Scale: edges
+    are vocabulary²-bounded (in practice ∝ distinct bigrams); each
+    iteration is one edge join + one aggregate; the final top-k ranks
+    a vocabulary-sized relation, never the corpus."""
+    from pyspark.sql import Window
+
+    from .clustering import pagerank_scaled
+
+    bg = _bigram_pairs(corpus, [], text_col).filter(
+        F.col("prev") != F.col("cur")
+    )
+    und = bg.select(
+        F.col("prev").alias("src"), F.col("cur").alias("dst")
+    ).unionAll(bg.select(F.col("cur").alias("src"), F.col("prev").alias("dst")))
+    e = und.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
+    ranks = pagerank_scaled(e, iterations=iterations, weight_col="w")
+    win = Window.orderBy(F.desc("rank_i"), F.asc("node"))
+    return (
+        ranks.withColumn("pos", F.row_number().over(win).cast("int"))
+        .filter(F.col("pos") <= k)
+        .select("pos", F.col("node").alias("keyword"), "rank_i")
+    )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multiclass Naive Bayes domain classification — the
+    routing/tagging stage of a curation pipeline (assign each incoming
+    document to a domain before domain-aware mixing): train a
+    bag-of-words NB model on labeled documents, predict the class of
+    each test document. NB training IS aggregation (closed-form
+    counts — no gradient loop), which is what makes this exactly
+    replayable by a SQL oracle.
+
+    Model: add-one smoothing; ``score(d, c) = ln P(c)
+    + Σ_t ln((cnt(c,t)+1)/(T_c+V))``, V the train vocabulary size.
+    Decomposed for sparsity as ``prior(c) + n_tok(d)·floor(c)
+    + Σ_{t∈d, cnt(c,t)>0} Δ(c,t)`` with ``floor(c) = ln(1/(T_c+V))``
+    and ``Δ(c,t) = ln(cnt(c,t)+1)`` — the unseen-token floor factors
+    out, so the token join touches only the SPARSE (class, token)
+    relation. Each component rounds to a 9-dp scaled BIGINT once and
+    the score is exact integer arithmetic after that (the defined
+    recurrence both engines replay identically).
+
+    Returns ``(id, predicted, n_tokens, score)`` — the argmax class
+    per test document, ties by class ascending; zero-token documents
+    fall back to the prior argmax. Scale: the model is a
+    vocabulary×classes aggregate over the LABELED split only
+    (broadcast when it fits); scoring is one token-keyed join + one
+    (doc, class) aggregate; classes are a small broadcast."""
+    from pyspark.sql import Window
+
+    tr_tok = train.select(
+        F.col(class_col).alias("_cls"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    lm = tr_tok.groupBy("_cls", "token").agg(F.count("*").alias("_cnt"))
+    vocab = lm.select("token").distinct().groupBy().agg(
+        F.count("*").alias("_v")
+    )
+    cls = (
+        lm.groupBy("_cls")
+        .agg(F.sum("_cnt").alias("_tc"))
+        .join(
+            train.groupBy(F.col(class_col).alias("_cls")).agg(
+                F.count("*").alias("_nd")
+            ),
+            "_cls",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(
+            F.broadcast(
+                train.groupBy().agg(F.count("*").alias("_ndall"))
+            )
+        )
+        .select(
+            "_cls",
+            F.expr(
+                "CAST(ROUND(LN(CAST(_nd AS DOUBLE) / CAST(_ndall AS DOUBLE))"
+                " * 1e9) AS BIGINT)"
+            ).alias("_prior_i"),
+            F.expr(
+                "CAST(ROUND(LN(1.0 / (CAST(_tc AS DOUBLE)"
+                " + CAST(_v AS DOUBLE))) * 1e9) AS BIGINT)"
+            ).alias("_floor_i"),
+        )
+    )
+    delta = lm.select(
+        "_cls",
+        "token",
+        F.expr(
+            "CAST(ROUND(LN(CAST(_cnt AS DOUBLE) + 1.0) * 1e9) AS BIGINT)"
+        ).alias("_delta_i"),
+    )
+    te = test.select(
+        F.col(id_col).alias("_doc"),
+        F.transform(tokens(text_col), F.lower).alias("_t"),
+    ).withColumn("_ntok", F.size("_t"))
+    te_tok = te.select("_doc", F.explode("_t").alias("token"))
+    sdelta = (
+        te_tok.join(delta, "token")
+        .groupBy("_doc", "_cls")
+        .agg(F.sum("_delta_i").alias("_sd"))
+    )
+    scored = (
+        te.select("_doc", "_ntok")
+        .crossJoin(F.broadcast(cls))
+        .join(sdelta, ["_doc", "_cls"], "left")
+        .withColumn(
+            "_score_i",
+            F.expr(
+                "_prior_i + CAST(_ntok AS BIGINT) * _floor_i"
+                " + COALESCE(_sd, CAST(0 AS BIGINT))"
+            ),
+        )
+    )
+    win = Window.partitionBy("_doc").orderBy(F.desc("_score_i"), F.asc("_cls"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_cls").alias("predicted"),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            (F.col("_score_i").cast("double") / F.lit(1e9)).alias("score"),
+        )
+    )

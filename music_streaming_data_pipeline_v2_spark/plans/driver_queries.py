@@ -3273,6 +3273,8 @@ _CHECK_FIRST = [
     "source_drift_psi",
     "char_entropy_scores",
     "embedding_decontamination",
+    "textrank_keywords",
+    "nb_domain_routing",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3296,16 +3298,15 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 4 alphabetically — the
+    # -- 3. stalest r3-green re-checks (first 2 alphabetically — the
     #       other slots went to late round-5 registrants: the
-    #       cluster-curation queries, then the retrieval/packing/drift
-    #       batch, then entropy/embedding-decontamination. New
-    #       never-driver-checked queries always outrank re-checks of
-    #       already-driver-proven entries.)
+    #       cluster-curation queries, the retrieval/packing/drift
+    #       batch, entropy/embedding-decontamination, then
+    #       textrank/NB-routing. New never-driver-checked queries
+    #       always outrank re-checks of already-driver-proven
+    #       entries.)
     "bi_nation_volume",
     "bigram_collocations",
-    "brand_basket_pairs",
-    "cdc_latest_state",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -1705,3 +1705,171 @@ def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         threshold=_DECON_TAU,
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (integer PageRank) + Naive Bayes domain routing
+# ---------------------------------------------------------------------------
+
+_TR_SCALE, _TR_K, _TR_ITERS = 10**12, 30, 3
+
+
+def _oracle_textrank() -> str:
+    """TextRank replay: the zip-slice bigram graph, then the power
+    iteration unrolled one CTE per round in the SAME scaled-integer
+    arithmetic as operators/clustering.py:pagerank_scaled — ranks are
+    BIGINTs, so the oracle compares exactly, no float tolerance."""
+    parts = [
+        rf"""
+WITH tk AS (
+    SELECT LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                          t -> LOWER(t)) AS w
+    FROM documents
+),
+bg AS (
+    SELECT w[i] AS prev, w[i + 1] AS cur
+    FROM tk, UNNEST(RANGE(1, LEN(w))) AS r(i)
+    WHERE LEN(w) >= 2
+),
+e AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT prev AS src, cur AS dst FROM bg WHERE prev <> cur
+        UNION ALL
+        SELECT cur AS src, prev AS dst FROM bg WHERE prev <> cur
+    ) GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+p0 AS (
+    SELECT node, CAST({_TR_SCALE} // n AS BIGINT) AS r
+    FROM nodes CROSS JOIN st
+)"""
+    ]
+    for it in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+inc{it} AS (
+    SELECT e.dst AS node, CAST(SUM((p.r * e.w) // o.wsum) AS BIGINT) AS s
+    FROM e JOIN p{it - 1} p ON p.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1
+),
+p{it} AS (
+    SELECT nodes.node,
+           CAST((15 * ({_TR_SCALE} // n)) // 100
+                + (85 * COALESCE(inc{it}.s, 0)) // 100 AS BIGINT) AS r
+    FROM nodes CROSS JOIN st
+    LEFT JOIN inc{it} ON inc{it}.node = nodes.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT pos, keyword, rank_i FROM (
+    SELECT node AS keyword, r AS rank_i,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS INTEGER)
+               AS pos
+    FROM p{_TR_ITERS}
+) WHERE pos <= {_TR_K}"""
+    )
+    return "".join(parts)
+
+
+@q("textrank_keywords", _oracle_textrank())
+def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords (operators/text.py:
+    textrank_keywords): weighted PageRank over the adjacent-token
+    co-occurrence graph, three power iterations in exact
+    scaled-integer arithmetic — bit-identical ranks on any engine and
+    any partitioning, the oracle replays the integer recurrence CTE
+    per round."""
+    from ..operators.text import textrank_keywords
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(docs, k=_TR_K, iterations=_TR_ITERS)
+
+
+def _oracle_nb() -> str:
+    """NB domain-routing replay: closed-form training aggregates on
+    the train split, the sparse prior/floor/Δ decomposition, exact
+    integer score assembly, per-doc argmax with class tie-break."""
+    return rf"""
+WITH b AS (SELECT doc_id, text, source, {_BUCKET} AS bkt FROM documents),
+trt AS (
+    SELECT source AS cls, LOWER(t.tok) AS token
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt < 204
+),
+lm AS (SELECT cls, token, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
+voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM lm),
+nd AS (SELECT source AS cls, COUNT(*) AS ndc FROM b WHERE bkt < 204 GROUP BY 1),
+ndall AS (SELECT COUNT(*) AS nall FROM b WHERE bkt < 204),
+cls AS (
+    SELECT lmc.cls,
+           CAST(ROUND(LN(CAST(ndc AS DOUBLE) / CAST(nall AS DOUBLE)) * 1e9)
+               AS BIGINT) AS prior_i,
+           CAST(ROUND(LN(1.0 / (CAST(tc AS DOUBLE) + CAST(v AS DOUBLE)))
+               * 1e9) AS BIGINT) AS floor_i
+    FROM (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tc FROM lm GROUP BY 1) lmc
+    JOIN nd ON nd.cls = lmc.cls
+    CROSS JOIN voc CROSS JOIN ndall
+),
+delta AS (
+    SELECT cls, token,
+           CAST(ROUND(LN(CAST(cnt AS DOUBLE) + 1.0) * 1e9) AS BIGINT) AS d
+    FROM lm
+),
+te AS (
+    SELECT doc_id, source AS actual,
+           LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                          t -> LOWER(t)) AS w
+    FROM b WHERE bkt >= 230
+),
+ten AS (SELECT doc_id, actual, CAST(LEN(w) AS BIGINT) AS ntok FROM te),
+tetok AS (SELECT doc_id, UNNEST(w) AS token FROM te),
+sd AS (
+    SELECT t.doc_id, d.cls, CAST(SUM(d.d) AS BIGINT) AS sdv
+    FROM tetok t JOIN delta d USING (token) GROUP BY 1, 2
+),
+scored AS (
+    SELECT ten.doc_id, ten.actual, ten.ntok, c.cls,
+           c.prior_i + ten.ntok * c.floor_i + COALESCE(sd.sdv, 0) AS score_i
+    FROM ten CROSS JOIN cls c
+    LEFT JOIN sd ON sd.doc_id = ten.doc_id AND sd.cls = c.cls
+)
+SELECT doc_id, predicted, actual, is_correct, n_tokens, score FROM (
+    SELECT doc_id, cls AS predicted, actual, (cls = actual) AS is_correct,
+           ntok AS n_tokens, CAST(score_i AS DOUBLE) / 1e9 AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_i DESC, cls ASC
+           ) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
+@q("nb_domain_routing", _oracle_nb())
+def nb_domain_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes domain routing over the engine's own hash split
+    (operators/text.py:nb_classify): a bag-of-words NB model trained
+    on the train split's source labels classifies each test-split
+    document — the domain-tagging stage before domain-aware mixing.
+    Training is closed-form aggregation; scores assemble as exact
+    scaled BIGINTs via the sparse prior/floor/Δ decomposition."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import nb_classify
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    out = nb_classify(docs.filter(b < 204), docs.filter(b >= 230))
+    actual = docs.select("doc_id", F.col("source").alias("actual"))
+    return out.join(actual, "doc_id").select(
+        "doc_id",
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("is_correct"),
+        "n_tokens",
+        "score",
+    )

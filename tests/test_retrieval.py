@@ -207,3 +207,97 @@ def test_psi_all_groups_same_distribution_is_tiny(spark):
     for r in psi_drift(df, "grp", "bin").collect():
         assert abs(r.psi) < 1e-3
         assert r.n_rows == 100
+
+
+def test_pagerank_scaled_matches_python_reference(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        pagerank_scaled,
+    )
+
+    # star graph with a weighted triangle hanging off one spoke
+    edge_list = [
+        ("hub", "a", 1), ("a", "hub", 1),
+        ("hub", "b", 1), ("b", "hub", 1),
+        ("hub", "c", 1), ("c", "hub", 1),
+        ("b", "c", 3), ("c", "b", 3),
+    ]
+    e = spark.createDataFrame(edge_list, "src string, dst string, w long")
+    got = {
+        r.node: r.rank_i
+        for r in pagerank_scaled(e, iterations=3, weight_col="w").collect()
+    }
+
+    SCALE = 10**12
+    nodes = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+    outw = {}
+    for s, _, w in edge_list:
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    p = {v: SCALE // n for v in nodes}
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for s, d, w in edge_list:
+            inc[d] += (p[s] * w) // outw[s]
+        p = {
+            v: (15 * (SCALE // n)) // 100 + (85 * inc[v]) // 100
+            for v in nodes
+        }
+    assert got == p
+    # the singly-linked spoke ranks below the hub; the mutually
+    # reinforcing weight-3 pair (b, c) legitimately out-ranks both
+    assert got["a"] < got["hub"]
+    assert got["b"] == got["c"]  # symmetric nodes, exact equality
+
+
+def test_textrank_hub_token_ranks_first(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins data"),
+            (2, "spark windows data"),
+            (3, "spark streams data"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, k=10).collect()
+    ranks = {r.keyword: r.rank_i for r in out}
+    # 'spark' and 'data' are the co-occurrence hubs of their
+    # component: each middle word splits its rank equally to both, so
+    # they tie exactly and both out-rank every middle
+    assert ranks["spark"] == ranks["data"]
+    for mid in ("joins", "windows", "streams"):
+        assert ranks[mid] < ranks["spark"]
+    assert [r.pos for r in out] == list(range(1, len(out) + 1))
+
+
+def test_nb_classify_separable_classes_and_prior_fallback(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        nb_classify,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "news", "election vote parliament policy"),
+            (2, "news", "minister vote election debate"),
+            (3, "news", "policy parliament minister"),
+            (4, "sport", "goal match striker league"),
+            (5, "sport", "league goal keeper match"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "vote for the policy election"),
+            (11, "the striker scored a goal"),
+            (12, ""),  # zero tokens -> prior argmax ('news', 3 > 2 docs)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in nb_classify(train, test).collect()}
+    assert got[10].predicted == "news"
+    assert got[11].predicted == "sport"
+    assert got[12].predicted == "news" and got[12].n_tokens == 0
