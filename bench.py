@@ -100,6 +100,8 @@ HEADLINE = [
     "embedding_decontamination",
     "textrank_keywords",
     "nb_domain_routing",
+    "concurrent_activity_pairs",
+    "ccnet_quality_buckets",
 ]
 
 

@@ -112,3 +112,72 @@ def as_of_join(
         *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )
     return out
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    min_overlap_seconds: int = 0,
+) -> DataFrame:
+    """Interval overlap self-join — which intervals intersect which —
+    with range-bucket blocking. The naive form is a cross join with an
+    overlap predicate (``a.start <= b.end AND b.start <= a.end``),
+    which Catalyst can only execute as a nested loop: O(n²) at any
+    scale. Instead each interval EXPLODES into the fixed-width time
+    buckets it spans, candidates join on bucket equality (a hash
+    join), the overlap predicate verifies exactly, and DISTINCT
+    collapses pairs that share several buckets. Result-identical to
+    the naive join (two intervals overlap iff they co-occupy at least
+    one bucket covering their intersection) — the accelerator-
+    equivalence contract — with shuffle ∝ Σ interval-spans/bucket,
+    never n².
+
+    Intervals are epoch-second longs; ``bucket_seconds`` trades
+    per-row fan-out (long intervals explode into more buckets) against
+    per-bucket candidate density — size it near the median interval
+    length. Returns one row per unordered pair
+    ``(id_a, id_b, overlap_seconds)`` with ``id_a < id_b`` and
+    inclusive-bound overlap ≥ ``min_overlap_seconds``.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).filter(F.col("_s") <= F.col("_e"))
+    b = int(bucket_seconds)
+    bucketed = base.select(
+        "_id",
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"_s DIV {b}"), F.expr(f"_e DIV {b}"), F.lit(1)
+            )
+        ).alias("_bkt"),
+    )
+    left = bucketed.select(
+        F.col("_bkt"),
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_e").alias("_ea"),
+    )
+    right = bucketed.select(
+        F.col("_bkt"),
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_e").alias("_eb"),
+    )
+    overlap = F.least("_ea", "_eb") - F.greatest("_sa", "_sb") + F.lit(1)
+    return (
+        left.join(right, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("_sa") <= F.col("_eb")) & (F.col("_sb") <= F.col("_ea"))
+        )
+        .select("id_a", "id_b", overlap.alias("overlap_seconds"))
+        .filter(F.col("overlap_seconds") >= int(min_overlap_seconds))
+        .distinct()
+    )

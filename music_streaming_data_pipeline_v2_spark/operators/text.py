@@ -1269,3 +1269,47 @@ def nb_classify(
             (F.col("_score_i").cast("double") / F.lit(1e9)).alias("score"),
         )
     )
+
+
+def lm_quality_buckets(
+    corpus: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al., LREC
+    2020 §4.3): score every document under a reference-corpus LM
+    (``unigram_logprob_score`` here, standing in for CCNet's KenLM),
+    then split each language into score TERCILES — 'head' is the
+    best-scoring third that pretraining keeps preferentially. Bucket
+    edges are integer rank arithmetic (``rank·3 ≤ n`` / ``≤ 2n``), so
+    bucket assignment is exact on any engine — no percentile
+    interpolation, ties broken by id. Returns
+    ``(id, by, n_tokens, avg_logprob, bucket)``. Scale: scoring is
+    the unigram operator's broadcast-LM join; bucketing is one
+    window over the by-group key."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(corpus, lm_corpus, text_col, id_col)
+    labeled = scored.join(
+        corpus.select(F.col(id_col), F.col(by_col)), id_col
+    )
+    w = Window.partitionBy(by_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(by_col)
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .select(
+            id_col,
+            by_col,
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("_rn") * 3 <= F.col("_n"), F.lit("head"))
+            .when(F.col("_rn") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -3275,6 +3275,8 @@ _CHECK_FIRST = [
     "embedding_decontamination",
     "textrank_keywords",
     "nb_domain_routing",
+    "concurrent_activity_pairs",
+    "ccnet_quality_buckets",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3298,15 +3300,14 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    # -- 3. stalest r3-green re-checks (first 2 alphabetically — the
-    #       other slots went to late round-5 registrants: the
-    #       cluster-curation queries, the retrieval/packing/drift
-    #       batch, entropy/embedding-decontamination, then
-    #       textrank/NB-routing. New never-driver-checked queries
-    #       always outrank re-checks of already-driver-proven
-    #       entries.)
-    "bi_nation_volume",
-    "bigram_collocations",
+    # -- (no r3-green re-check slots left this round: all remaining
+    #     slots went to late round-5 registrants — the cluster-curation
+    #     queries, the retrieval/packing/drift batch,
+    #     entropy/embedding-decontamination, textrank/NB-routing, and
+    #     the interval-overlap/CCNet-bucket pair. New
+    #     never-driver-checked queries always outrank re-checks of
+    #     already-driver-proven entries; the 29 stale-but-proven
+    #     r3-green queries are the r6 window's rotation pool.)
 ]
 
 def finalize_registry() -> dict[str, Q]:

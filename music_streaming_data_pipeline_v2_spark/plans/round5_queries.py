@@ -1873,3 +1873,137 @@ def nb_domain_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bucket-blocked) + CCNet head/middle/tail buckets
+# ---------------------------------------------------------------------------
+
+_ORACLE_CONCURRENT = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           epoch_us(ts) // 1000000 AS sec
+    FROM events
+),
+iv AS (
+    SELECT d, user_id, MIN(sec) AS s, MAX(sec) AS e
+    FROM ev GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+p AS (
+    SELECT a.d, LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS ov
+    FROM iv a JOIN iv b
+      ON a.d = b.d AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+)
+SELECT d AS date, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_seconds
+FROM p WHERE ov >= 1800
+GROUP BY 1
+"""
+
+
+@q("concurrent_activity_pairs", _ORACLE_CONCURRENT)
+def concurrent_activity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators/asof.py:
+    interval_overlap_pairs): per-user daily activity intervals (≥5
+    events) paired when they overlap ≥30 min, aggregated per day. The
+    engine explodes intervals into hour buckets and hash-joins on the
+    bucket — result-identical to the naive quadratic overlap join the
+    oracle runs (accelerator equivalence), with shuffle ∝ spans/bucket
+    instead of n² nested-loop probes. Pure integer epoch arithmetic —
+    nothing for float drift to flip."""
+    from ..operators.asof import interval_overlap_pairs
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    iv = (
+        events.select(
+            F.col("user_id"), F.to_date("ts").alias("d"), sec.alias("sec")
+        )
+        .groupBy("d", "user_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("sec").alias("s"),
+            F.max("sec").alias("e"),
+        )
+        .filter(F.col("_n") >= 5)
+        .select(
+            F.concat_ws(
+                "|", F.col("d").cast("string"), F.col("user_id").cast("string")
+            ).alias("iid"),
+            F.col("d"),
+            "s",
+            "e",
+        )
+    )
+    pairs = interval_overlap_pairs(
+        iv, "iid", "s", "e", bucket_seconds=3600, min_overlap_seconds=1800
+    )
+    dated = pairs.select(
+        F.to_date(F.split("id_a", r"\|")[0]).alias("date"),
+        "overlap_seconds",
+    )
+    return dated.groupBy("date").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("overlap_seconds").alias("total_overlap_seconds"),
+    )
+
+
+def _oracle_ccnet() -> str:
+    """Head/middle/tail replay: the unigram-LM scoring CTEs over ALL
+    documents (LM trained on the hash-split train side), per-language
+    rank terciles via exact integer arithmetic."""
+    return rf"""
+WITH b AS (SELECT doc_id, text, lang, {_BUCKET} AS bkt FROM documents),
+lm AS (
+    SELECT LOWER(t.tok) AS token, COUNT(*) AS c
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt < 204
+    GROUP BY 1
+),
+stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM lm),
+tok AS (
+    SELECT doc_id AS _doc, LOWER(t.tok) AS token
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+),
+sc AS (
+    SELECT _doc AS doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(ROUND(LN((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)
+               / (CAST(total AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9) AS BIGINT))
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS avg_logprob
+    FROM tok LEFT JOIN lm USING (token) CROSS JOIN stats
+    GROUP BY 1
+),
+l AS (SELECT sc.*, b.lang FROM sc JOIN b USING (doc_id)),
+r AS (
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY avg_logprob DESC, doc_id ASC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM l
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+@q("ccnet_quality_buckets", _oracle_ccnet())
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (operators/text.py:
+    lm_quality_buckets): every document scored under the train-split
+    unigram LM, each language split into score terciles by exact
+    integer rank arithmetic (rank·3 ≤ n) — the published CCNet
+    selection step, with nothing percentile-interpolated to drift
+    across engines."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import lm_quality_buckets
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_buckets(docs, docs.filter(hash_bucket("doc_id") < 204))

@@ -740,3 +740,47 @@ def test_embedding_decontamination_nearest_and_flag(spark):
     # probe 101 is anti-parallel to 3 and equally negative to 1 and 2
     # (cos = -0.7071 each): argmax ties break by corpus id ascending
     assert got[101].nearest_id == 1 and not got[101].contaminated
+
+
+def test_lm_quality_buckets_terciles_and_head(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    # LM trained on fluent docs; 9 scored docs per lang — terciles are
+    # exactly 3/3/3, and the most LM-like doc lands in 'head'
+    lm = spark.createDataFrame(
+        [(100 + i, "en", "the cat sat on the mat") for i in range(3)],
+        "doc_id long, lang string, text string",
+    )
+    docs = []
+    for i in range(9):
+        if i < 3:
+            text = "the cat sat on the mat"      # fluent
+        elif i < 6:
+            text = "the mat cat zz qq"           # mixed
+        else:
+            text = "zz qq xx yy ww vv"           # unseen gibberish
+        docs.append((i, "en", text))
+    corpus = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.bucket for r in lm_quality_buckets(corpus, lm).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_interval_overlap_pairs_hand_case(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.asof import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 200, 300), (4, 100, 100)],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.overlap_seconds
+        for r in interval_overlap_pairs(iv, "iid", "s", "e", 7).collect()
+    }
+    # 1∩2 = [50,100] → 51; 1∩4 = the single shared second; 2∩4 likewise
+    assert got == {(1, 2): 51, (1, 4): 1, (2, 4): 1}

@@ -398,3 +398,50 @@ def test_mmr_matches_python_greedy(spark, vecs):
         selected.append(best[0])
         want.append((step, best[0], best[2]))
     assert got == want
+
+
+@st.composite
+def _intervals(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    rows = []
+    for i in range(n):
+        s = draw(st.integers(min_value=0, max_value=5000))
+        ln = draw(st.integers(min_value=0, max_value=4000))
+        rows.append((i, s, s + ln))
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_intervals(),
+    bucket=st.sampled_from([1, 7, 100, 1000]),
+    min_ov=st.sampled_from([0, 1, 500]),
+)
+def test_interval_overlap_blocked_equals_naive(spark, rows, bucket, min_ov):
+    """interval_overlap_pairs (bucket-blocked hash join) must equal
+    the naive quadratic overlap join for any intervals, any bucket
+    width, any overlap threshold — accelerator equivalence."""
+    from music_streaming_data_pipeline_v2_spark.operators.asof import (
+        interval_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "iid long, s long, e long")
+    got = {
+        (r.id_a, r.id_b): r.overlap_seconds
+        for r in interval_overlap_pairs(
+            df, "iid", "s", "e", bucket_seconds=bucket,
+            min_overlap_seconds=min_ov,
+        ).collect()
+    }
+    want = {}
+    for i, si, ei in rows:
+        for j, sj, ej in rows:
+            if i < j and si <= ej and sj <= ei:
+                ov = min(ei, ej) - max(si, sj) + 1
+                if ov >= min_ov:
+                    want[(i, j)] = ov
+    assert got == want
