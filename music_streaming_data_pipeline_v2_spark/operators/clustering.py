@@ -405,9 +405,12 @@ def pagerank_scaled(
         if weight_col
         else F.lit(1).cast("long")
     )
+    # non-positive weights would zero a node's out-weight sum — the
+    # per-edge transfer then divides by zero (a hard error under ANSI
+    # mode); they carry no rank anyway, so drop them at the door
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
-    )
+    ).filter(F.col("_w") > 0)
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_wsum"))
     nodes = (
         e.select(F.col("_src").alias("node"))

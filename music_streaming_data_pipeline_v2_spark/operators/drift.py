@@ -69,16 +69,27 @@ def psi_drift(
     localCheckpointed — four consumers), and the bin inventory
     broadcasts. Shuffle ∝ groups×bins, never rows.
     """
+    # ONE scan: the (group, bin) cell counts; everything downstream is
+    # re-aggregation of that tiny (groups×bins-bounded) relation
+    cells = bin_cells(df, group_col, bin_col)
+    return psi_from_cells(cells, smoothing).withColumnRenamed(
+        "grp", group_col
+    )
+
+
+def bin_cells(
+    df: DataFrame, group_col: str, bin_col: str | Column
+) -> DataFrame:
+    """The ``(grp, bin, cnt)`` histogram of one input — the ONE cell
+    builder both the batch audit (``psi_drift``) and the streaming
+    monitor's per-batch state write (streaming/psi_ingest.py) use, so
+    a change to binning semantics (null handling, count type) cannot
+    desynchronize the incremental state from the batch audit."""
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
     base = df.select(F.col(group_col).alias("grp"), b.alias("bin")).filter(
         F.col("bin").isNotNull()
     )
-    # ONE scan: the (group, bin) cell counts; everything downstream is
-    # re-aggregation of that tiny (groups×bins-bounded) relation
-    cells = base.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
-    return psi_from_cells(cells, smoothing).withColumnRenamed(
-        "grp", group_col
-    )
+    return base.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
 
 
 def psi_from_cells(cells: DataFrame, smoothing: float = 1.0) -> DataFrame:

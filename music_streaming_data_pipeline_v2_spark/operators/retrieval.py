@@ -59,14 +59,14 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one ranking")
     parts = []
     for _src, df in rankings.items():
+        contrib = F.round(
+            F.lit(1e9) / (F.lit(int(c)) + F.col(rank_col).cast("double"))
+        ).cast("long")
         parts.append(
             df.select(
                 F.col(query_col).alias("query_id"),
                 F.col(id_col).alias("_doc"),
-                F.expr(
-                    f"CAST(ROUND(1e9 / ({int(c)} + CAST({rank_col} AS DOUBLE)))"
-                    " AS BIGINT)"
-                ).alias("_c"),
+                contrib.alias("_c"),
             )
         )
     u = parts[0]
@@ -142,9 +142,18 @@ def retrieval_metrics(
             F.col(neighbor_col).alias("_nbr"),
         )
         .filter(F.col("_rank") <= k)
-        .join(F.broadcast(lab), F.col("_nbr") == F.col("_id"))
+        # LEFT join: a retrieved neighbor absent from the label table
+        # is simply not relevant — an inner join here silently DROPPED
+        # the whole query when none of its neighbors were labeled,
+        # instead of reporting mrr 0.0 as documented
+        .join(F.broadcast(lab), F.col("_nbr") == F.col("_id"), "left")
         .join(F.broadcast(qlab), "query_id")
-        .withColumn("_rel", (F.col("_lab") == F.col("_qlab")).cast("int"))
+        .withColumn(
+            "_rel",
+            F.when(F.col("_lab") == F.col("_qlab"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
     )
     dcg_term = (
         "CASE WHEN _rel = 1 THEN CAST(ROUND(1e9 / LOG2(CAST(_rank AS DOUBLE)"

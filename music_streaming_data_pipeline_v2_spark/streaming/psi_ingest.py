@@ -74,15 +74,17 @@ def run_incremental_psi(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.drift import bin_cells
+
         if batch_df.isEmpty():
             return
-        cells = (
-            batch_df.select(
-                F.col(group_col).alias("grp"), F.expr(bin_sql).alias("bin")
-            )
-            .filter(F.col("bin").isNotNull())
-            .groupBy("grp", "bin")
-            .agg(F.count("*").alias("cnt"))
+        # the SAME cell builder as the batch audit (incremental ≡
+        # batch by construction); bins are stored as STRINGS so the
+        # state schema is independent of the caller's bin_sql type —
+        # PSI depends only on bin identity, and int→string is
+        # injective, so the pin to psi_drift is unaffected
+        cells = bin_cells(batch_df, group_col, F.expr(bin_sql)).select(
+            "grp", F.col("bin").cast("string").alias("bin"), "cnt"
         )
         cells.write.mode("overwrite").parquet(
             os.path.join(cells_dir, f"batch_id={batch_id}")
@@ -114,16 +116,22 @@ def query_psi(
 
     # explicit schema (+ the batch_id partition column): state reads
     # must not depend on data files existing, and an undrained state
-    # is a legitimate "nothing audited yet" relation, not a crash
+    # is a legitimate "nothing audited yet" relation, not a crash.
+    # The probe goes through Spark's reader (not driver-local
+    # os.path), so state on any Hadoop-compatible filesystem behaves
+    # the same as local disk.
     cells_dir = os.path.join(work_dir, "cells")
-    if not os.path.isdir(cells_dir):
+    try:
+        state = (
+            spark.read.schema("grp string, bin string, cnt long, batch_id int")
+            .parquet(cells_dir)
+            .drop("batch_id")
+        )
+    except Exception as exc:  # PATH_NOT_FOUND → nothing audited yet
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         return spark.createDataFrame(
             [], "grp string, n_rows long, psi double"
         )
-    state = (
-        spark.read.schema("grp string, bin int, cnt long, batch_id int")
-        .parquet(cells_dir)
-        .drop("batch_id")
-    )
     merged = state.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
     return psi_from_cells(merged, smoothing)

@@ -62,11 +62,21 @@ def test_retrieval_metrics_hand_computed(spark):
             (1, 3, 103),
             (2, 1, 102),
             (3, 1, 104),
+            (4, 1, 999),  # neighbor absent from the label table
         ],
         "query_id long, rank int, neighbor_id long",
     )
     labels = spark.createDataFrame(
-        [(1, 7), (102, 7), (103, 7), (104, 6), (2, 8), (201, 8), (3, 9)],
+        [
+            (1, 7),
+            (102, 7),
+            (103, 7),
+            (104, 6),
+            (2, 8),
+            (201, 8),
+            (3, 9),
+            (4, 8),
+        ],
         "vec_id long, label int",
     )
     got = {
@@ -83,6 +93,9 @@ def test_retrieval_metrics_hand_computed(spark):
     assert abs(got[1].ndcg - want) < 1e-12
     assert got[2].first_rel_rank is None and got[2].mrr == 0.0
     assert got[3].n_relevant == 0 and got[3].ndcg is None
+    # a query whose only neighbors are UNLABELED must still report
+    # (mrr 0.0), not vanish from the result
+    assert got[4].first_rel_rank is None and got[4].mrr == 0.0
 
 
 def test_mmr_rerank_prefers_diversity(spark):
