@@ -126,8 +126,16 @@ def connected_components(
     # materialize the (possibly expensive) edge-mining plan ONCE before
     # symmetrizing — the union below reads it twice. The distinct also
     # re-partitions the symmetric edge list by content hash, which the
-    # per-round joins then reuse from the checkpoint.
-    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # per-round joins then reuse from the checkpoint. Null endpoints
+    # are dropped EXPLICITLY: the distributed path would shed them at
+    # its join keys anyway, but the driver union-find receives them as
+    # pandas NaN, and NaN != NaN means its find() loop never
+    # terminates — the two paths must agree on the edge set.
+    pairs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint()
+    )
     if driver_edge_threshold and pairs.count() <= driver_edge_threshold:
         return _cc_driver(pairs)
     sym = (
@@ -294,7 +302,12 @@ def dedup_clusters_auto(
     )
     if n_sets and n_docs / n_sets >= dup_ratio_threshold:
         return dedup_clusters_exact(docs, block_col, text_col, id_col, threshold)
-    # reuse the probe's token relation for mining (it persists inside)
+    # the probe aggregate above tokenized+hashed the corpus once to
+    # make its decision; the mining path below re-derives the token
+    # relation (persisting base inside _jaccard_pairs_from_base), so
+    # each dedup_clusters_auto call pays ONE extra corpus scan for the
+    # routing decision — the same bounded probe cost jaccard_pairs'
+    # strategy pick pays, counted in the benchmarks
     pairs = _jaccard_pairs_from_base(base, threshold)
     return dedup_clusters(docs, pairs, id_col=id_col)
 
@@ -342,15 +355,26 @@ def cluster_representatives(
     partitioning-independent; the ratio is one IEEE division of two
     small ints, bit-identical cross-engine).
 
-    ``clusters`` is (id, component) — ``connected_components`` /
-    ``dedup_clusters_auto`` output. Returns ``(component, rep_doc_id,
-    cluster_size, n_dropped)``. Scale: one id-keyed join to attach
-    quality and one component-keyed window — the same shuffle key
-    profile the clustering output already has."""
+    ``clusters`` is the ``dedup_clusters_auto`` / ``dedup_clusters``
+    output (carrying ``id_col``) or raw ``connected_components``
+    output (whose node column is named ``id`` — normalized here).
+    ``docs`` needs ``id_col`` and ``text_col``; a ``n_chars`` column
+    is used as the length tiebreak when present, else derived as
+    ``length(text)``. Returns ``(component, rep_doc_id, cluster_size,
+    n_dropped)``. Scale: one id-keyed join to attach quality and one
+    component-keyed window — the same shuffle key profile the
+    clustering output already has."""
+    if id_col not in clusters.columns and "id" in clusters.columns:
+        clusters = clusters.withColumnRenamed("id", id_col)
+    n_chars = (
+        F.col("n_chars")
+        if "n_chars" in docs.columns
+        else F.length(F.col(text_col))
+    )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     qual = docs.select(
         F.col(id_col),
-        "n_chars",
+        n_chars.alias("n_chars"),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_uniq_ratio"),
     )
     wsz = Window.partitionBy("component")

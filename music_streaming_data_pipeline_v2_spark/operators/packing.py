@@ -129,12 +129,16 @@ def pack_sequences(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ) - F.col("n_tokens")
-    return d.select(
+    # bin_id via INTEGER division: floor(start / budget) is a DOUBLE
+    # division, which silently rounds once a stratum's cumulative
+    # token count passes 2^53 — DIV stays exact at any scale (and
+    # matches the oracle's BIGINT `//`)
+    return d.withColumn("_start", start).select(
         "stratum",
         "doc_id",
         "n_tokens",
-        F.floor(start / budget).alias("bin_id"),
-        (start % budget).alias("bin_offset"),
+        F.expr(f"_start DIV {int(budget)}").alias("bin_id"),
+        (F.col("_start") % budget).alias("bin_offset"),
     )
 
 
@@ -177,6 +181,10 @@ def pack_bins_nfd(
         F.col(id_col).alias("doc_id"),
         F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
     )
+    # the kernel's declared output schema must carry the CALLER'S id
+    # type — hardcoding `long` breaks Arrow serialization for string
+    # (or any non-long) document ids
+    id_type = d.schema["doc_id"].dataType.simpleString()
     n_part = (
         num_partitions or d.sparkSession.sparkContext.defaultParallelism
     )
@@ -214,6 +222,6 @@ def pack_bins_nfd(
 
     return arranged.mapInPandas(
         kernel,
-        "stratum string, doc_id long, n_tokens long, bin_id long, "
+        f"stratum string, doc_id {id_type}, n_tokens long, bin_id long, "
         "bin_fill long",
     )

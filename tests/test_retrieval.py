@@ -314,3 +314,48 @@ def test_nb_classify_separable_classes_and_prior_fallback(spark):
     assert got[10].predicted == "news"
     assert got[11].predicted == "sport"
     assert got[12].predicted == "news" and got[12].n_tokens == 0
+
+
+def test_pack_bins_nfd_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("doc_a", "s", "w w w"), ("doc_b", "s", "w w")],
+        "doc_id string, source string, text string",
+    )
+    got = {
+        r.doc_id: r.bin_id for r in pack_bins_nfd(docs, budget=10).collect()
+    }
+    assert got == {"doc_a": 0, "doc_b": 0}
+
+
+def test_cluster_representatives_accepts_cc_output_and_no_nchars(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "z z z z")],
+        "doc_id long, text string",  # no n_chars column
+    )
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    cc = connected_components(edges)  # columns (id, component)
+    reps = {
+        r.component: r.rep_doc_id
+        for r in cluster_representatives(docs, cc).collect()
+    }
+    assert reps == {1: 1}  # equal quality/length -> id tiebreak
+
+
+def test_connected_components_null_edges_do_not_hang(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1)}
