@@ -1097,7 +1097,8 @@ def embedding_decontamination(
     row per probe with a non-degenerate nearest (zero-norm pairs rank
     nowhere), argmax ties broken by corpus id ascending, ``max_cos``
     rounded to 6 dp for the cross-engine hash (ordering uses the
-    unrounded value, the ann_cosine_topk convention).
+    unrounded value — the same convention as the ann_cosine_topk
+    registry query over ``cosine_topk``).
 
     Scale shape: eval sets are tiny and corpora are huge, so the PROBE
     side broadcasts and the corpus is scanned exactly once — the same
@@ -1108,23 +1109,22 @@ def embedding_decontamination(
     schema."""
     from pyspark.sql import Window
 
-    p = probes.select(
-        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    # thin wrapper over cosine_topk with k=1 — ONE copy of the
+    # broadcast/cross/rank nearest-neighbor pipeline; this just
+    # renames and adds the rounded value + threshold decision
+    nearest = cosine_topk(
+        corpus,
+        probes.select(
+            F.col(probe_id_col).alias("query_id"),
+            F.col(vec_col).alias(vec_col),
+        ),
+        k=1,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    scored = (
-        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(p), how="cross")
-        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
-        .filter(F.col("_cos").isNotNull())
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("_cos"), F.asc("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "probe_id",
-            F.col("_cid").alias("nearest_id"),
-            F.round("_cos", 6).alias("max_cos"),
-            (F.col("_cos") >= F.lit(float(threshold))).alias("contaminated"),
-        )
+    return nearest.select(
+        F.col("query_id").alias("probe_id"),
+        F.col("neighbor_id").alias("nearest_id"),
+        F.round("cosine", 6).alias("max_cos"),
+        (F.col("cosine") >= F.lit(float(threshold))).alias("contaminated"),
     )

@@ -641,6 +641,7 @@ def unigram_logprob_score(
     lm_corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document mean token log-probability under a unigram LM
     trained on ``lm_corpus`` — the cheap LM-quality signal CCNet uses
@@ -668,8 +669,12 @@ def unigram_logprob_score(
     stats = lm.groupBy().agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     )
+    # `keep` columns ride along per document (grouped with the id) so
+    # callers like lm_quality_buckets don't re-scan the corpus just to
+    # re-attach a label — the _bigram_pairs pass-through pattern
     tok = corpus.select(
         F.col(id_col).alias("_doc"),
+        *[F.col(c) for c in keep],
         F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
     )
     contrib = (
@@ -680,10 +685,11 @@ def unigram_logprob_score(
         tok.join(F.broadcast(lm), "token", "left")
         .crossJoin(F.broadcast(stats))
         .withColumn("_lp", F.expr(contrib))
-        .groupBy("_doc")
+        .groupBy("_doc", *keep)
         .agg(F.count("*").alias("n_tokens"), F.sum("_lp").alias("_sum"))
         .select(
             F.col("_doc").alias(id_col),
+            *keep,
             "n_tokens",
             (
                 F.col("_sum").cast("double")
@@ -744,6 +750,13 @@ def bigram_logprob_score(
     what makes it a reference); if its bigram table ever outgrows the
     broadcast threshold the same plan works as a pair-keyed
     sort-merge join."""
+    # λ = 1 removes the smoothed unigram backoff entirely: an unseen
+    # bigram then has probability exactly 0 and LN(0) = -Inf, which
+    # the scaled-BIGINT cast turns into a hard error under ANSI mode.
+    # The "every transition has positive probability" contract needs
+    # the half-open interval.
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("need 0 <= lam < 1 (lam=1 zeroes unseen bigrams)")
     lmb = _bigram_pairs(lm_corpus, [], text_col).groupBy("prev", "cur").agg(
         F.count("*").alias("cb")
     )
@@ -1202,15 +1215,17 @@ def nb_classify(
     vocab = lm.select("token").distinct().groupBy().agg(
         F.count("*").alias("_v")
     )
+    # the class list comes from DOCUMENT counts, not token counts — a
+    # class whose training docs are all token-free must still carry
+    # its prior (the documented prior-argmax fallback), not vanish
+    # from the crossJoin; its token total defaults to 0. The floor's
+    # denominator is guarded to ≥1 so an entirely token-free model
+    # degenerates to priors-only instead of LN-of-division-by-zero.
     cls = (
-        lm.groupBy("_cls")
-        .agg(F.sum("_cnt").alias("_tc"))
-        .join(
-            train.groupBy(F.col(class_col).alias("_cls")).agg(
-                F.count("*").alias("_nd")
-            ),
-            "_cls",
-        )
+        train.groupBy(F.col(class_col).alias("_cls"))
+        .agg(F.count("*").alias("_nd"))
+        .join(lm.groupBy("_cls").agg(F.sum("_cnt").alias("_tc")), "_cls", "left")
+        .withColumn("_tc", F.coalesce(F.col("_tc"), F.lit(0)))
         .crossJoin(F.broadcast(vocab))
         .crossJoin(
             F.broadcast(
@@ -1224,8 +1239,8 @@ def nb_classify(
                 " * 1e9) AS BIGINT)"
             ).alias("_prior_i"),
             F.expr(
-                "CAST(ROUND(LN(1.0 / (CAST(_tc AS DOUBLE)"
-                " + CAST(_v AS DOUBLE))) * 1e9) AS BIGINT)"
+                "CAST(ROUND(LN(1.0 / GREATEST(CAST(_tc AS DOUBLE)"
+                " + CAST(_v AS DOUBLE), 1.0)) * 1e9) AS BIGINT)"
             ).alias("_floor_i"),
         )
     )
@@ -1291,14 +1306,21 @@ def lm_quality_buckets(
     window over the by-group key."""
     from pyspark.sql import Window
 
-    scored = unigram_logprob_score(corpus, lm_corpus, text_col, id_col)
-    labeled = scored.join(
-        corpus.select(F.col(id_col), F.col(by_col)), id_col
+    # the label rides through the scorer (keep=) — no second corpus
+    # scan / id-keyed join just to re-attach it
+    labeled = unigram_logprob_score(
+        corpus, lm_corpus, text_col, id_col, keep=(by_col,)
     )
     w = Window.partitionBy(by_col).orderBy(
         F.desc("avg_logprob"), F.asc(id_col)
     )
     wn = Window.partitionBy(by_col)
+    # ceil-based tercile edges (head gets ceil(n/3)): the best-scoring
+    # document of ANY language lands in 'head', even for 1- or 2-doc
+    # languages — floor-based edges would label a singleton 'tail' and
+    # a head-preferring downstream selection would drop the whole
+    # language. Zero-token documents have no LM score and therefore no
+    # bucket row (they vanish at tokenization) — gate them separately.
     return (
         labeled.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(wn))
@@ -1307,8 +1329,13 @@ def lm_quality_buckets(
             by_col,
             "n_tokens",
             "avg_logprob",
-            F.when(F.col("_rn") * 3 <= F.col("_n"), F.lit("head"))
-            .when(F.col("_rn") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+            F.when(
+                F.col("_rn") <= F.expr("(_n + 2) DIV 3"), F.lit("head")
+            )
+            .when(
+                F.col("_rn") <= F.expr("(2 * _n + 2) DIV 3"),
+                F.lit("middle"),
+            )
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )

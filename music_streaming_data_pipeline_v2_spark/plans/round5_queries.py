@@ -1806,13 +1806,14 @@ voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM lm),
 nd AS (SELECT source AS cls, COUNT(*) AS ndc FROM b WHERE bkt < 204 GROUP BY 1),
 ndall AS (SELECT COUNT(*) AS nall FROM b WHERE bkt < 204),
 cls AS (
-    SELECT lmc.cls,
+    SELECT nd.cls,
            CAST(ROUND(LN(CAST(ndc AS DOUBLE) / CAST(nall AS DOUBLE)) * 1e9)
                AS BIGINT) AS prior_i,
-           CAST(ROUND(LN(1.0 / (CAST(tc AS DOUBLE) + CAST(v AS DOUBLE)))
-               * 1e9) AS BIGINT) AS floor_i
-    FROM (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tc FROM lm GROUP BY 1) lmc
-    JOIN nd ON nd.cls = lmc.cls
+           CAST(ROUND(LN(1.0 / GREATEST(CAST(COALESCE(tc, 0) AS DOUBLE)
+               + CAST(v AS DOUBLE), 1.0)) * 1e9) AS BIGINT) AS floor_i
+    FROM nd
+    LEFT JOIN (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tc FROM lm GROUP BY 1)
+        lmc ON lmc.cls = nd.cls
     CROSS JOIN voc CROSS JOIN ndall
 ),
 delta AS (
@@ -1986,8 +1987,8 @@ r AS (
     FROM l
 )
 SELECT doc_id, lang, n_tokens, avg_logprob,
-       CASE WHEN rn * 3 <= n THEN 'head'
-            WHEN rn * 3 <= 2 * n THEN 'middle'
+       CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+            WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM r
 """

@@ -784,3 +784,37 @@ def test_interval_overlap_pairs_hand_case(spark):
     }
     # 1∩2 = [50,100] → 51; 1∩4 = the single shared second; 2∩4 likewise
     assert got == {(1, 2): 51, (1, 4): 1, (2, 4): 1}
+
+
+def test_nb_classify_tokenless_class_keeps_its_prior(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        nb_classify,
+    )
+
+    # class "b" has the larger prior but its training docs carry no
+    # tokens — it must still win the prior-argmax for an empty test
+    # doc rather than vanish from the class list
+    train = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", ""), (3, "b", "   "), (4, "b", "")],
+        "doc_id long, source string, text string",
+    )
+    test = spark.createDataFrame([(10, "")], "doc_id long, text string")
+    got = nb_classify(train, test).collect()[0]
+    assert got.predicted == "b" and got.n_tokens == 0
+
+
+def test_lm_quality_buckets_tiny_language_best_doc_is_head(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    lm = spark.createDataFrame(
+        [(100, "xx", "aa bb cc")], "doc_id long, lang string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "xx", "aa bb cc"), (2, "xx", "zz qq")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.bucket for r in lm_quality_buckets(corpus, lm).collect()}
+    # ceil terciles: a 2-doc language still has a head
+    assert got[1] == "head" and got[2] == "middle"
