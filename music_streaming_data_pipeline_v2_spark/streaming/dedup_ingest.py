@@ -123,20 +123,15 @@ def run_incremental_dedup(
         .load(input_path)
     )
 
-    def read_state(state_dir: str, empty_schema, before_batch: int) -> DataFrame:
+    def read_state(state_dir: str, schema, before_batch: int) -> DataFrame:
         """Prior-batch state only: partition-pruned ``batch_id <`` read
         that also excludes any partial partition a crashed attempt at
-        the CURRENT batch may have left behind."""
-        has_parts = os.path.isdir(state_dir) and any(
-            n.startswith("batch_id=") for n in os.listdir(state_dir)
-        )
-        if not has_parts:
-            return spark.createDataFrame([], empty_schema)
-        return (
-            spark.read.parquet(state_dir)
-            .filter(F.col("batch_id") < F.lit(before_batch))
-            .drop("batch_id")
-        )
+        the CURRENT batch may have left behind. Schema is declared
+        explicitly and an absent path is the empty relation — the
+        shared state-reader contract."""
+        from .state import read_state_or_empty
+
+        return read_state_or_empty(spark, state_dir, schema, before_batch)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # emptiness probed on the RAW batch (one row of one file) —

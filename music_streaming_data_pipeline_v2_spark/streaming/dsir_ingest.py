@@ -114,19 +114,16 @@ def query_dsir_scores(
     and a fraction of the corpus it summarizes."""
     from ..operators.sampling import _dsir_feature_buckets, dsir_log_ratio
 
-    # explicit schema (+ the batch_id partition column): state reads
-    # must not depend on data files existing, and an undrained (or
-    # all-empty-batches) state is a legitimate "nothing scored yet"
-    # relation, not a crash (ADVICE r4 / the semantic_ingest lesson)
-    db_dir = os.path.join(work_dir, "docbuckets")
-    if not os.path.isdir(db_dir):
-        return spark.createDataFrame(
-            [], f"{id_col} long, n_feats long, log_weight double"
-        )
-    db = (
-        spark.read.schema("doc_id long, bkt int, cnt long, batch_id int")
-        .parquet(db_dir)
-        .drop("batch_id")
+    from .state import read_state_or_empty
+
+    # explicit schema + FS-agnostic absent-path handling via the
+    # shared state reader: an undrained (or all-empty-batches) state
+    # is a legitimate "nothing scored yet" relation, not a crash
+    # (ADVICE r4 / the semantic_ingest lesson)
+    db = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "docbuckets"),
+        "doc_id long, bkt int, cnt long",
     )
     r_cnt = db.groupBy("bkt").agg(F.sum("cnt").alias("rc"))
     t_cnt = (

@@ -118,23 +118,21 @@ def query_index(
 
     from ..operators.text import tokens as _tokens
 
-    # explicit schemas (+ the batch_id partition column): state reads
-    # must not depend on data files existing, and an undrained state is
-    # a legitimate "no results" relation, not a crash (ADVICE r4 / the
-    # semantic_ingest lesson)
-    if not os.path.isdir(os.path.join(work_dir, "postings")):
-        return spark.createDataFrame(
-            [], "query_id int, rank int, doc_id long, score double"
-        )
-    tf = (
-        spark.read.schema("doc_id long, token string, tf long, batch_id int")
-        .parquet(os.path.join(work_dir, "postings"))
-        .drop("batch_id")
+    from .state import read_state_or_empty
+
+    # explicit schemas + FS-agnostic absent-path handling via the
+    # shared state reader: an undrained state is a legitimate "no
+    # results" relation, not a crash (ADVICE r4 / the semantic_ingest
+    # lesson)
+    tf = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "postings"),
+        "doc_id long, token string, tf long",
     )
-    dl_rel = (
-        spark.read.schema("doc_id long, dl long, batch_id int")
-        .parquet(os.path.join(work_dir, "doclens"))
-        .drop("batch_id")
+    dl_rel = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "doclens"),
+        "doc_id long, dl long",
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     stats = dl_rel.groupBy().agg(

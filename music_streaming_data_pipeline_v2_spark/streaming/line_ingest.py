@@ -71,15 +71,9 @@ def _read_state(
     """Partition-pruned read of prior-batch state; empty typed relation
     when the state doesn't exist yet. ``before_batch=None`` reads all
     committed partitions (query-time)."""
-    has_parts = os.path.isdir(state_dir) and any(
-        n.startswith("batch_id=") for n in os.listdir(state_dir)
-    )
-    if not has_parts:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema + ", batch_id int").parquet(state_dir)
-    if before_batch is not None:
-        df = df.filter(F.col("batch_id") < F.lit(before_batch))
-    return df.drop("batch_id")
+    from .state import read_state_or_empty
+
+    return read_state_or_empty(spark, state_dir, schema, before_batch)
 
 
 def run_incremental_line_dedup(

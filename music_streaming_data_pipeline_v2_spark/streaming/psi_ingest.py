@@ -114,24 +114,12 @@ def query_psi(
     groups×bins PSI grid. Nothing re-reads raw text."""
     from ..operators.drift import psi_from_cells
 
-    # explicit schema (+ the batch_id partition column): state reads
-    # must not depend on data files existing, and an undrained state
-    # is a legitimate "nothing audited yet" relation, not a crash.
-    # The probe goes through Spark's reader (not driver-local
-    # os.path), so state on any Hadoop-compatible filesystem behaves
-    # the same as local disk.
-    cells_dir = os.path.join(work_dir, "cells")
-    try:
-        state = (
-            spark.read.schema("grp string, bin string, cnt long, batch_id int")
-            .parquet(cells_dir)
-            .drop("batch_id")
-        )
-    except Exception as exc:  # PATH_NOT_FOUND → nothing audited yet
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
-        return spark.createDataFrame(
-            [], "grp string, n_rows long, psi double"
-        )
+    from .state import read_state_or_empty
+
+    state = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "cells"),
+        "grp string, bin string, cnt long",
+    )
     merged = state.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
     return psi_from_cells(merged, smoothing)

@@ -130,25 +130,19 @@ def run_incremental_semantic_dedup(
     )
 
     def read_leaders(before_batch: int, cells: list[int]) -> DataFrame:
+        from .state import read_state_or_empty
+
         empty = "vec_id long, embedding array<double>, centroid_id int"
-        has_parts = os.path.isdir(leaders_dir) and any(
-            n.startswith("batch_id=") for n in os.listdir(leaders_dir)
-        )
-        if not has_parts or not cells:
+        if not cells:
             return spark.createDataFrame([], empty)
-        # explicit schema (data + partition columns): inference must
-        # never depend on data files existing — a batch that accepted
-        # zero leaders leaves its batch_id= partition empty, and an
-        # inference-based read would fail on a leaders store that is
-        # so far all-empty (ADVICE r4)
-        full = empty + ", batch_id int"
-        return (
-            spark.read.schema(full)
-            .parquet(leaders_dir)
-            .filter(F.col("batch_id") < F.lit(before_batch))
-            .filter(F.col("centroid_id").isin(cells))
-            .drop("batch_id")
-        )
+        # the shared state reader declares the schema explicitly
+        # (inference must never depend on data files existing — a
+        # batch that accepted zero leaders leaves its batch_id=
+        # partition empty; ADVICE r4) and treats an absent path as the
+        # empty leader store through Spark's reader (FS-agnostic)
+        return read_state_or_empty(
+            spark, leaders_dir, empty, before_batch
+        ).filter(F.col("centroid_id").isin(cells))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = (

@@ -1,0 +1,56 @@
+"""Shared batch-partitioned state access for the ingest indexes.
+
+Every incremental pipeline in this package stores its state the same
+way: parquet partitioned by ``batch_id=``, each batch OVERWRITING its
+own partition (at-least-once replays rewrite identical content). This
+module is the ONE reader for that layout:
+
+- **explicit schema, always** — state reads must never depend on data
+  files existing; a batch that commits an empty partition (zero
+  leaders, all-duplicate lines) leaves ``_SUCCESS`` only, and
+  inference-based reads crash on it (ADVICE r4 / the semantic_ingest
+  lesson).
+- **absent path = empty state, through Spark's reader** — the probe
+  must NOT be a driver-local ``os.path`` check: state on any
+  Hadoop-compatible filesystem (object stores at the 100 TB target)
+  then silently reads as "nothing ingested yet". A PATH_NOT_FOUND from
+  the reader is the legitimate empty case; everything else re-raises.
+- **partition-pruned recovery isolation** — ``before_batch`` excludes
+  the CURRENT batch's partition, so a crashed prior attempt's partial
+  write can never feed its own retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _with_batch_id(schema: str | T.StructType) -> str | T.StructType:
+    if isinstance(schema, T.StructType):
+        return T.StructType(
+            list(schema.fields) + [T.StructField("batch_id", T.IntegerType())]
+        )
+    return schema + ", batch_id int"
+
+
+def read_state_or_empty(
+    spark: SparkSession,
+    state_dir: str,
+    schema: str | T.StructType,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Read ``state_dir`` (batch_id-partitioned parquet) with
+    ``schema`` explicitly declared; an absent path returns the empty
+    typed relation. ``before_batch`` prunes to committed prior
+    batches (``None`` reads everything — the query-time view)."""
+    try:
+        df = spark.read.schema(_with_batch_id(schema)).parquet(state_dir)
+    except Exception as exc:  # PATH_NOT_FOUND → no state yet
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame([], schema)
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < F.lit(before_batch))
+    return df.drop("batch_id")
