@@ -1302,8 +1302,14 @@ def lm_quality_buckets(
     bucket assignment is exact on any engine — no percentile
     interpolation, ties broken by id. Returns
     ``(id, by, n_tokens, avg_logprob, bucket)``. Scale: scoring is
-    the unigram operator's broadcast-LM join; bucketing is one
-    window over the by-group key."""
+    the unigram operator's broadcast-LM join; bucketing is one window
+    over the by-group key — a single reducer PER LANGUAGE, which is
+    the right shape while languages are many and comparable. For one
+    dominant language at extreme scale, swap the window for the
+    two-phase range-partitioned global ranking
+    (plans/round3_queries.py:spend_rank_analytics — per-range local
+    ranks + broadcast offsets); bucket edges stay the same integer
+    arithmetic."""
     from pyspark.sql import Window
 
     # the label rides through the scorer (keep=) — no second corpus
