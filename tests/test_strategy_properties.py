@@ -445,3 +445,173 @@ def test_interval_overlap_blocked_equals_naive(spark, rows, bucket, min_ov):
                 if ov >= min_ov:
                     want[(i, j)] = ov
     assert got == want
+
+
+@st.composite
+def _rankings(draw):
+    """2-3 sources of per-query rankings with dense unique ranks."""
+    n_sources = draw(st.integers(min_value=2, max_value=3))
+    out = []
+    for _ in range(n_sources):
+        rows = []
+        for q in range(draw(st.integers(min_value=1, max_value=3))):
+            docs = draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=15),
+                    unique=True,
+                    min_size=1,
+                    max_size=6,
+                )
+            )
+            rows.extend((q, r + 1, d) for r, d in enumerate(docs))
+        out.append(rows)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sources=_rankings(), c=st.sampled_from([10, 60]))
+def test_rrf_fuse_matches_python_reference(spark, sources, c):
+    from music_streaming_data_pipeline_v2_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    dfs = {
+        f"s{i}": spark.createDataFrame(
+            rows, "query_id int, rank int, doc_id long"
+        )
+        for i, rows in enumerate(sources)
+    }
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.rrf_score, r.n_sources)
+        for r in rrf_fuse(dfs, k=100, c=c).collect()
+    }
+
+    acc: dict = {}
+    for rows in sources:
+        for q, r, d in rows:
+            ci, ns = acc.get((q, d), (0, 0))
+            acc[(q, d)] = (ci + round(1e9 / (c + r)), ns + 1)
+    want = {}
+    by_q: dict = {}
+    for (q, d), (ci, ns) in acc.items():
+        by_q.setdefault(q, []).append((d, ci, ns))
+    for q, items in by_q.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for pos, (d, ci, ns) in enumerate(items, start=1):
+            want[(q, d)] = (pos, ci / 1e9, ns)
+    assert got == want
+
+
+@st.composite
+def _metrics_instance(draw):
+    n_corpus = draw(st.integers(min_value=3, max_value=12))
+    labels = [(i, draw(st.integers(min_value=0, max_value=2))) for i in range(n_corpus)]
+    ranking = []
+    for q in range(draw(st.integers(min_value=1, max_value=3))):
+        nbrs = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_corpus - 1),
+                unique=True,
+                min_size=1,
+                max_size=min(5, n_corpus),
+            )
+        )
+        ranking.extend((q, r + 1, n) for r, n in enumerate(nbrs))
+    # every query id must carry a label (queries are corpus members)
+    return labels, ranking
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(inst=_metrics_instance(), k=st.sampled_from([3, 5]))
+def test_retrieval_metrics_matches_python_reference(spark, inst, k):
+    import math
+
+    from music_streaming_data_pipeline_v2_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    labels, ranking = inst
+    rdf = spark.createDataFrame(
+        ranking, "query_id long, rank int, neighbor_id long"
+    )
+    ldf = spark.createDataFrame(labels, "vec_id long, label int")
+    got = {
+        r.query_id: (r.n_relevant, r.first_rel_rank, r.mrr, r.ndcg)
+        for r in retrieval_metrics(rdf, ldf, k=k).collect()
+    }
+
+    lab = dict(labels)
+    class_n: dict = {}
+    for _, l in labels:
+        class_n[l] = class_n.get(l, 0) + 1
+
+    def t(i):
+        return round(1e9 / math.log2(i + 1))
+
+    want = {}
+    for q in {q for q, _, _ in ranking}:
+        if q not in lab:
+            continue
+        n_rel = class_n[lab[q]] - 1
+        hits = [
+            (r, 1 if lab.get(n) == lab[q] else 0)
+            for qq, r, n in ranking
+            if qq == q and r <= k
+        ]
+        rel_ranks = [r for r, rel in hits if rel]
+        frr = min(rel_ranks) if rel_ranks else None
+        mrr = 1.0 / frr if frr else 0.0
+        dcg = sum(t(r) for r in rel_ranks)
+        idcg = sum(t(i) for i in range(1, min(n_rel, k) + 1)) if n_rel > 0 else 0
+        ndcg = dcg / idcg if idcg > 0 else None
+        want[q] = (n_rel, frr, mrr, ndcg)
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=list("ab cde\txyz"), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_entropy_matches_python_reference(spark, texts):
+    import math
+
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        char_entropy,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()
+    }
+    want = {}
+    for i, t in rows:
+        if len(t) == 0:
+            continue
+        counts: dict = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(t)
+        h = sum(
+            round(-(c / n) * math.log2(c / n) * 1e9) for c in counts.values()
+        )
+        want[i] = (n, h / 1e9)
+    assert got == want
