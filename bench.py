@@ -414,6 +414,42 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_psi"
         timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental winnow (MOSS) overlap index over the same
+        # doc waves, plus one cross-batch pair read per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (
+            query_overlap_pairs,
+            run_incremental_winnow,
+        )
+
+        wn_in = os.path.join(work, "winnow", "in")
+        os.makedirs(wn_in, exist_ok=True)
+        wwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "winnow", "staged", f"w{wnum}")
+            docs.select("doc_id", "text").filter(key == wnum).repartition(
+                4
+            ).write.mode("overwrite").json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "winnow", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            wwaves.append(files)
+        wdirw = os.path.join(work, "winnow", "work")
+        t0 = time.monotonic()
+        for files in wwaves:
+            for f in files:
+                shutil.move(f, wn_in)
+            run_incremental_winnow(spark, wn_in, wdirw)
+            query_overlap_pairs(spark, wdirw).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_winnow"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 
 
