@@ -102,6 +102,12 @@ HEADLINE = [
     "nb_domain_routing",
     "concurrent_activity_pairs",
     "ccnet_quality_buckets",
+    # round 5 late: Gopher page-quality gate (map-only rule flags) and
+    # repetition signals (doc-keyed gram count — the boilerplate
+    # detector ahead of dedup)
+    "gopher_quality_rules",
+    "gopher_repetition_signals",
+    "source_ngram_overlap",
 ]
 
 

@@ -1,0 +1,247 @@
+"""Gopher-style document quality rules and repetition signals.
+
+The two cheap page-level filters every large-scale pretraining corpus
+runs before any expensive dedup or model-based scoring (Rae et al.,
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", 2021, §A1.1 — public paper; thresholds below are theirs):
+
+- :func:`gopher_quality_rules` — per-document rule flags (word count
+  bounds, mean word length bounds, alphabetic-word fraction, required
+  stopword hits) folded into one ``keep`` verdict. Entirely row-local
+  built-in expressions: a map-only stage, no shuffle, fully inside
+  whole-stage codegen — at 100 TB this is a pure scan-speed filter.
+- :func:`gopher_repetition` — per-document duplicate word-n-gram
+  character fraction and top-n-gram character fraction, the repetition
+  signals that catch boilerplate/spam pages. One token-row shuffle per
+  document key (posexplode + lead, the codegen-friendly gram builder
+  word_ngram_postings already measured 4× faster than higher-order
+  transform) plus one (doc, gram) partial-aggregated count — shuffle
+  volume ∝ distinct grams per document, never corpus-global state, so
+  documents parallelize perfectly across executors.
+
+Extends the reference ETL's row-quality gate (reference:
+dags/tasks/validate.py:50,70 — dropna over critical fields before any
+aggregation) to LLM-corpus granularity: same drop-early-at-the-scan
+position in the plan, content-level rules instead of null checks. All fractions are single divisions of
+exactly-aggregated integers — no float accumulation, so results are
+invariant to partitioning and aggregation order (the property the
+oracle hash requires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .packing import ENGINE_SAFE_WS
+
+#: Gopher's "must contain ≥ 2 of these" required-word rule (§A1.1).
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: Gopher §A1.1 thresholds.
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOPWORD_HITS = 2
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS), lambda t: t != F.lit("")
+    )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Gopher rule signals and the combined ``keep`` flag.
+
+    Signals (all row-local; nulls cannot arise — every denominator is
+    ``greatest(·, 1)``-guarded):
+
+    - ``n_words`` — whitespace token count;
+    - ``mean_word_len`` — non-whitespace characters / words;
+    - ``alpha_word_frac`` — fraction of words containing at least one
+      ``[A-Za-z]`` character;
+    - ``stopword_hits`` — how many DISTINCT required stopwords appear
+      (counted over the fixed list, so the count is deterministic and
+      order-free);
+    - one boolean flag per rule, and ``keep`` = AND of all flags.
+    """
+    w = _words(text_col)
+    lw = F.transform(w, F.lower)
+    n_words = F.size(w)
+    mean_len = F.length(F.concat_ws("", w)) / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS])
+    hits = F.size(F.filter(stop_arr, lambda s: F.array_contains(lw, s)))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        hits.cast("long").alias("stopword_hits"),
+    )
+    flag_wc = (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)
+    flag_mwl = (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= MAX_MEAN_WORD_LEN
+    )
+    flag_alpha = F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC
+    flag_stop = F.col("stopword_hits") >= MIN_STOPWORD_HITS
+    return (
+        out.withColumn("flag_word_count", flag_wc)
+        .withColumn("flag_mean_word_len", flag_mwl)
+        .withColumn("flag_alpha_words", flag_alpha)
+        .withColumn("flag_stopwords", flag_stop)
+        .withColumn(
+            "keep", flag_wc & flag_mwl & flag_alpha & flag_stop
+        )
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate / top word-n-gram character fractions per document.
+
+    For each document, over its multiset of word ``n``-grams (space
+    joined, occurrences NOT deduplicated):
+
+    - ``n_grams`` — total gram occurrences;
+    - ``dup_gram_char_frac`` — Σ over grams occurring more than once of
+      ``count × len(gram)``, divided by the document's character
+      length. Overlapping grams may push this above 1; it is a ranking
+      signal, not a probability, and the formula is fixed so the
+      DuckDB oracle can replay it exactly;
+    - ``top_gram`` / ``top_gram_char_frac`` — the most frequent gram
+      (ties → lexicographically smallest) and its ``count × len /
+      n_chars`` share.
+
+    Physical shape: posexplode tokens → ``lead`` window keyed on the
+    document id (ONE shuffle of short token rows) → count grams with
+    map-side partial aggregation → per-document fold → left join back
+    to the full document list so gram-less documents (fewer than ``n``
+    words) still score 0 rather than silently vanishing. Every
+    aggregate is an exact integer; the two fractions are single
+    int/int double divisions, so partitioning cannot perturb the hash.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w = Window.partitionBy("_id").orderBy("_pos")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
+    ).filter(F.col("_t") != "")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(w) for i in range(1, n)]
+    )
+    # gram + completeness probe in ONE projection (see
+    # text.py:word_ngram_postings for why a filter between window
+    # projections would corrupt tail grams).
+    grams = (
+        base.select(
+            F.col("_id"),
+            gram.alias("gram"),
+            F.lead("_t", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("_id", "gram")
+    )
+    counts = grams.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+    gram_chars = F.col("cnt") * F.length(F.col("gram"))
+    # min(struct(-cnt, gram)) = max count, ties → smallest gram.
+    top = F.min(
+        F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g"))
+    )
+    per_doc = counts.groupBy("_id").agg(
+        F.sum("cnt").alias("_n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, gram_chars)), F.lit(0)
+        ).alias("_dup_chars"),
+        top.alias("_top"),
+    )
+    docs = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_nc")
+    )
+    joined = docs.join(per_doc, docs[id_col] == per_doc["_id"], "left")
+    nc = F.greatest(F.col("_nc"), F.lit(1))
+    top_chars = (-F.col("_top.neg")) * F.length(F.col("_top.g"))
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("_n_grams"), F.lit(0)).alias("n_grams"),
+        (F.coalesce(F.col("_dup_chars"), F.lit(0)) / nc).alias(
+            "dup_gram_char_frac"
+        ),
+        F.col("_top.g").alias("top_gram"),
+        (F.coalesce(top_chars, F.lit(0)) / nc).alias("top_gram_char_frac"),
+    )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise word-n-gram overlap between corpus shards.
+
+    The inter-crawl redundancy audit (CCNet/C4 lineage): for every
+    source pair that shares at least one distinct word ``n``-gram,
+    emit the shared-gram count, each side's distinct-gram count, and
+    the gram-set Jaccard. Pairs with zero overlap are absent (the
+    matrix is sparse by construction — at 100 TB materializing empty
+    shard pairs would be shards² rows of zeros).
+
+    Physical shape: distinct (doc, gram) postings (text.py:
+    word_ngram_postings — codegen'd posexplode+lead) → join doc→source
+    → distinct (source, gram) → gram-keyed self-join. The self-join's
+    expansion is bounded by C(#sources, 2) PER GRAM — source-pair
+    fan-out, never document fan-out — and per-source totals broadcast.
+    All counts are exact integers; jaccard is one int/int division.
+    """
+    from .text import word_ngram_postings
+
+    posts = word_ngram_postings(df, n, text_col=text_col, id_col=id_col)
+    src_map = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    src_grams = (
+        posts.join(src_map, id_col).select("_src", "gram").distinct()
+    )
+    totals = src_grams.groupBy("_src").agg(F.count("*").alias("n_grams"))
+    a = src_grams.select(F.col("_src").alias("source_a"), "gram")
+    b = src_grams.select(F.col("_src").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("_src").alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("_src").alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -2008,3 +2008,152 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return lm_quality_buckets(docs, docs.filter(hash_bucket("doc_id") < 204))
+
+
+_ORACLE_GOPHER_RULES = rf"""
+WITH w AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_words,
+           LEN(ARRAY_TO_STRING(toks, ''))
+               / GREATEST(LEN(toks), 1) AS mean_word_len,
+           LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[A-Za-z]')))
+               / GREATEST(LEN(toks), 1) AS alpha_word_frac,
+           CAST(LEN(LIST_FILTER(
+               ['the','be','to','of','and','that','have','with'],
+               st -> LIST_CONTAINS(LIST_TRANSFORM(toks, t -> LOWER(t)), st)
+           )) AS BIGINT) AS stopword_hits
+    FROM w
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AS flag_mean_word_len,
+       (alpha_word_frac >= 0.80) AS flag_alpha_words,
+       (stopword_hits >= 2) AS flag_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (alpha_word_frac >= 0.80)
+        AND (stopword_hits >= 2)) AS keep
+FROM s
+"""
+
+
+@q("gopher_quality_rules", _ORACLE_GOPHER_RULES)
+def gopher_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 page-quality rule gate (operators/quality.py:
+    gopher_quality_rules): word-count / mean-word-length /
+    alphabetic-fraction / required-stopword flags and the combined
+    keep verdict. Row-local built-ins only — a map-only, codegen'd
+    scan filter; the published thresholds are literals in both
+    engines, and every fraction is one int/int double division."""
+    from ..operators.quality import gopher_quality_rules
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs)
+
+
+_ORACLE_GOPHER_REP = rf"""
+WITH w AS (
+    SELECT doc_id, LEN(text) AS n_chars,
+           LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM w, UNNEST(RANGE(1, LEN(toks))) AS r(i)
+    WHERE LEN(toks) >= 2
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1
+                         THEN cnt * LEN(gram) END), 0) AS BIGINT)
+               AS dup_chars
+    FROM c GROUP BY 1
+),
+top AS (
+    SELECT doc_id, gram AS top_gram, cnt * LEN(gram) AS top_chars
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1
+)
+SELECT w.doc_id,
+       COALESCE(agg.n_grams, 0) AS n_grams,
+       COALESCE(agg.dup_chars, 0) * 1.0 / GREATEST(w.n_chars, 1)
+           AS dup_gram_char_frac,
+       top.top_gram,
+       COALESCE(top.top_chars, 0) * 1.0 / GREATEST(w.n_chars, 1)
+           AS top_gram_char_frac
+FROM w
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN top ON top.doc_id = w.doc_id
+"""
+
+
+@q("gopher_repetition_signals", _ORACLE_GOPHER_REP)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/quality.py:
+    gopher_repetition): duplicate word-bigram character fraction and
+    top-bigram share per document — the boilerplate/spam detector run
+    before dedup. One doc-keyed token window + one partially-aggregated
+    (doc, gram) count; shuffle ∝ distinct grams per document. Exact
+    integer aggregates; ties on the top gram break lexicographically in
+    both engines."""
+    from ..operators.quality import gopher_repetition
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition(docs, n=2)
+
+
+def _oracle_source_overlap() -> str:
+    from .oracle_shared import _W
+
+    return f"""
+WITH g AS (
+    SELECT doc_id, source,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN({_W}) - 2),
+               i -> ARRAY_TO_STRING(({_W})[i : i + 3], ' ')
+           )) AS grams
+    FROM documents WHERE LEN({_W}) >= 4
+),
+sg AS (
+    SELECT DISTINCT source AS src, UNNEST(grams) AS gram FROM g
+),
+tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY src),
+sh AS (
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sg a JOIN sg b ON a.gram = b.gram AND a.src < b.src
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       n_shared * 1.0 / (ta.n + tb.n - n_shared) AS jaccard
+FROM sh
+JOIN tot ta ON ta.src = source_a
+JOIN tot tb ON tb.src = source_b
+"""
+
+
+@q("source_ngram_overlap", _oracle_source_overlap())
+def source_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-shard word-4-gram overlap matrix (operators/quality.py:
+    source_ngram_overlap) — the CCNet-style crawl-redundancy audit.
+    Distinct (source, gram) postings self-join on gram: expansion
+    bounded by C(#sources, 2) per gram, never document fan-out;
+    per-source totals broadcast; Jaccard is one int/int division."""
+    from ..operators.quality import source_ngram_overlap
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs, n=4)
