@@ -229,3 +229,39 @@ def compact_partitions(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and bucket-sorted) table.
+
+    The co-located-join layout for 100 TB fact⋈fact work: two tables
+    bucketed on the same key with the same bucket count join with NO
+    shuffle exchange on either side — each task reads bucket i of both
+    sides (and with ``sort_by`` on the key, no sort either: the
+    sort-merge join streams the pre-sorted buckets). The shuffle is
+    paid ONCE at write time instead of on every downstream join/agg —
+    the Spark-native equivalent of the co-partitioned layouts the
+    storage-layout section of SCALE.md argues for.
+
+    Bucketing requires the table-catalog writer (``saveAsTable`` —
+    plain ``parquet(path)`` drops bucket metadata); pass ``path`` to
+    keep the data in an external location. ``sort_by`` defaults to the
+    bucket key.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_by)
+        .sortBy(*(sort_by or bucket_by))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
