@@ -30,10 +30,10 @@ oracle hash requires).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .packing import ENGINE_SAFE_WS
+from .packing import engine_safe_tokens
 
 #: Gopher's "must contain ≥ 2 of these" required-word rule (§A1.1).
 REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -43,12 +43,6 @@ MIN_WORDS, MAX_WORDS = 50, 100_000
 MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
 MIN_ALPHA_WORD_FRAC = 0.80
 MIN_STOPWORD_HITS = 2
-
-
-def _words(text_col: str) -> Column:
-    return F.filter(
-        F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS), lambda t: t != F.lit("")
-    )
 
 
 def gopher_quality_rules(
@@ -70,7 +64,7 @@ def gopher_quality_rules(
       order-free);
     - one boolean flag per rule, and ``keep`` = AND of all flags.
     """
-    w = _words(text_col)
+    w = engine_safe_tokens(text_col)
     lw = F.transform(w, F.lower)
     n_words = F.size(w)
     mean_len = F.length(F.concat_ws("", w)) / F.greatest(n_words, F.lit(1))
@@ -135,26 +129,9 @@ def gopher_repetition(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
-    w = Window.partitionBy("_id").orderBy("_pos")
-    base = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
-    ).filter(F.col("_t") != "")
-    gram = F.concat_ws(
-        " ", F.col("_t"), *[F.lead("_t", i).over(w) for i in range(1, n)]
-    )
-    # gram + completeness probe in ONE projection (see
-    # text.py:word_ngram_postings for why a filter between window
-    # projections would corrupt tail grams).
-    grams = (
-        base.select(
-            F.col("_id"),
-            gram.alias("gram"),
-            F.lead("_t", n - 1).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("_id", "gram")
-    )
+    from .text import word_ngram_rows
+
+    grams = word_ngram_rows(df, n, text_col=text_col, id_col=id_col, out_id="_id")
     counts = grams.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
     gram_chars = F.col("cnt") * F.length(F.col("gram"))
     # min(struct(-cnt, gram)) = max count, ties → smallest gram.

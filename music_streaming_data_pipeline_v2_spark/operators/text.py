@@ -286,22 +286,25 @@ def word_ngrams(col: str | Column, n: int) -> Column:
     return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(empty))
 
 
-def word_ngram_postings(
+def word_ngram_rows(
     df: DataFrame,
     n: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_id: str = "doc_id",
 ) -> DataFrame:
-    """Distinct (doc, n-gram) postings via posexplode + lead windows.
+    """Non-distinct (doc, n-gram) occurrence rows via posexplode + lead
+    windows — the ONE gram builder every occurrence-aware consumer
+    shares (word_ngram_postings adds distinct();
+    quality.py:gopher_repetition counts the multiset).
 
-    Semantically identical to exploding ``word_ngrams`` but ~4× faster
-    measured: the higher-order ``transform(slice(...))`` form is
-    interpreted per gram (HOFs don't whole-stage-codegen), while
-    posexplode + ``lead`` chains stay inside codegen at the cost of one
-    doc-keyed window shuffle of short token rows — the right trade
-    whenever CPU, not shuffle, dominates (it does: the shuffle rows
-    are tokens, the HOF cost is per gram × per token)."""
+    ~4× faster measured than exploding ``word_ngrams``: the
+    higher-order ``transform(slice(...))`` form is interpreted per gram
+    (HOFs don't whole-stage-codegen), while posexplode + ``lead``
+    chains stay inside codegen at the cost of one doc-keyed window
+    shuffle of short token rows — the right trade whenever CPU, not
+    shuffle, dominates (it does: the shuffle rows are tokens, the HOF
+    cost is per gram × per token)."""
     from pyspark.sql import Window
 
     # plain split + post-explode row filter: the higher-order
@@ -329,8 +332,20 @@ def word_ngram_postings(
         )
         .filter(F.col("_last").isNotNull())
         .select(out_id, "gram")
-        .distinct()
     )
+
+
+def word_ngram_postings(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Distinct (doc, n-gram) postings — ``word_ngram_rows`` deduped."""
+    return word_ngram_rows(
+        df, n, text_col=text_col, id_col=id_col, out_id=out_id
+    ).distinct()
 
 
 def ngram_contamination(
