@@ -108,6 +108,7 @@ HEADLINE = [
     "gopher_quality_rules",
     "gopher_repetition_signals",
     "source_ngram_overlap",
+    "epoch_mix_plan",
 ]
 
 

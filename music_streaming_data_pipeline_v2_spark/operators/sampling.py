@@ -420,3 +420,82 @@ def temperature_sample(
         .filter(hash_uniform(key_col, salt="t|") < F.col(rate_col))
         .select(*df.columns, rate_col)
     )
+
+
+def epoch_mix_plan(
+    df: DataFrame,
+    tokens_per_source: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document repeat counts that hit a per-source token budget.
+
+    The data-recipe "epoching" step (DoReMi / Pile-style mixes,
+    public recipes): each source contributes ``tokens_per_source``
+    whitespace tokens to the training mix. Whole epochs repeat every
+    document ``budget DIV source_tokens`` times; the remainder
+    (``budget % source_tokens``) is filled by ONE extra pass over a
+    deterministic hash-ordered prefix of the source's documents —
+    documents whose cumulative token count starts strictly inside the
+    remainder get one extra repeat (greedy prefix, so the remainder
+    overshoots by at most one document rather than undershooting).
+
+    Everything is exact integer arithmetic on a per-source window
+    cumsum (the sequence_packing shape: one shuffle per source key,
+    sources pack independently across executors), so repeat counts are
+    partition- and engine-invariant. Output: id, source, n_tokens,
+    repeat_count.
+
+    A source with zero tokens (possible only if every document is
+    empty) yields repeat_count 0 — a DIV-by-zero guard, not a real
+    mix decision.
+    """
+    from pyspark.sql import Window
+
+    from .packing import engine_safe_tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w_tot = Window.partitionBy("source")
+    # hash-ordered cumulative tokens BEFORE each doc ('e|'-salted coin:
+    # an unsalted order would correlate with dataset_split's identity)
+    order = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col(id_col).cast("string"), salt="e|"),
+        F.col(id_col),
+    )
+    cum = (
+        F.sum("n_tokens").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tokens")
+    )
+    staged = toks.select(
+        id_col,
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_tot).alias("_src_tokens"),
+        cum.alias("_cum_before"),
+    )
+    b = int(tokens_per_source)
+    # DIV/% keep the epoch arithmetic in exact integers — a double
+    # division + floor can land one off when the true quotient sits
+    # next to an integer.
+    whole = F.expr(
+        f"CASE WHEN _src_tokens > 0 THEN CAST({b} AS BIGINT) DIV _src_tokens "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    rem = F.expr(
+        f"CASE WHEN _src_tokens > 0 THEN CAST({b} AS BIGINT) % _src_tokens "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    extra = (F.col("_cum_before") < rem).cast("long")
+    return staged.select(
+        id_col,
+        "source",
+        "n_tokens",
+        (whole + extra).alias("repeat_count"),
+    )

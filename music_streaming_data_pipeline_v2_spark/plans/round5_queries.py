@@ -2157,3 +2157,57 @@ def source_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return source_ngram_overlap(docs, n=4)
+
+
+_EPOCH_BUDGET = 10_000
+
+
+def _oracle_epoch_mix() -> str:
+    from .oracle_shared import _W
+
+    bkt = (
+        "(INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, CAST(LEN({_W}) AS BIGINT) AS n_tokens,
+           {bkt} AS bkt
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS src_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY bkt, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS BIGINT) AS cum_before
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(
+           (CASE WHEN src_tokens > 0
+                 THEN {_EPOCH_BUDGET} // src_tokens ELSE 0 END)
+           + (CASE WHEN cum_before <
+                   (CASE WHEN src_tokens > 0
+                         THEN {_EPOCH_BUDGET} % src_tokens ELSE 0 END)
+              THEN 1 ELSE 0 END)
+       AS BIGINT) AS repeat_count
+FROM c
+"""
+
+
+@q("epoch_mix_plan", _oracle_epoch_mix())
+def epoch_mix_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe epoching (operators/sampling.py:epoch_mix_plan):
+    per-document repeat counts hitting a 10k-token budget per source —
+    whole epochs by integer DIV, the remainder filled by one extra pass
+    over a hash-ordered prefix ('e|'-salted coin; greedy prefix via a
+    per-source window cumsum, the sequence_packing shape). Exact
+    integer arithmetic end to end."""
+    from ..operators.sampling import epoch_mix_plan
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_mix_plan(docs, tokens_per_source=_EPOCH_BUDGET)
