@@ -6,7 +6,9 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
 
 1. quality gate      — Gopher/C4-style score filter + unigram-LM
                        scoring (operators/text.py); PII and template
-                       audits alongside
+                       audits alongside; Gopher §A1.1 rule-flag audit
+                       and the inter-shard n-gram overlap matrix
+                       (operators/quality.py)
 2. exact dedup       — md5-fingerprint groupBy (operators/dedup.py)
 3. near-dup dedup    — exact-Jaccard clusters, cost-based routing
                        (operators/clustering.py:dedup_clusters_auto),
@@ -23,6 +25,8 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
 5b. domain match/mix — DSIR importance vs a target slice (Gumbel
                        top-k exemplars) + alpha-temperature language
                        flattening (operators/sampling.py)
+5c. data recipe      — per-source token-budget repeat plan
+                       (operators/sampling.py:epoch_mix_plan)
 8. boilerplate audit — heavy-hitter tokens (Misra-Gries + exact
                        verify, operators/frequency.py), reported not
                        dropped
@@ -88,7 +92,12 @@ from music_streaming_data_pipeline_v2_spark.operators.text import (
     unigram_logprob_score,
 )
 from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+    epoch_mix_plan,
     weighted_sample,
+)
+from music_streaming_data_pipeline_v2_spark.operators.quality import (
+    gopher_quality_rules,
+    source_ngram_overlap,
 )
 from music_streaming_data_pipeline_v2_spark.session import get_spark
 
@@ -116,6 +125,19 @@ def main() -> None:
 
     # 1c. template audit: per-source boilerplate 4-grams
     n_templates = template_ngrams(good, n=4, min_doc_frac=0.2).count()
+
+    # 1d. Gopher rule audit (report which rules bite — the score gate
+    # above already filtered; the flags say WHY documents would drop)
+    # and the inter-shard 4-gram overlap (which crawls duplicate each
+    # other — a shard-level signal the doc-level dedup below won't see)
+    rules = gopher_quality_rules(good)
+    n_rule_fail = rules.filter(~F.col("keep")).count()
+    worst_overlap = (
+        source_ngram_overlap(good, n=4)
+        .orderBy(F.desc("jaccard"))
+        .select("source_a", "source_b", "jaccard")
+        .first()
+    )
 
     # 2. exact dedup (keep min doc_id per identical normalized text)
     keep_exact = exact_dedup(good).select("doc_id")
@@ -180,6 +202,14 @@ def main() -> None:
         good, "lang", "doc_id", alpha=0.3, budget_frac=0.9
     ).drop("rate")
     n5b = good.count()
+
+    # 5c. data recipe: repeat counts hitting a 2k-token budget per
+    # source (whole epochs + hash-ordered remainder prefix) — what the
+    # training loader consumes alongside the packed bins
+    mix = epoch_mix_plan(good, tokens_per_source=2_000)
+    mix_tokens = (
+        mix.agg(F.sum(F.col("n_tokens") * F.col("repeat_count"))).first()[0]
+    )
 
     # 6. chunk to context windows, pack into token budgets
     chunks = chunk_documents(good, chunk_tokens=24, overlap=8)
@@ -246,6 +276,11 @@ def main() -> None:
     print(f"rebalanced:    {n5} kept")
     print(f"domain+mix:    {n5b} kept; DSIR exemplars "
           f"{[(r.doc_id, round(r.score, 3)) for r in exemplars]}")
+    print(f"gopher audit:  {n_rule_fail} docs fail a rule flag; "
+          f"worst shard overlap {worst_overlap['source_a']}~"
+          f"{worst_overlap['source_b']} J={worst_overlap['jaccard']:.3f}")
+    print(f"epoch mix:     {mix_tokens} total mixed tokens "
+          f"(2k/source budget)")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
     print(f"splits:        {splits} -> {out}")
     print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%); "
