@@ -109,6 +109,7 @@ HEADLINE = [
     "gopher_repetition_signals",
     "source_ngram_overlap",
     "epoch_mix_plan",
+    "vocab_oov_rate",
 ]
 
 

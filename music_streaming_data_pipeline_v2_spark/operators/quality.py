@@ -222,3 +222,68 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_corpus: DataFrame,
+    min_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus-derived
+    vocabulary — the tokenizer-prep coverage audit (how much of the
+    candidate corpus a vocabulary built from the reference split
+    actually covers).
+
+    Vocabulary = lowercased tokens appearing in at least
+    ``min_doc_freq`` DISTINCT documents of ``vocab_corpus``. Output:
+    ``(id, n_tokens, n_oov, oov_rate)`` over token OCCURRENCES, with a
+    left-join-back spine so token-less documents report rate 0 rather
+    than vanishing (the gopher_repetition contract).
+
+    Plan shape: the vocabulary is a vocabulary-sized aggregate of the
+    reference split only (never corpus-sized) and broadcast to the
+    scoring join; scoring is one codegen token explode + one doc-keyed
+    aggregate. Counts are exact integers; the rate is one int/int
+    double division.
+    """
+    from .packing import engine_safe_tokens
+
+    vocab = (
+        vocab_corpus.select(
+            F.col(id_col).alias("_vid"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(engine_safe_tokens(text_col), F.lower)
+                )
+            ).alias("_tok"),
+        )
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= int(min_doc_freq))
+        .select("_tok")
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(engine_safe_tokens(text_col), F.lower)
+        ).alias("_tok"),
+    )
+    scored = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "_tok", "left"
+    )
+    per = scored.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("_oov"),
+    )
+    spine = df.select(F.col(id_col))
+    out = spine.join(per, spine[id_col] == per["_id"], "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    oov = F.coalesce(F.col("_oov"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        oov.alias("n_oov"),
+        (oov / F.greatest(n, F.lit(1))).alias("oov_rate"),
+    )

@@ -3281,6 +3281,7 @@ _CHECK_FIRST = [
     "gopher_repetition_signals",
     "source_ngram_overlap",
     "epoch_mix_plan",
+    "vocab_oov_rate",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3299,14 +3300,14 @@ _CHECK_FIRST = [
     "rolling_7d_range",
     "salted_agg_equivalence",
     "serving_rank_between",
-    "serving_user_range",
-    # -- (token_stats / type_share_of_day / union_dedup /
-    #     user_sessions rotated back out to make room for the Gopher
-    #     quality/repetition pair, the source-overlap audit, and the
-    #     epoch-mix plan: new never-driver-checked queries always
-    #     outrank re-checks of already-driver-proven entries, and all
-    #     four displaced queries hold r1/r2-green rows plus per-run
-    #     pytest oracle parity. They head the r6 stale pool.)
+    # -- (serving_user_range / token_stats / type_share_of_day /
+    #     union_dedup / user_sessions rotated back out to make room
+    #     for the round-5-late additions (Gopher quality/repetition,
+    #     source-overlap audit, epoch-mix plan, OOV-rate audit): new
+    #     never-driver-checked queries always outrank re-checks of
+    #     already-driver-proven entries, and all five displaced
+    #     queries hold r1/r2-green rows plus per-run pytest oracle
+    #     parity. They head the r6 stale pool.)
     # -- (no r3-green re-check slots left this round: all remaining
     #     slots went to late round-5 registrants — the cluster-curation
     #     queries, the retrieval/packing/drift batch,

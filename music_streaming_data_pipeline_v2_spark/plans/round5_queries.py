@@ -2211,3 +2211,48 @@ def epoch_mix_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return epoch_mix_plan(docs, tokens_per_source=_EPOCH_BUDGET)
+
+
+def _oracle_oov() -> str:
+    from .oracle_shared import _BUCKET, _W
+
+    return f"""
+WITH v0 AS (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM({_W}, t -> LOWER(t)))) AS tok
+    FROM documents WHERE {_BUCKET} < 204
+),
+v AS (SELECT tok FROM v0 GROUP BY tok HAVING COUNT(*) >= 2),
+t AS (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM({_W}, t -> LOWER(t))) AS tok
+    FROM documents
+),
+p AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       COALESCE(p.n_oov, 0) * 1.0 / GREATEST(COALESCE(p.n_tokens, 0), 1)
+           AS oov_rate
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+@q("vocab_oov_rate", _oracle_oov())
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep coverage audit (operators/quality.py:oov_rate):
+    per-document OOV rate against the vocabulary of tokens seen in ≥2
+    documents of the content-hash train split (unsalted bucket < 204 —
+    the canonical SPLIT identity). The vocabulary is a
+    vocabulary-sized aggregate of the reference split only, broadcast
+    to the scoring join; counts exact, rate one int/int division."""
+    from ..operators.quality import oov_rate
+    from ..operators.sampling import hash_bucket
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, docs.filter(hash_bucket("doc_id") < 204), min_doc_freq=2)

@@ -109,3 +109,40 @@ def test_source_ngram_overlap_hand_case(spark):
     r = rows[("A", "B")]
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
     assert math.isclose(r["jaccard"], 1 / 3)
+
+
+def test_oov_rate_hand_case(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat", "x"),
+            (2, "dog bird", "x"),
+            (3, "cat NEW new", "x"),
+            (4, "", "x"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # vocab corpus = docs 1,2 with min_doc_freq=1 → {cat, dog, bird}
+    vocab_side = docs.filter("doc_id <= 2")
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab_side, 1).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 0)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 0)
+    # doc 3: tokens lowercased → cat,new,new — 'new' OOV twice
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (3, 2)
+    assert math.isclose(out[3]["oov_rate"], 2 / 3)
+    # empty doc survives with rate 0 via the spine
+    assert (out[4]["n_tokens"], out[4]["n_oov"], out[4]["oov_rate"]) == (0, 0, 0.0)
+
+
+def test_oov_rate_min_doc_freq(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "rare shared", "x"), (2, "shared", "x")],
+        "doc_id long, text string, source string",
+    )
+    # min_doc_freq=2: only 'shared' qualifies; 'rare' becomes OOV
+    out = {r["doc_id"]: r for r in oov_rate(docs, docs, 2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (2, 1)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (1, 0)
