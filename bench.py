@@ -110,6 +110,9 @@ HEADLINE = [
     "source_ngram_overlap",
     "epoch_mix_plan",
     "vocab_oov_rate",
+    "cm_token_counts",
+    "vocab_coverage_curve",
+    "unimax_allocation",
 ]
 
 

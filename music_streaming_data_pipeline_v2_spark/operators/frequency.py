@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -108,3 +108,95 @@ def frequent_items(
         .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= threshold)
     )
+
+
+def cm_bucket(key: str | Column, depth_row: int, width: int) -> Column:
+    """Count-min bucket of ``key`` for hash row ``depth_row`` —
+    md5('cm{d}|' + key) first-4-hex-digit arithmetic mod ``width``,
+    the same content-addressed construction as
+    ``sampling.hash_bucket`` so a SQL oracle can replay every cell
+    placement digit by digit (no engine-private hash functions).
+    ``width`` ≤ 65536 (the 4-digit value space)."""
+    if not 1 <= width <= 65536:
+        raise ValueError("width must be in [1, 65536]")
+    from .sampling import _hexval
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"cm{depth_row}|"), c.cast("string")))
+    v = F.lit(0)
+    for j in range(4):
+        v = v * 16 + _hexval(F.substring(h, j + 1, 1))
+    return (v % F.lit(width)).cast("int")
+
+
+def count_min_cells(
+    df: DataFrame, col: str, width: int, depth: int
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``col``: ``depth`` hash rows × ``width`` buckets, each cell the
+    exact count of keys hashing into it. Returns
+    ``(depth_row, bucket, cell_count)`` — ≤ depth×width rows total.
+
+    Scale shape: one stack of ``depth`` map-side projections unioned,
+    then a single hash aggregate on (depth_row, bucket) with map-side
+    partial combine — the shuffle is ≤ n_partitions × depth × width
+    summary rows no matter how many distinct keys the corpus holds
+    (the same bounded-summary contract as the Misra-Gries builder
+    above). The finished sketch is broadcastable state: point-lookup
+    joins against it never shuffle the probe side, and two sketches
+    over disjoint corpora merge by cell-wise addition (cells are plain
+    sums), which is what makes the sketch incrementally maintainable
+    at ingest."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    values = df.select(F.col(col).alias("_key")).filter(
+        F.col("_key").isNotNull()
+    )
+    rows = [
+        values.select(
+            F.lit(d).alias("depth_row"),
+            cm_bucket(F.col("_key"), d, width).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionByName(r)
+    return stacked.groupBy("depth_row", "bucket").agg(
+        F.count("*").alias("cell_count")
+    )
+
+
+def count_min_estimate(
+    keys: DataFrame,
+    cells: DataFrame,
+    col: str,
+    width: int,
+    depth: int,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[col]`` from a sketch built
+    by ``count_min_cells`` with the same (width, depth): the classic
+    min-over-rows readout, ``est = min_d cell[d][h_d(key)]``. Estimates
+    NEVER undercount (every cell is a superset sum) and overshoot by
+    collision mass only — E[err] ≤ n/width per row, min over rows.
+
+    The sketch side is depth×width rows and is broadcast; the probe is
+    ``depth`` broadcast-hash lookups per key and one key-grouped min —
+    the keys relation streams through map-side, nothing corpus-sized
+    shuffles."""
+    probes = [
+        keys.select(
+            F.col(col),
+            F.lit(d).alias("depth_row"),
+            cm_bucket(F.col(col), d, width).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    stacked = probes[0]
+    for p in probes[1:]:
+        stacked = stacked.unionByName(p)
+    joined = stacked.join(
+        F.broadcast(cells), ["depth_row", "bucket"], "left"
+    ).withColumn("_c", F.coalesce(F.col("cell_count"), F.lit(0).cast("long")))
+    return joined.groupBy(col).agg(F.min("_c").alias(out_col))

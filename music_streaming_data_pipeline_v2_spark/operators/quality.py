@@ -287,3 +287,80 @@ def oov_rate(
         oov.alias("n_oov"),
         (oov / F.greatest(n, F.lit(1))).alias("oov_rate"),
     )
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    sizes: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-occurrence coverage of the top-N frequency-ranked
+    vocabulary for each N in ``sizes`` — the tokenizer-sizing curve
+    (how large a word-level vocabulary must be before OOV mass stops
+    mattering; the frequency-cutoff step of WordPiece/BPE vocabulary
+    selection). Output: ``(vocab_size, covered_occurrences,
+    total_occurrences, coverage)``, counts exact integers, ties in the
+    frequency ranking broken by token string so the curve is
+    engine-invariant.
+
+    Scale shape: token counts are one corpus-keyed hash aggregate
+    (map-side combine); the top-``max(sizes)`` cut is Spark's
+    TakeOrderedAndProject — per-partition partial top-K merged once,
+    never a global sort; everything after operates on ≤ max(sizes)
+    rows (a constant), so the single-partition rank/cumsum window over
+    the cut is bounded by the caller's largest N, not by the corpus or
+    the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    from .packing import engine_safe_tokens
+
+    if not sizes or any(n < 1 for n in sizes):
+        raise ValueError("sizes must be non-empty positive ints")
+    max_n = max(sizes)
+    counts = (
+        df.select(
+            F.explode(
+                F.transform(engine_safe_tokens(text_col), F.lower)
+            ).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias(
+            "total_occurrences"
+        )
+    )
+    top = counts.orderBy(F.desc("_cnt"), F.asc("_tok")).limit(max_n)
+    # bounded relation from here: ≤ max(sizes) rows
+    w = Window.orderBy(F.desc("_cnt"), F.asc("_tok"))
+    ranked = top.select(
+        F.col("_cnt"), F.row_number().over(w).alias("_rank")
+    )
+    spark = df.sparkSession
+    size_rows = spark.createDataFrame(
+        [(int(n),) for n in sorted(set(sizes))], "vocab_size int"
+    )
+    covered = (
+        size_rows.join(ranked, ranked["_rank"] <= size_rows["vocab_size"])
+        .groupBy("vocab_size")
+        .agg(F.sum("_cnt").cast("long").alias("covered_occurrences"))
+    )
+    # left join back onto the size spine: an empty corpus (or a size
+    # list against zero tokens) reports coverage 0, not zero rows
+    out = (
+        size_rows.join(covered, "vocab_size", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.coalesce(F.col("covered_occurrences"), F.lit(0))
+            .cast("long")
+            .alias("covered_occurrences"),
+            "total_occurrences",
+            (
+                F.coalesce(F.col("covered_occurrences"), F.lit(0))
+                / F.greatest(F.col("total_occurrences"), F.lit(1))
+            ).alias("coverage"),
+        )
+    )
+    return out

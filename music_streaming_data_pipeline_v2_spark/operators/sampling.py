@@ -499,3 +499,99 @@ def epoch_mix_plan(
         "n_tokens",
         (whole + extra).alias("repeat_count"),
     )
+
+def unimax_plan(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a
+    TOTAL token budget across sources as uniformly as possible,
+    capping every source at ``max_epochs`` passes over its own data —
+    the repeat-cap companion to ``epoch_mix_plan`` (which takes the
+    per-source budget as given; this operator decides it).
+
+    Closed form instead of the paper's sequential loop: sort sources
+    ascending by cap ``c_i = max_epochs·s_i`` (tie by name). With
+    ``P_k`` the ascending cap prefix sum, ``f(k) = P_{k-1} +
+    c_k·(n-k+1)`` is nondecreasing (difference ``(n-k)(c_{k+1}-c_k) ≥
+    0``), so the capped sources are exactly the prefix ``f(k) ≤ B``:
+    each of those takes its full cap, and the remainder ``R = B - P_m``
+    splits evenly over the ``u = n-m`` uncapped sources — ``R DIV u``
+    each, the first ``R % u`` (ascending) getting one extra token. The
+    smallest uncapped cap satisfies ``c_{m+1}·u > R``, hence ``c_{m+1}
+    ≥ R DIV u + 1``: equal shares never breach a cap. Everything is
+    exact BIGINT arithmetic (prefix sums, DIV, %), so the plan is
+    partition- and engine-invariant; ``sum(alloc) = min(B, Σc_i)``.
+
+    Scale shape: one corpus-keyed hash aggregate (tokens per source,
+    map-side combine) reduces the input to a SOURCE-COUNT-sized
+    relation; the ordered windows after it are bounded by the number
+    of sources (tens to thousands in any real mix), the same
+    bounded-single-reducer trade as ``lm_quality_buckets`` documents
+    per language. Output: ``(source, source_tokens, cap_tokens,
+    alloc_tokens, capped)``.
+    """
+    from pyspark.sql import Window
+
+    from .packing import engine_safe_tokens
+
+    if total_budget < 0 or max_epochs < 0:
+        raise ValueError("total_budget and max_epochs must be >= 0")
+    b = int(total_budget)
+    src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(engine_safe_tokens(text_col)).cast("long").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("source_tokens"))
+        .withColumn(
+            "cap_tokens",
+            (F.col("source_tokens") * F.lit(int(max_epochs))).cast("long"),
+        )
+    )
+    # bounded relation from here: one row per source
+    w_ord = Window.orderBy(F.asc("cap_tokens"), F.asc("source"))
+    w_all = Window.partitionBy()
+    staged = src.select(
+        "source",
+        "source_tokens",
+        "cap_tokens",
+        F.row_number().over(w_ord).alias("_k"),
+        (
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("cap_tokens")
+        ).alias("_p_before"),
+        F.count("*").over(w_all).alias("_n"),
+    ).withColumn(
+        "capped",
+        F.col("_p_before")
+        + F.col("cap_tokens") * (F.col("_n") - F.col("_k") + 1)
+        <= F.lit(b),
+    )
+    totals = staged.withColumn(
+        "_m", F.sum(F.col("capped").cast("long")).over(w_all)
+    ).withColumn(
+        "_p_m",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    )
+    share = F.expr("CASE WHEN _n > _m THEN (%d - _p_m) DIV (_n - _m) ELSE 0 END" % b)
+    extra_cut = F.expr("CASE WHEN _n > _m THEN (%d - _p_m) %% (_n - _m) ELSE 0 END" % b)
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        share + ((F.col("_k") - F.col("_m")) <= extra_cut).cast("long")
+    )
+    return totals.select(
+        "source",
+        "source_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+    )

@@ -3282,6 +3282,9 @@ _CHECK_FIRST = [
     "source_ngram_overlap",
     "epoch_mix_plan",
     "vocab_oov_rate",
+    "cm_token_counts",
+    "vocab_coverage_curve",
+    "unimax_allocation",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3291,21 +3294,20 @@ _CHECK_FIRST = [
     "ann_ivf_recall",
     "bloom_decontamination",
     # -- 2. stalest re-checks (last driver row: round 1/2)
-    "asof_user_setting",
-    "brand_stats_having",
-    "day_over_day",
     "embedding_near_dups_exact",
     "except_entities",
     "lang_detect_counts",
     "rolling_7d_range",
     "salted_agg_equivalence",
     "serving_rank_between",
-    # -- (serving_user_range / token_stats / type_share_of_day /
+    # -- (asof_user_setting / brand_stats_having / day_over_day /
+    #     serving_user_range / token_stats / type_share_of_day /
     #     union_dedup / user_sessions rotated back out to make room
     #     for the round-5-late additions (Gopher quality/repetition,
-    #     source-overlap audit, epoch-mix plan, OOV-rate audit): new
-    #     never-driver-checked queries always outrank re-checks of
-    #     already-driver-proven entries, and all five displaced
+    #     source-overlap audit, epoch-mix plan, OOV-rate audit,
+    #     count-min sketch, vocab coverage curve, UniMax allocation):
+    #     new never-driver-checked queries always outrank re-checks of
+    #     already-driver-proven entries, and all eight displaced
     #     queries hold r1/r2-green rows plus per-run pytest oracle
     #     parity. They head the r6 stale pool.)
     # -- (no r3-green re-check slots left this round: all remaining

@@ -2256,3 +2256,207 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return oov_rate(docs, docs.filter(hash_bucket("doc_id") < 204), min_doc_freq=2)
+
+
+_CM_WIDTH, _CM_DEPTH = 2048, 4
+
+
+def _cm_bucket_sql(width: int) -> str:
+    """DuckDB twin of operators/frequency.py:cm_bucket — md5 of
+    'cm{depth_row}|{token}', first 4 hex digits as a 16-bit value mod
+    ``width`` (columns ``depth_row`` and ``token`` in scope)."""
+    h = "MD5('cm' || CAST(depth_row AS VARCHAR) || '|' || token)"
+
+    def digit(i: int) -> str:
+        return f"(INSTR('0123456789abcdef', SUBSTRING({h}, {i}, 1)) - 1)"
+
+    return (
+        f"(({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 "
+        f"+ {digit(4)}) % {width})"
+    )
+
+
+def _oracle_cm() -> str:
+    from .oracle_shared import _W
+
+    b = _cm_bucket_sql(_CM_WIDTH)
+    return f"""
+WITH toks AS (
+    SELECT LOWER(t.tok) AS token FROM documents, UNNEST({_W}) AS t(tok)
+),
+keys AS (
+    SELECT DISTINCT LOWER(t.tok) AS token
+    FROM documents, UNNEST({_W}) AS t(tok) WHERE doc_id < 10
+),
+d(depth_row) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+    SELECT depth_row, {b} AS bucket, COUNT(*) AS cnt
+    FROM toks CROSS JOIN d GROUP BY 1, 2
+),
+kb AS (SELECT token, depth_row, {b} AS bucket FROM keys CROSS JOIN d),
+est AS (
+    SELECT token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+    FROM kb LEFT JOIN cells USING (depth_row, bucket) GROUP BY token
+),
+exact AS (
+    SELECT token, COUNT(*) AS exact_count
+    FROM toks JOIN keys USING (token) GROUP BY token
+)
+SELECT token, est_count, exact_count FROM est JOIN exact USING (token)
+"""
+
+
+@q("cm_token_counts", _oracle_cm())
+def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency readout
+    (operators/frequency.py:count_min_cells/count_min_estimate): a
+    4×2048 sketch over every lowercased token occurrence, probed for
+    the distinct tokens of documents 0-9, beside the exact counts. The
+    oracle replays every md5 cell placement digit by digit, so the
+    sketch state itself — not just a property of it — is hash-checked;
+    the est ≥ exact overcount guarantee is pinned in
+    tests/test_frequency.py."""
+    from ..operators.frequency import count_min_cells, count_min_estimate
+    from ..operators.packing import engine_safe_tokens
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.transform(engine_safe_tokens("text"), F.lower)).alias(
+            "token"
+        )
+    )
+    keys = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(engine_safe_tokens("text"), F.lower)
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    cells = count_min_cells(toks, "token", _CM_WIDTH, _CM_DEPTH)
+    est = count_min_estimate(keys, cells, "token", _CM_WIDTH, _CM_DEPTH)
+    exact = (
+        toks.join(keys, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "token").select(
+        "token", "est_count", "exact_count"
+    )
+
+
+_CURVE_SIZES = [16, 64, 256, 1024, 4096]
+
+
+def _oracle_curve() -> str:
+    from .oracle_shared import _W
+
+    values = ", ".join(f"({n})" for n in _CURVE_SIZES)
+    return f"""
+WITH tok AS (
+    SELECT LOWER(t.tok) AS token FROM documents, UNNEST({_W}) AS t(tok)
+),
+cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+ranked AS (
+    SELECT cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+    FROM cnts
+),
+tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS total FROM cnts),
+sizes(vocab_size) AS (VALUES {values})
+SELECT s.vocab_size,
+       CAST(COALESCE(SUM(ranked.cnt), 0) AS BIGINT) AS covered_occurrences,
+       tot.total AS total_occurrences,
+       CAST(COALESCE(SUM(ranked.cnt), 0) AS BIGINT) * 1.0
+           / GREATEST(tot.total, 1) AS coverage
+FROM sizes s CROSS JOIN tot LEFT JOIN ranked ON ranked.r <= s.vocab_size
+GROUP BY s.vocab_size, tot.total
+"""
+
+
+@q("vocab_coverage_curve", _oracle_curve())
+def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve (operators/quality.py:
+    vocab_coverage_curve): fraction of token occurrences covered by
+    the top-N frequency-ranked vocabulary for N in {16..4096}. The
+    top-N cut is TakeOrderedAndProject (per-partition partial top-K,
+    no global sort); ranking ties break on the token string so the
+    curve is engine-invariant."""
+    from ..operators.quality import vocab_coverage_curve
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_curve(docs, _CURVE_SIZES)
+
+
+_UNIMAX_BUDGET, _UNIMAX_EPOCHS = 65_000, 3
+
+
+def _oracle_unimax() -> str:
+    from .oracle_shared import _W
+
+    b, e = _UNIMAX_BUDGET, _UNIMAX_EPOCHS
+    return f"""
+WITH src AS (
+    SELECT lang AS source, CAST(SUM(LEN({_W})) AS BIGINT) AS source_tokens
+    FROM documents GROUP BY lang
+),
+caps AS (
+    SELECT source, source_tokens,
+           CAST(source_tokens * {e} AS BIGINT) AS cap_tokens
+    FROM src
+),
+staged AS (
+    SELECT source, source_tokens, cap_tokens,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+           CAST(SUM(cap_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cap_tokens AS BIGINT) AS p_before,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM caps
+    WINDOW w AS (ORDER BY cap_tokens ASC, source ASC)
+),
+flagged AS (
+    SELECT *,
+           (p_before + cap_tokens * (n - k + 1) <= {b}) AS capped
+    FROM staged
+),
+tot AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                AS BIGINT) AS m,
+           CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END)
+                OVER (), 0) AS BIGINT) AS p_m
+    FROM flagged
+)
+SELECT source, source_tokens, cap_tokens,
+       CAST(CASE WHEN capped THEN cap_tokens
+            ELSE ({b} - p_m) // NULLIF(n - m, 0)
+                 + CASE WHEN (k - m) <= ({b} - p_m) % NULLIF(n - m, 0)
+                        THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_tokens,
+       capped
+FROM tot
+"""
+
+
+@q("unimax_allocation", _oracle_unimax())
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation over languages
+    (operators/sampling.py:unimax_plan): a 65k-token total budget
+    split as evenly as the 3-epoch repeat cap allows — small languages
+    take their full cap (the ascending-cap prefix), the rest share the
+    remainder in exact integer arithmetic. Both branches are live at
+    every sf (the en share is ~3× the others). The oracle replays the
+    closed-form prefix-sum allocation window by window."""
+    from ..operators.sampling import unimax_plan
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_plan(
+        docs, _UNIMAX_BUDGET, _UNIMAX_EPOCHS, source_col="lang"
+    )

@@ -54,3 +54,57 @@ def test_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_unimax_hand_case_both_branches(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        unimax_plan,
+    )
+
+    # tokens: tiny=2, small=4, big=10; caps ×2 → 4, 8, 20 (sum 32)
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2", "tiny"),
+            (2, "s1 s2 s3 s4", "small"),
+            (3, " ".join(f"b{i}" for i in range(10)), "big"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # B=15: f(1)=4*3=12 ≤ 15 → tiny capped; f(2)=4+8*2=20 > 15 →
+    # small/big uncapped, R=11 over 2 → 6 and 5 (first ascending +1)
+    out = {
+        r["source"]: r for r in unimax_plan(docs, 15, 2).collect()
+    }
+    assert (out["tiny"]["alloc_tokens"], out["tiny"]["capped"]) == (4, True)
+    assert (out["small"]["alloc_tokens"], out["small"]["capped"]) == (6, False)
+    assert (out["big"]["alloc_tokens"], out["big"]["capped"]) == (5, False)
+    assert sum(r["alloc_tokens"] for r in out.values()) == 15
+
+    # budget above every cap: everyone capped, surplus unallocated
+    out2 = {r["source"]: r for r in unimax_plan(docs, 100, 2).collect()}
+    assert all(r["capped"] for r in out2.values())
+    assert sum(r["alloc_tokens"] for r in out2.values()) == 32
+
+
+def test_unimax_conservation_and_caps_fuzz(spark):
+    """sum(alloc) = min(B, Σcap) and alloc ≤ cap, across budgets that
+    sweep the capped prefix from empty to full."""
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        unimax_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(n)), f"s{i}")
+            for i, n in enumerate([1, 3, 3, 7, 20, 55])
+        ],
+        "doc_id long, text string, source string",
+    )
+    cap_sum = (1 + 3 + 3 + 7 + 20 + 55) * 3
+    for budget in (0, 1, 5, 17, 50, 120, cap_sum - 1, cap_sum, cap_sum + 9):
+        rows = unimax_plan(docs, budget, 3).collect()
+        assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in rows), budget
+        assert all(r["alloc_tokens"] >= 0 for r in rows), budget
+        assert sum(r["alloc_tokens"] for r in rows) == min(budget, cap_sum), (
+            budget
+        )

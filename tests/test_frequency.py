@@ -83,3 +83,65 @@ def test_nulls_ignored(spark):
            for r in frequent_items(df, "value", 0.5).collect()}
     # n counts non-null rows only: 4 rows, threshold 2 → only 'a'
     assert got == {("a", 3)}
+
+
+def test_count_min_never_undercounts_and_exact_at_wide_width(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    df = _zipf_df(spark, n_rows=5000, n_parts=4)
+    exact = {
+        r["value"]: r["c"]
+        for r in df.groupBy("value").agg(F.count("*").alias("c")).collect()
+    }
+    keys = df.select("value").distinct()
+
+    # narrow sketch: collisions certain, but never an undercount
+    cells = count_min_cells(df, "value", width=64, depth=3)
+    est = {
+        r["value"]: r["est_count"]
+        for r in count_min_estimate(keys, cells, "value", 64, 3).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    # total sketch mass per depth row equals the row count
+    per_depth = {
+        r["depth_row"]: r["s"]
+        for r in cells.groupBy("depth_row")
+        .agg(F.sum("cell_count").alias("s"))
+        .collect()
+    }
+    assert per_depth == {0: 5000, 1: 5000, 2: 5000}
+
+    # width >> distinct values: estimates collapse to exact counts
+    wide = count_min_cells(df, "value", width=65536, depth=4)
+    est_w = {
+        r["value"]: r["est_count"]
+        for r in count_min_estimate(keys, wide, "value", 65536, 4).collect()
+    }
+    assert est_w == exact
+
+
+def test_count_min_mergeable_cells(spark):
+    """Sketches over disjoint corpora merge by cell-wise addition."""
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    df = _zipf_df(spark, n_rows=2000, n_parts=4)
+    a = df.filter(F.col("value").startswith("hot"))
+    b = df.filter(~F.col("value").startswith("hot"))
+    merged = (
+        count_min_cells(a, "value", 128, 2)
+        .unionByName(count_min_cells(b, "value", 128, 2))
+        .groupBy("depth_row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    whole = count_min_cells(df, "value", 128, 2)
+    keys = df.select("value").distinct()
+    got = count_min_estimate(keys, merged, "value", 128, 2).collect()
+    want = count_min_estimate(keys, whole, "value", 128, 2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -146,3 +146,43 @@ def test_oov_rate_min_doc_freq(spark):
     out = {r["doc_id"]: r for r in oov_rate(docs, docs, 2).collect()}
     assert (out[1]["n_tokens"], out[1]["n_oov"]) == (2, 1)
     assert (out[2]["n_tokens"], out[2]["n_oov"]) == (1, 0)
+
+
+def test_vocab_coverage_curve_hand_case(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        vocab_coverage_curve,
+    )
+
+    docs = spark.createDataFrame(
+        # case-folded counts: a=4, b=3, c=3, d=1 → total 11; the b/c
+        # tie at 3 breaks on the token string (b first)
+        [(1, "a a b C"), (2, "a b c d"), (3, "A b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["vocab_size"]: r
+        for r in vocab_coverage_curve(docs, [1, 2, 3, 10]).collect()
+    }
+    assert [
+        (out[n]["covered_occurrences"], out[n]["total_occurrences"])
+        for n in (1, 2, 3, 10)
+    ] == [(4, 11), (7, 11), (10, 11), (11, 11)]
+    assert math.isclose(out[2]["coverage"], 7 / 11)
+    # sizes beyond the vocabulary saturate at total, never overshoot
+    assert math.isclose(out[10]["coverage"], 1.0)
+
+
+def test_vocab_coverage_curve_tie_break_deterministic(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        vocab_coverage_curve,
+    )
+
+    # x and y tie at 2 occurrences; z has 3 — top-2 must be {z, x}
+    docs = spark.createDataFrame(
+        [(1, "z z z x x y y")], "doc_id long, text string"
+    )
+    out = {
+        r["vocab_size"]: r["covered_occurrences"]
+        for r in vocab_coverage_curve(docs, [1, 2]).collect()
+    }
+    assert out == {1: 3, 2: 5}

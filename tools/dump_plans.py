@@ -157,6 +157,10 @@ def main() -> None:
             "relations (raw/target feature counts) cross-joined onto "
             "the 256-row bucket log-ratio table — constant-size "
             "regardless of corpus",
+        "vocab_coverage_curve": "the rank ≤ vocab_size non-equi join "
+            "of the |sizes|-row spine × the top-max(N) cut, plus the "
+            "broadcast 1-row total — both sides bounded by the "
+            "caller's constant size list, never the corpus",
         }
         if s["bad"]:
             if name in intended_nlj:
