@@ -113,6 +113,7 @@ HEADLINE = [
     "cm_token_counts",
     "vocab_coverage_curve",
     "unimax_allocation",
+    "recipe_epochs_unimax",
 ]
 
 

@@ -93,6 +93,7 @@ from music_streaming_data_pipeline_v2_spark.operators.text import (
 )
 from music_streaming_data_pipeline_v2_spark.operators.sampling import (
     epoch_mix_plan,
+    unimax_plan,
     weighted_sample,
 )
 from music_streaming_data_pipeline_v2_spark.operators.quality import (
@@ -203,10 +204,16 @@ def main() -> None:
     ).drop("rate")
     n5b = good.count()
 
-    # 5c. data recipe: repeat counts hitting a 2k-token budget per
-    # source (whole epochs + hash-ordered remainder prefix) — what the
-    # training loader consumes alongside the packed bins
-    mix = epoch_mix_plan(good, tokens_per_source=2_000)
+    # 5c. data recipe: ONE total budget water-filled into per-source
+    # allocations (UniMax, 4-epoch repeat cap), then each allocation
+    # turned into per-document repeat counts (whole epochs +
+    # hash-ordered remainder prefix) — what the training loader
+    # consumes alongside the packed bins
+    alloc = unimax_plan(good, total_budget=8_000, max_epochs=4)
+    budgets = alloc.select(
+        "source", F.col("alloc_tokens").alias("budget_tokens")
+    )
+    mix = epoch_mix_plan(good, budgets=budgets)
     mix_tokens = (
         mix.agg(F.sum(F.col("n_tokens") * F.col("repeat_count"))).first()[0]
     )
@@ -280,7 +287,7 @@ def main() -> None:
           f"worst shard overlap {worst_overlap['source_a']}~"
           f"{worst_overlap['source_b']} J={worst_overlap['jaccard']:.3f}")
     print(f"epoch mix:     {mix_tokens} total mixed tokens "
-          f"(2k/source budget)")
+          f"(8k total, UniMax-allocated, 4-epoch cap)")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")
     print(f"splits:        {splits} -> {out}")
     print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%); "

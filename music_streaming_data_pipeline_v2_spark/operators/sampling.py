@@ -424,28 +424,36 @@ def temperature_sample(
 
 def epoch_mix_plan(
     df: DataFrame,
-    tokens_per_source: int,
+    tokens_per_source: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document repeat counts that hit a per-source token budget.
 
     The data-recipe "epoching" step (DoReMi / Pile-style mixes,
-    public recipes): each source contributes ``tokens_per_source``
-    whitespace tokens to the training mix. Whole epochs repeat every
-    document ``budget DIV source_tokens`` times; the remainder
-    (``budget % source_tokens``) is filled by ONE extra pass over a
-    deterministic hash-ordered prefix of the source's documents —
-    documents whose cumulative token count starts strictly inside the
-    remainder get one extra repeat (greedy prefix, so the remainder
-    overshoots by at most one document rather than undershooting).
+    public recipes): each source contributes its budget of whitespace
+    tokens to the training mix — either the same scalar
+    ``tokens_per_source`` for every source, or a per-source
+    ``budgets`` relation ``(source, budget_tokens)`` (what
+    ``unimax_plan`` emits: total budget → per-source allocations →
+    this operator turns each allocation into repeat counts). Exactly
+    one of the two must be given; a source absent from ``budgets``
+    gets budget 0. Whole epochs repeat every document ``budget DIV
+    source_tokens`` times; the remainder (``budget % source_tokens``)
+    is filled by ONE extra pass over a deterministic hash-ordered
+    prefix of the source's documents — documents whose cumulative
+    token count starts strictly inside the remainder get one extra
+    repeat (greedy prefix, so the remainder overshoots by at most one
+    document rather than undershooting).
 
     Everything is exact integer arithmetic on a per-source window
     cumsum (the sequence_packing shape: one shuffle per source key,
     sources pack independently across executors), so repeat counts are
-    partition- and engine-invariant. Output: id, source, n_tokens,
-    repeat_count.
+    partition- and engine-invariant; the ``budgets`` join is a
+    broadcast of the source-count-sized relation onto that same
+    shuffle. Output: id, source, n_tokens, repeat_count.
 
     A source with zero tokens (possible only if every document is
     empty) yields repeat_count 0 — a DIV-by-zero guard, not a real
@@ -455,11 +463,32 @@ def epoch_mix_plan(
 
     from .packing import engine_safe_tokens
 
+    if (tokens_per_source is None) == (budgets is None):
+        raise ValueError(
+            "pass exactly one of tokens_per_source or budgets"
+        )
     toks = df.select(
         F.col(id_col),
         F.col(source_col).alias("source"),
         F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
     )
+    if budgets is not None:
+        toks = toks.join(
+            F.broadcast(
+                budgets.select(
+                    F.col("source"),
+                    F.col("budget_tokens").cast("long").alias("_budget"),
+                )
+            ),
+            "source",
+            "left",
+        ).withColumn(
+            "_budget", F.coalesce(F.col("_budget"), F.lit(0).cast("long"))
+        )
+    else:
+        toks = toks.withColumn(
+            "_budget", F.lit(int(tokens_per_source)).cast("long")
+        )
     w_tot = Window.partitionBy("source")
     # hash-ordered cumulative tokens BEFORE each doc ('e|'-salted coin:
     # an unsalted order would correlate with dataset_split's identity)
@@ -477,19 +506,19 @@ def epoch_mix_plan(
         id_col,
         "source",
         "n_tokens",
+        "_budget",
         F.sum("n_tokens").over(w_tot).alias("_src_tokens"),
         cum.alias("_cum_before"),
     )
-    b = int(tokens_per_source)
     # DIV/% keep the epoch arithmetic in exact integers — a double
     # division + floor can land one off when the true quotient sits
     # next to an integer.
     whole = F.expr(
-        f"CASE WHEN _src_tokens > 0 THEN CAST({b} AS BIGINT) DIV _src_tokens "
+        "CASE WHEN _src_tokens > 0 THEN _budget DIV _src_tokens "
         "ELSE CAST(0 AS BIGINT) END"
     )
     rem = F.expr(
-        f"CASE WHEN _src_tokens > 0 THEN CAST({b} AS BIGINT) % _src_tokens "
+        "CASE WHEN _src_tokens > 0 THEN _budget % _src_tokens "
         "ELSE CAST(0 AS BIGINT) END"
     )
     extra = (F.col("_cum_before") < rem).cast("long")

@@ -3285,6 +3285,7 @@ _CHECK_FIRST = [
     "cm_token_counts",
     "vocab_coverage_curve",
     "unimax_allocation",
+    "recipe_epochs_unimax",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3294,20 +3295,20 @@ _CHECK_FIRST = [
     "ann_ivf_recall",
     "bloom_decontamination",
     # -- 2. stalest re-checks (last driver row: round 1/2)
-    "embedding_near_dups_exact",
     "except_entities",
     "lang_detect_counts",
     "rolling_7d_range",
     "salted_agg_equivalence",
     "serving_rank_between",
     # -- (asof_user_setting / brand_stats_having / day_over_day /
-    #     serving_user_range / token_stats / type_share_of_day /
-    #     union_dedup / user_sessions rotated back out to make room
-    #     for the round-5-late additions (Gopher quality/repetition,
-    #     source-overlap audit, epoch-mix plan, OOV-rate audit,
-    #     count-min sketch, vocab coverage curve, UniMax allocation):
-    #     new never-driver-checked queries always outrank re-checks of
-    #     already-driver-proven entries, and all eight displaced
+    #     embedding_near_dups_exact / serving_user_range / token_stats
+    #     / type_share_of_day / union_dedup / user_sessions rotated
+    #     back out to make room for the round-5-late additions (Gopher
+    #     quality/repetition, source-overlap audit, epoch-mix plan,
+    #     OOV-rate audit, count-min sketch, vocab coverage curve,
+    #     UniMax allocation + the composed recipe): new
+    #     never-driver-checked queries always outrank re-checks of
+    #     already-driver-proven entries, and all nine displaced
     #     queries hold r1/r2-green rows plus per-run pytest oracle
     #     parity. They head the r6 stale pool.)
     # -- (no r3-green re-check slots left this round: all remaining

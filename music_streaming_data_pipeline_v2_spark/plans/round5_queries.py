@@ -2396,12 +2396,14 @@ def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIMAX_BUDGET, _UNIMAX_EPOCHS = 65_000, 3
 
 
-def _oracle_unimax() -> str:
+def _unimax_ctes() -> str:
+    """The closed-form water-filling chain over langs (src → caps →
+    staged → flagged → tot), shared by the allocation oracle and the
+    composed recipe oracle."""
     from .oracle_shared import _W
 
     b, e = _UNIMAX_BUDGET, _UNIMAX_EPOCHS
-    return f"""
-WITH src AS (
+    return f"""src AS (
     SELECT lang AS source, CAST(SUM(LEN({_W})) AS BIGINT) AS source_tokens
     FROM documents GROUP BY lang
 ),
@@ -2432,13 +2434,23 @@ tot AS (
            CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END)
                 OVER (), 0) AS BIGINT) AS p_m
     FROM flagged
-)
-SELECT source, source_tokens, cap_tokens,
-       CAST(CASE WHEN capped THEN cap_tokens
+)"""
+
+
+def _unimax_alloc_expr() -> str:
+    b = _UNIMAX_BUDGET
+    return f"""CAST(CASE WHEN capped THEN cap_tokens
             ELSE ({b} - p_m) // NULLIF(n - m, 0)
                  + CASE WHEN (k - m) <= ({b} - p_m) % NULLIF(n - m, 0)
                         THEN 1 ELSE 0 END
-            END AS BIGINT) AS alloc_tokens,
+            END AS BIGINT)"""
+
+
+def _oracle_unimax() -> str:
+    return f"""
+WITH {_unimax_ctes()}
+SELECT source, source_tokens, cap_tokens,
+       {_unimax_alloc_expr()} AS alloc_tokens,
        capped
 FROM tot
 """
@@ -2460,3 +2472,69 @@ def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_plan(
         docs, _UNIMAX_BUDGET, _UNIMAX_EPOCHS, source_col="lang"
     )
+
+
+def _oracle_recipe() -> str:
+    from .oracle_shared import _W
+
+    bkt = (
+        "(INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS"
+        " VARCHAR)), 1, 1)) - 1) * 16"
+        " + (INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id"
+        " AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""
+WITH {_unimax_ctes()},
+budgets AS (
+    SELECT source, {_unimax_alloc_expr()} AS budget FROM tot
+),
+t AS (
+    SELECT doc_id, lang AS source, CAST(LEN({_W}) AS BIGINT) AS n_tokens,
+           {bkt} AS bkt
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS src_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY bkt, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS BIGINT) AS cum_before
+    FROM t
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(
+           (CASE WHEN c.src_tokens > 0
+                 THEN COALESCE(b.budget, 0) // c.src_tokens ELSE 0 END)
+           + (CASE WHEN c.cum_before <
+                   (CASE WHEN c.src_tokens > 0
+                         THEN COALESCE(b.budget, 0) % c.src_tokens
+                         ELSE 0 END)
+              THEN 1 ELSE 0 END)
+       AS BIGINT) AS repeat_count
+FROM c LEFT JOIN budgets b USING (source)
+"""
+
+
+@q("recipe_epochs_unimax", _oracle_recipe())
+def recipe_epochs_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data recipe, oracled end to end: ``unimax_plan``
+    turns ONE total budget into per-language allocations (capped
+    water-filling), and ``epoch_mix_plan(budgets=...)`` turns each
+    allocation into per-document repeat counts (whole epochs + the
+    hash-ordered remainder prefix). The oracle replays BOTH stages in
+    one SQL chain — the composition contract, not just the parts.
+    Plan: the allocation side collapses to a source-count-sized
+    relation broadcast onto epoch mix's per-source window shuffle."""
+    from ..operators.sampling import epoch_mix_plan, unimax_plan
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = unimax_plan(
+        docs, _UNIMAX_BUDGET, _UNIMAX_EPOCHS, source_col="lang"
+    )
+    budgets = alloc.select(
+        "source", F.col("alloc_tokens").alias("budget_tokens")
+    )
+    return epoch_mix_plan(docs, budgets=budgets, source_col="lang")

@@ -108,3 +108,48 @@ def test_unimax_conservation_and_caps_fuzz(spark):
         assert sum(r["alloc_tokens"] for r in rows) == min(budget, cap_sum), (
             budget
         )
+
+
+def test_epoch_mix_budgets_mode(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        epoch_mix_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "x"),
+            (2, "d e", "x"),
+            (3, "f g h i", "y"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # per-source budgets equal to one scalar ≡ the scalar mode
+    budgets = spark.createDataFrame(
+        [("x", 12), ("y", 12)], "source string, budget_tokens long"
+    )
+    got = sorted(
+        tuple(r) for r in epoch_mix_plan(docs, budgets=budgets).collect()
+    )
+    want = sorted(
+        tuple(r) for r in epoch_mix_plan(docs, 12).collect()
+    )
+    assert got == want
+
+    # a source missing from budgets gets budget 0 → repeat 0; others
+    # unaffected
+    partial = spark.createDataFrame(
+        [("y", 8)], "source string, budget_tokens long"
+    )
+    out = {
+        r["doc_id"]: r["repeat_count"]
+        for r in epoch_mix_plan(docs, budgets=partial).collect()
+    }
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 2  # 8 DIV 4 = 2 whole epochs, remainder 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_mix_plan(docs)
+    with pytest.raises(ValueError):
+        epoch_mix_plan(docs, 12, budgets=partial)
