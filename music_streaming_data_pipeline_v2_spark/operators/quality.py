@@ -224,6 +224,106 @@ def source_ngram_overlap(
     )
 
 
+def vocab_cells(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-token vocabulary statistics of one corpus (or one ingest
+    batch): ``(_tok, _df, _cnt)`` — the number of DISTINCT documents
+    containing the lowercased token, and its total occurrence count.
+    One hash aggregate with map-side combine, output vocabulary-sized.
+
+    The additivity contract that makes these cells incremental state
+    (streaming/vocab_ingest.py): under append-only ingest a document
+    arrives in exactly one batch, so per-batch document sets are
+    disjoint and both ``_df`` (distinct docs) and ``_cnt``
+    (occurrences) sum exactly across batches."""
+    from .packing import engine_safe_tokens
+
+    return (
+        df.select(
+            F.col(id_col).alias("_vid"),
+            F.explode(
+                F.transform(engine_safe_tokens(text_col), F.lower)
+            ).alias("_tok"),
+        )
+        .groupBy("_tok")
+        .agg(
+            F.count_distinct("_vid").alias("_df"),
+            F.count("*").alias("_cnt"),
+        )
+    )
+
+
+def corpus_vocabulary(
+    vocab_corpus: DataFrame,
+    min_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The vocabulary relation ``(_tok)``: lowercased tokens appearing
+    in at least ``min_doc_freq`` DISTINCT documents of the corpus —
+    the reference-split side of ``oov_rate``, shared with the
+    incremental ingest twin."""
+    return (
+        vocab_cells(vocab_corpus, text_col, id_col)
+        .filter(F.col("_df") >= int(min_doc_freq))
+        .select("_tok")
+    )
+
+
+def coverage_curve_from_counts(
+    counts: DataFrame, sizes: list[int]
+) -> DataFrame:
+    """The coverage-curve tail of ``vocab_coverage_curve`` over a
+    precomputed per-token occurrence-count relation ``(_tok, _cnt)``
+    — shared with the incremental ingest twin, which sums its stored
+    vocabulary cells instead of rescanning the corpus."""
+    from pyspark.sql import Window
+
+    if not sizes or any(n < 1 for n in sizes):
+        raise ValueError("sizes must be non-empty positive ints")
+    max_n = max(sizes)
+    total = counts.agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias(
+            "total_occurrences"
+        )
+    )
+    top = counts.orderBy(F.desc("_cnt"), F.asc("_tok")).limit(max_n)
+    # bounded relation from here: ≤ max(sizes) rows
+    w = Window.orderBy(F.desc("_cnt"), F.asc("_tok"))
+    ranked = top.select(
+        F.col("_cnt"), F.row_number().over(w).alias("_rank")
+    )
+    spark = counts.sparkSession
+    size_rows = spark.createDataFrame(
+        [(int(n),) for n in sorted(set(sizes))], "vocab_size int"
+    )
+    covered = (
+        size_rows.join(ranked, ranked["_rank"] <= size_rows["vocab_size"])
+        .groupBy("vocab_size")
+        .agg(F.sum("_cnt").cast("long").alias("covered_occurrences"))
+    )
+    # left join back onto the size spine: an empty corpus (or a size
+    # list against zero tokens) reports coverage 0, not zero rows
+    return (
+        size_rows.join(covered, "vocab_size", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.coalesce(F.col("covered_occurrences"), F.lit(0))
+            .cast("long")
+            .alias("covered_occurrences"),
+            "total_occurrences",
+            (
+                F.coalesce(F.col("covered_occurrences"), F.lit(0))
+                / F.greatest(F.col("total_occurrences"), F.lit(1))
+            ).alias("coverage"),
+        )
+    )
+
+
 def oov_rate(
     df: DataFrame,
     vocab_corpus: DataFrame,
@@ -250,20 +350,7 @@ def oov_rate(
     """
     from .packing import engine_safe_tokens
 
-    vocab = (
-        vocab_corpus.select(
-            F.col(id_col).alias("_vid"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(engine_safe_tokens(text_col), F.lower)
-                )
-            ).alias("_tok"),
-        )
-        .groupBy("_tok")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") >= int(min_doc_freq))
-        .select("_tok")
-    )
+    vocab = corpus_vocabulary(vocab_corpus, min_doc_freq, text_col, id_col)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -310,13 +397,8 @@ def vocab_coverage_curve(
     the cut is bounded by the caller's largest N, not by the corpus or
     the vocabulary.
     """
-    from pyspark.sql import Window
-
     from .packing import engine_safe_tokens
 
-    if not sizes or any(n < 1 for n in sizes):
-        raise ValueError("sizes must be non-empty positive ints")
-    max_n = max(sizes)
     counts = (
         df.select(
             F.explode(
@@ -326,41 +408,4 @@ def vocab_coverage_curve(
         .groupBy("_tok")
         .agg(F.count("*").alias("_cnt"))
     )
-    total = counts.agg(
-        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias(
-            "total_occurrences"
-        )
-    )
-    top = counts.orderBy(F.desc("_cnt"), F.asc("_tok")).limit(max_n)
-    # bounded relation from here: ≤ max(sizes) rows
-    w = Window.orderBy(F.desc("_cnt"), F.asc("_tok"))
-    ranked = top.select(
-        F.col("_cnt"), F.row_number().over(w).alias("_rank")
-    )
-    spark = df.sparkSession
-    size_rows = spark.createDataFrame(
-        [(int(n),) for n in sorted(set(sizes))], "vocab_size int"
-    )
-    covered = (
-        size_rows.join(ranked, ranked["_rank"] <= size_rows["vocab_size"])
-        .groupBy("vocab_size")
-        .agg(F.sum("_cnt").cast("long").alias("covered_occurrences"))
-    )
-    # left join back onto the size spine: an empty corpus (or a size
-    # list against zero tokens) reports coverage 0, not zero rows
-    out = (
-        size_rows.join(covered, "vocab_size", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "vocab_size",
-            F.coalesce(F.col("covered_occurrences"), F.lit(0))
-            .cast("long")
-            .alias("covered_occurrences"),
-            "total_occurrences",
-            (
-                F.coalesce(F.col("covered_occurrences"), F.lit(0))
-                / F.greatest(F.col("total_occurrences"), F.lit(1))
-            ).alias("coverage"),
-        )
-    )
-    return out
+    return coverage_curve_from_counts(counts, sizes)

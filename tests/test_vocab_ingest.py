@@ -1,0 +1,95 @@
+"""Incremental vocabulary cells at ingest ≡ batch vocabulary /
+coverage curve over the same documents; replays are no-ops."""
+
+from __future__ import annotations
+
+import json
+
+from music_streaming_data_pipeline_v2_spark.operators.quality import (
+    corpus_vocabulary,
+    vocab_coverage_curve,
+)
+from music_streaming_data_pipeline_v2_spark.streaming.vocab_ingest import (
+    query_coverage_curve,
+    query_vocabulary,
+    run_incremental_vocab,
+)
+
+DOCS_W1 = [
+    (0, "Apple banana apple", "a"),
+    (1, "banana cherry", "a"),
+    (2, "apple date", "b"),
+]
+DOCS_W2 = [
+    (10, "cherry CHERRY apple", "c"),
+    (11, "elderberry banana", "c"),
+]
+
+SIZES = [1, 2, 3, 100]
+
+
+def _write_wave(path, rows):
+    with open(path, "w") as fh:
+        for did, text, src in rows:
+            fh.write(
+                json.dumps({"doc_id": did, "text": text, "source": src})
+                + "\n"
+            )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_vocab_matches_batch(spark, tmp_path):
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_vocab(spark, str(inp), str(work))
+    for k in (1, 2):
+        assert _vals(query_vocabulary(spark, str(work), k)) == _vals(
+            corpus_vocabulary(_df(spark, DOCS_W1), k)
+        )
+    assert _vals(query_coverage_curve(spark, str(work), SIZES)) == _vals(
+        vocab_coverage_curve(_df(spark, DOCS_W1), SIZES)
+    )
+
+    # wave 2: history never re-tokenized; a token's doc-frequency
+    # crosses the min_doc_freq threshold via cross-wave cell addition
+    # (cherry: 1 doc in w1 + 1 in w2 → enters the k=2 vocabulary)
+    _write_wave(inp / "w2.jsonl", DOCS_W2)
+    run_incremental_vocab(spark, str(inp), str(work))
+    both = DOCS_W1 + DOCS_W2
+    got_v2 = _vals(query_vocabulary(spark, str(work), 2))
+    assert got_v2 == _vals(corpus_vocabulary(_df(spark, both), 2))
+    assert ("cherry",) in got_v2
+    assert _vals(query_coverage_curve(spark, str(work), SIZES)) == _vals(
+        vocab_coverage_curve(_df(spark, both), SIZES)
+    )
+
+    # replay with no new files: state unchanged, results unchanged
+    run_incremental_vocab(spark, str(inp), str(work))
+    assert _vals(query_vocabulary(spark, str(work), 2)) == got_v2
+
+
+def test_query_before_any_drain_is_empty_vocab_zero_curve(spark, tmp_path):
+    work = str(tmp_path / "nothing")
+    assert query_vocabulary(spark, work, 1).count() == 0
+    rows = {
+        r["vocab_size"]: r
+        for r in query_coverage_curve(spark, work, [1, 4]).collect()
+    }
+    assert set(rows) == {1, 4}
+    assert all(
+        (r["covered_occurrences"], r["total_occurrences"], r["coverage"])
+        == (0, 0, 0.0)
+        for r in rows.values()
+    )
