@@ -129,6 +129,20 @@ def cm_bucket(key: str | Column, depth_row: int, width: int) -> Column:
     return (v % F.lit(width)).cast("int")
 
 
+def _cm_placements(key: Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` (depth_row, bucket) structs for one key —
+    the single-scan form both the builder and the readout explode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth_row"),
+                cm_bucket(key, d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def count_min_cells(
     df: DataFrame, col: str, width: int, depth: int
 ) -> DataFrame:
@@ -137,33 +151,29 @@ def count_min_cells(
     exact count of keys hashing into it. Returns
     ``(depth_row, bucket, cell_count)`` — ≤ depth×width rows total.
 
-    Scale shape: one stack of ``depth`` map-side projections unioned,
-    then a single hash aggregate on (depth_row, bucket) with map-side
-    partial combine — the shuffle is ≤ n_partitions × depth × width
-    summary rows no matter how many distinct keys the corpus holds
-    (the same bounded-summary contract as the Misra-Gries builder
-    above). The finished sketch is broadcastable state: point-lookup
-    joins against it never shuffle the probe side, and two sketches
-    over disjoint corpora merge by cell-wise addition (cells are plain
-    sums), which is what makes the sketch incrementally maintainable
-    at ingest."""
+    Scale shape: ONE corpus scan — each key row explodes into its
+    ``depth`` (depth_row, bucket) placements map-side (an exploded
+    array of structs, not a union of per-depth projections, which
+    would re-scan the input depth times) — then a single hash
+    aggregate on (depth_row, bucket) with map-side partial combine:
+    the shuffle is ≤ n_partitions × depth × width summary rows no
+    matter how many distinct keys the corpus holds (the same
+    bounded-summary contract as the Misra-Gries builder above). The
+    finished sketch is broadcastable state: point-lookup joins against
+    it never shuffle the probe side, and two sketches over disjoint
+    corpora merge by cell-wise addition (cells are plain sums), which
+    is what makes the sketch incrementally maintainable at ingest."""
     if depth < 1:
         raise ValueError("depth must be >= 1")
     values = df.select(F.col(col).alias("_key")).filter(
         F.col("_key").isNotNull()
     )
-    rows = [
-        values.select(
-            F.lit(d).alias("depth_row"),
-            cm_bucket(F.col("_key"), d, width).alias("bucket"),
-        )
-        for d in range(depth)
-    ]
-    stacked = rows[0]
-    for r in rows[1:]:
-        stacked = stacked.unionByName(r)
-    return stacked.groupBy("depth_row", "bucket").agg(
-        F.count("*").alias("cell_count")
+    placements = _cm_placements(F.col("_key"), width, depth)
+    return (
+        values.select(F.explode(placements).alias("_p"))
+        .select("_p.depth_row", "_p.bucket")
+        .groupBy("depth_row", "bucket")
+        .agg(F.count("*").alias("cell_count"))
     )
 
 
@@ -182,20 +192,12 @@ def count_min_estimate(
     collision mass only — E[err] ≤ n/width per row, min over rows.
 
     The sketch side is depth×width rows and is broadcast; the probe is
+    one scan of the keys relation exploded into ``depth`` placements,
     ``depth`` broadcast-hash lookups per key and one key-grouped min —
-    the keys relation streams through map-side, nothing corpus-sized
-    shuffles."""
-    probes = [
-        keys.select(
-            F.col(col),
-            F.lit(d).alias("depth_row"),
-            cm_bucket(F.col(col), d, width).alias("bucket"),
-        )
-        for d in range(depth)
-    ]
-    stacked = probes[0]
-    for p in probes[1:]:
-        stacked = stacked.unionByName(p)
+    nothing corpus-sized shuffles."""
+    stacked = keys.select(
+        F.col(col), F.explode(_cm_placements(F.col(col), width, depth)).alias("_p")
+    ).select(col, "_p.depth_row", "_p.bucket")
     joined = stacked.join(
         F.broadcast(cells), ["depth_row", "bucket"], "left"
     ).withColumn("_c", F.coalesce(F.col("cell_count"), F.lit(0).cast("long")))

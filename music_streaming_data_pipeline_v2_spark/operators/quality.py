@@ -285,6 +285,11 @@ def coverage_curve_from_counts(
     if not sizes or any(n < 1 for n in sizes):
         raise ValueError("sizes must be non-empty positive ints")
     max_n = max(sizes)
+    # the counts subtree feeds TWO consumers (total + top-K cut) —
+    # materialize once (localCheckpoint: freed by the ContextCleaner,
+    # the retrieval.py pattern) instead of tokenizing/aggregating the
+    # corpus twice
+    counts = counts.localCheckpoint(eager=False)
     total = counts.agg(
         F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias(
             "total_occurrences"

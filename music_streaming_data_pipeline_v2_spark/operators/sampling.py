@@ -467,17 +467,26 @@ def epoch_mix_plan(
         raise ValueError(
             "pass exactly one of tokens_per_source or budgets"
         )
+    # greatest(size, 0): size() of a NULL token array is -1 (legacy)
+    # or NULL (ANSI) — either corrupts the budget arithmetic; a
+    # null-text document is 0 tokens
     toks = df.select(
         F.col(id_col),
         F.col(source_col).alias("source"),
-        F.size(engine_safe_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.greatest(
+            F.size(engine_safe_tokens(text_col)).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     if budgets is not None:
+        # budgets are SUMMED per source before the join: a duplicate
+        # source row would otherwise fan out every document of that
+        # source (token grants are additive; a fan-out is never right)
         toks = toks.join(
             F.broadcast(
-                budgets.select(
-                    F.col("source"),
-                    F.col("budget_tokens").cast("long").alias("_budget"),
+                budgets.groupBy("source").agg(
+                    F.sum(F.col("budget_tokens").cast("long")).alias(
+                        "_budget"
+                    )
                 )
             ),
             "source",
@@ -573,7 +582,10 @@ def unimax_plan(
     src = (
         df.select(
             F.col(source_col).alias("source"),
-            F.size(engine_safe_tokens(text_col)).cast("long").alias("_nt"),
+            # greatest(size, 0): null-text docs are 0 tokens, never -1
+            F.greatest(
+                F.size(engine_safe_tokens(text_col)).cast("long"), F.lit(0)
+            ).alias("_nt"),
         )
         .groupBy("source")
         .agg(F.sum("_nt").alias("source_tokens"))

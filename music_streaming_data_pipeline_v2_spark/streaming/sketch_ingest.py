@@ -50,8 +50,42 @@ DOC_SCHEMA = T.StructType(
 )
 
 #: Sketch geometry fixed per state directory: cells from different
-#: (width, depth) are not mergeable, so the ingest pins one shape.
+#: (width, depth) are not mergeable, so the ingest PINS one shape in a
+#: geometry/ state relation written on first drain and asserted on
+#: every later drain and readout — a mismatched probe would otherwise
+#: read mod-width buckets that were placed mod a different width and
+#: silently UNDERCOUNT, the one error class the sketch contract rules
+#: out.
 DEFAULT_WIDTH, DEFAULT_DEPTH = 2048, 4
+
+
+def _check_geometry(
+    spark: SparkSession, work_dir: str, width: int, depth: int, write: bool
+) -> tuple[int, int]:
+    """Return the state directory's pinned (width, depth), pinning
+    ``(width, depth)`` if nothing is pinned yet (``write=True``) and
+    raising on any mismatch with an existing pin."""
+    from .state import read_state_or_empty
+
+    geo_dir = os.path.join(work_dir, "geometry")
+    rows = read_state_or_empty(
+        spark, geo_dir, "width int, depth int"
+    ).collect()
+    if rows:
+        got = (rows[0]["width"], rows[0]["depth"])
+        if (width, depth) != got:
+            raise ValueError(
+                f"sketch state at {work_dir!r} is pinned to "
+                f"width={got[0]} depth={got[1]}; got width={width} "
+                f"depth={depth} — cells from different geometries are "
+                "not mergeable"
+            )
+        return got
+    if write:
+        spark.createDataFrame(
+            [(int(width), int(depth))], "width int, depth int"
+        ).write.mode("overwrite").parquet(geo_dir)
+    return (width, depth)
 
 
 def run_incremental_sketch(
@@ -68,6 +102,7 @@ def run_incremental_sketch(
     ckpt/), sketching every lowercased whitespace token occurrence."""
     cells_dir = os.path.join(work_dir, "cells")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    _check_geometry(spark, work_dir, width, depth, write=True)
 
     stream = (
         spark.readStream.schema(schema or DOC_SCHEMA)
@@ -115,7 +150,8 @@ def query_estimates(
     drained so far — identical readout to the batch path
     (``count_min_estimate``), but over the cell-wise SUM of the stored
     per-batch sketches instead of a fresh corpus scan. Returns
-    ``(col, est_count)``.
+    ``(col, est_count)``. The state's pinned geometry is asserted
+    (probing a sketch with the wrong width/depth silently undercounts).
 
     Plan: one sum over the state (bounded by batches × depth × width
     rows), broadcast to the probe join — nothing re-reads raw text."""
@@ -123,6 +159,7 @@ def query_estimates(
 
     from .state import read_state_or_empty
 
+    width, depth = _check_geometry(spark, work_dir, width, depth, write=False)
     state = read_state_or_empty(
         spark,
         os.path.join(work_dir, "cells"),

@@ -105,3 +105,26 @@ def test_query_before_any_drain_returns_zero_estimates(spark, tmp_path):
         spark, str(tmp_path / "nothing"), keys, width=W, depth=D
     )
     assert _vals(out) == [("apple", 0)]
+
+
+def test_geometry_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_sketch(spark, str(inp), str(work), width=W, depth=D)
+    keys = spark.createDataFrame([("apple",)], "token string")
+    # wrong geometry on the readout: refused, never a silent undercount
+    with pytest.raises(ValueError, match="pinned"):
+        query_estimates(spark, str(work), keys, width=W * 2, depth=D)
+    # wrong geometry on a later drain: refused before any state write
+    with pytest.raises(ValueError, match="pinned"):
+        run_incremental_sketch(
+            spark, str(inp), str(work), width=W, depth=D + 1
+        )
+    # pinned defaults still read fine
+    assert query_estimates(
+        spark, str(work), keys, width=W, depth=D
+    ).count() == 1
