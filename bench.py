@@ -114,6 +114,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "unimax_allocation",
     "recipe_epochs_unimax",
+    "doc_length_quantiles",
 ]
 
 

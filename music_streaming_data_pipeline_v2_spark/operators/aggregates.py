@@ -106,3 +106,74 @@ def fixed_width_histogram(
             "bucket_lo", (F.lit(lo) + F.col("bucket") * F.lit(width))
         )
     )
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles_permille: list[int],
+) -> DataFrame:
+    """EXACT quantiles of ``col`` without buffering rows: the
+    value-histogram form. Returns ``(q_permille, value)`` — ``value``
+    is the smallest value whose cumulative count reaches
+    ``ceil(q/1000 × n)`` (the classic lower / percentile_disc
+    definition; q=1000 is the max). Nulls are excluded from ranking;
+    an all-null or empty input yields NULL values on the quantile
+    spine rather than zero rows.
+
+    Why this exists beside the SQL ``percentile`` aggregate: Spark's
+    exact percentile buffers every value of a group in executor
+    memory — a scale hazard the moment a group holds billions of rows.
+    Here the corpus collapses map-side into a per-DISTINCT-VALUE count
+    histogram (one hash aggregate with partial combine — shuffle ∝
+    distinct values, not rows), and the ordered cumsum window runs
+    over that bounded histogram. The fit is discrete-ish measures
+    (token counts, scores in fixed precision, byte sizes) where
+    distinct values ≪ rows; for a by-group variant, partition the
+    window by the group key — same arithmetic per group.
+
+    Ranks are exact integers: ``target = (n × q + 999) DIV 1000``
+    per-mille arithmetic — a float ``CEIL(0.9 × n)`` can land one off
+    when the binary double of q×n sits just above an integer (0.9×500
+    = 450.0000000000000111 → CEIL 451), and the off-by-one picks a
+    different value on a different engine.
+    """
+    from pyspark.sql import Window
+
+    if not quantiles_permille or any(
+        not 0 <= q <= 1000 for q in quantiles_permille
+    ):
+        raise ValueError("quantiles_permille must be ints in [0, 1000]")
+    hist = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    # the histogram feeds two consumers (total + cumsum) — materialize
+    # once; it is distinct-value-bounded by contract
+    hist = hist.localCheckpoint(eager=False)
+    total = hist.agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
+    )
+    w = Window.orderBy("value")
+    cum = hist.select(
+        "value",
+        F.sum("_cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("_cum"),
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(quantiles_permille))],
+        "q_permille int",
+    ).crossJoin(F.broadcast(total))
+    target = F.expr("GREATEST((_n * q_permille + 999) DIV 1000, 1)")
+    hits = (
+        # non-equi left join against the BROADCAST histogram cumsum
+        # (distinct-value-bounded by contract) — the spine never moves
+        spine.join(F.broadcast(cum), cum["_cum"] >= target, "left")
+        .groupBy("q_permille")
+        .agg(F.min("value").alias("value"))
+    )
+    return hits.orderBy("q_permille")

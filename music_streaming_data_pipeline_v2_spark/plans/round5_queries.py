@@ -2538,3 +2538,53 @@ def recipe_epochs_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("alloc_tokens").alias("budget_tokens")
     )
     return epoch_mix_plan(docs, budgets=budgets, source_col="lang")
+
+
+_QUANTILES_PM = [100, 250, 500, 750, 900, 950, 990, 1000]
+
+
+def _oracle_len_quantiles() -> str:
+    from .oracle_shared import _W
+
+    values = ", ".join(f"({q})" for q in _QUANTILES_PM)
+    return f"""
+WITH lens AS (
+    SELECT CAST(LEN({_W}) AS BIGINT) AS value FROM documents
+),
+hist AS (SELECT value, COUNT(*) AS cnt FROM lens GROUP BY value),
+tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM hist),
+cum AS (
+    SELECT value,
+           CAST(SUM(cnt) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS c
+    FROM hist
+),
+spine(q_permille) AS (VALUES {values})
+SELECT s.q_permille, MIN(cum.value) AS value
+FROM spine s
+CROSS JOIN tot
+LEFT JOIN cum ON cum.c >= GREATEST((tot.n * s.q_permille + 999) // 1000, 1)
+GROUP BY s.q_permille
+"""
+
+
+@q("doc_length_quantiles", _oracle_len_quantiles())
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length quantiles of the documents corpus via the
+    value-histogram form (operators/aggregates.py:histogram_quantiles)
+    — the sequence-length audit that sizes packing budgets and context
+    windows. No row buffering: a distinct-length-bounded histogram +
+    one ordered cumsum, ranks in exact per-mille integer arithmetic
+    (a float CEIL(q×n) can land one off cross-engine). The oracle
+    replays the histogram, cumsum, and rank thresholds verbatim."""
+    from ..operators.aggregates import histogram_quantiles
+    from ..operators.packing import engine_safe_tokens
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(engine_safe_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return histogram_quantiles(lens, "n_tokens", _QUANTILES_PM)

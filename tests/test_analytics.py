@@ -175,3 +175,59 @@ def test_bigrams_with_multiplicity(spark):
         .collect()
     }
     assert counts == {"a b": 2, "b a": 1}
+
+
+def test_histogram_quantiles_hand_case(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    # values: 1×5, 2×3, 9×2  → n=10; sorted ranks: 1..5→1, 6..8→2, 9..10→9
+    df = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 3 + [(9,)] * 2, "v long"
+    )
+    out = {
+        r["q_permille"]: r["value"]
+        for r in histogram_quantiles(df, "v", [0, 500, 501, 800, 801, 1000]).collect()
+    }
+    # rank targets: 0→1st, 500→5th, 501→ceil(5.01)=6th, 800→8th,
+    # 801→9th, 1000→10th
+    assert out == {0: 1, 500: 1, 501: 2, 800: 2, 801: 9, 1000: 9}
+
+
+def test_histogram_quantiles_matches_percentile_disc(spark):
+    """Property: equals Spark's own exact percentile (lower/disc) on a
+    messy value set, across the quantile range."""
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    vals = [((i * 37) % 23) - 5 for i in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [1, 100, 333, 500, 667, 900, 999, 1000]
+    got = {
+        r["q_permille"]: r["value"]
+        for r in histogram_quantiles(df, "v", qs).collect()
+    }
+    import math
+
+    sv = sorted(vals)
+    for q in qs:
+        want = sv[max(math.ceil(q * len(sv) / 1000), 1) - 1]
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_histogram_quantiles_empty_and_null_inputs(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    rows = histogram_quantiles(empty, "v", [500, 1000]).collect()
+    assert sorted((r["q_permille"], r["value"]) for r in rows) == [
+        (500, None),
+        (1000, None),
+    ]
+    nulls = spark.createDataFrame([(None,), (7,)], "v long")
+    rows = {r["q_permille"]: r["value"] for r in histogram_quantiles(nulls, "v", [1000]).collect()}
+    assert rows == {1000: 7}
