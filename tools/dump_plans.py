@@ -161,6 +161,10 @@ def main() -> None:
             "of the |sizes|-row spine × the top-max(N) cut, plus the "
             "broadcast 1-row total — both sides bounded by the "
             "caller's constant size list, never the corpus",
+        "doc_length_quantiles": "the cum ≥ target non-equi join of "
+            "the |quantiles|-row spine × the broadcast distinct-value "
+            "histogram cumsum — both sides bounded (quantile list × "
+            "distinct lengths), never the corpus",
         }
         if s["bad"]:
             if name in intended_nlj:
