@@ -115,6 +115,7 @@ HEADLINE = [
     "unimax_allocation",
     "recipe_epochs_unimax",
     "doc_length_quantiles",
+    "length_quantiles_by_lang",
 ]
 
 

@@ -107,6 +107,7 @@ def fixed_width_histogram(
         )
     )
 
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,
@@ -177,3 +178,64 @@ def histogram_quantiles(
         .agg(F.min("value").alias("value"))
     )
     return hits.orderBy("q_permille")
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    by: str,
+    quantiles_permille: list[int],
+) -> DataFrame:
+    """``histogram_quantiles`` per group: exact ``(by, q_permille,
+    value)`` quantiles of ``col`` within each ``by`` group, same
+    lower/percentile_disc definition and per-mille integer rank
+    arithmetic. A group whose values are all null has no histogram and
+    therefore no output rows (unlike the global form's NULL spine —
+    a group key only exists here by having ranked values).
+
+    Scale shape: one (group × distinct-value)-bounded count histogram
+    (map-side combine), the cumsum window PARTITIONED by the group key
+    (every group ranks in parallel — no single reducer), and the
+    spine join is an equi-join on the group key with the rank
+    threshold as residual condition, so it hash-joins rather than
+    nested-looping."""
+    from pyspark.sql import Window
+
+    if not quantiles_permille or any(
+        not 0 <= q <= 1000 for q in quantiles_permille
+    ):
+        raise ValueError("quantiles_permille must be ints in [0, 1000]")
+    hist = (
+        df.select(F.col(by).alias("_by"), F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("_by", "value")
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    totals = hist.groupBy("_by").agg(F.sum("_cnt").cast("long").alias("_n"))
+    w = Window.partitionBy("_by").orderBy("value")
+    cum = hist.select(
+        "_by",
+        "value",
+        F.sum("_cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("_cum"),
+    )
+    spark = df.sparkSession
+    qs = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(quantiles_permille))],
+        "q_permille int",
+    )
+    spine = totals.crossJoin(F.broadcast(qs)).withColumn(
+        "_target",
+        F.expr("GREATEST((_n * q_permille + 999) DIV 1000, 1)"),
+    )
+    return (
+        spine.join(
+            cum,
+            (spine["_by"] == cum["_by"]) & (cum["_cum"] >= spine["_target"]),
+        )
+        .groupBy(spine["_by"].alias(by), "q_permille")
+        .agg(F.min("value").alias("value"))
+    )

@@ -3287,6 +3287,7 @@ _CHECK_FIRST = [
     "unimax_allocation",
     "recipe_epochs_unimax",
     "doc_length_quantiles",
+    "length_quantiles_by_lang",
     # -- 1. changed this round
     "sequence_packing",
     "kv_table",
@@ -3296,20 +3297,19 @@ _CHECK_FIRST = [
     "ann_ivf_recall",
     "bloom_decontamination",
     # -- 2. stalest re-checks (last driver row: round 1/2)
-    "lang_detect_counts",
     "rolling_7d_range",
     "salted_agg_equivalence",
     "serving_rank_between",
     # -- (asof_user_setting / brand_stats_having / day_over_day /
     #     embedding_near_dups_exact / except_entities /
-    #     serving_user_range / token_stats
+    #     lang_detect_counts / serving_user_range / token_stats
     #     / type_share_of_day / union_dedup / user_sessions rotated
     #     back out to make room for the round-5-late additions (Gopher
     #     quality/repetition, source-overlap audit, epoch-mix plan,
     #     OOV-rate audit, count-min sketch, vocab coverage curve,
     #     UniMax allocation + the composed recipe): new
     #     never-driver-checked queries always outrank re-checks of
-    #     already-driver-proven entries, and all ten displaced
+    #     already-driver-proven entries, and all eleven displaced
     #     queries hold r1/r2-green rows plus per-run pytest oracle
     #     parity. They head the r6 stale pool.)
     # -- (no r3-green re-check slots left this round: all remaining

@@ -2588,3 +2588,56 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(engine_safe_tokens("text")).cast("long").alias("n_tokens")
     )
     return histogram_quantiles(lens, "n_tokens", _QUANTILES_PM)
+
+
+def _oracle_len_quantiles_by_lang() -> str:
+    from .oracle_shared import _W
+
+    values = ", ".join(f"({q})" for q in _QUANTILES_PM)
+    return f"""
+WITH lens AS (
+    SELECT lang, CAST(LEN({_W}) AS BIGINT) AS value FROM documents
+),
+hist AS (SELECT lang, value, COUNT(*) AS cnt FROM lens GROUP BY lang, value),
+tot AS (
+    SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY lang
+),
+cum AS (
+    SELECT lang, value,
+           CAST(SUM(cnt) OVER (
+               PARTITION BY lang ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS c
+    FROM hist
+),
+spine AS (
+    SELECT tot.lang, q.q_permille,
+           GREATEST((tot.n * q.q_permille + 999) // 1000, 1) AS target
+    FROM tot CROSS JOIN (VALUES {values}) AS q(q_permille)
+)
+SELECT s.lang, s.q_permille, MIN(cum.value) AS value
+FROM spine s
+JOIN cum ON cum.lang = s.lang AND cum.c >= s.target
+GROUP BY s.lang, s.q_permille
+"""
+
+
+@q("length_quantiles_by_lang", _oracle_len_quantiles_by_lang())
+def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length quantiles
+    (operators/aggregates.py:grouped_histogram_quantiles) — the
+    production shape of the sequence-length audit: the cumsum window
+    is PARTITIONED by language (every group ranks in parallel), and
+    the quantile spine equi-joins on the group key with the rank
+    threshold as residual condition (hash join, not a nested loop).
+    Same per-mille integer rank arithmetic as doc_length_quantiles."""
+    from ..operators.aggregates import grouped_histogram_quantiles
+    from ..operators.packing import engine_safe_tokens
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang",
+        F.size(engine_safe_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return grouped_histogram_quantiles(lens, "n_tokens", "lang", _QUANTILES_PM)

@@ -231,3 +231,30 @@ def test_histogram_quantiles_empty_and_null_inputs(spark):
     nulls = spark.createDataFrame([(None,), (7,)], "v long")
     rows = {r["q_permille"]: r["value"] for r in histogram_quantiles(nulls, "v", [1000]).collect()}
     assert rows == {1000: 7}
+
+
+def test_grouped_histogram_quantiles_matches_global_per_group(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        grouped_histogram_quantiles,
+        histogram_quantiles,
+    )
+
+    rows = [("a", ((i * 37) % 13)) for i in range(200)] + [
+        ("b", ((i * 17) % 29) - 3) for i in range(137)
+    ] + [("c", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [1, 250, 500, 900, 1000]
+    got = {
+        (r["g"], r["q_permille"]): r["value"]
+        for r in grouped_histogram_quantiles(df, "v", "g", qs).collect()
+    }
+    for g in ("a", "b", "c"):
+        sub = df.filter(F.col("g") == g)
+        want = {
+            r["q_permille"]: r["value"]
+            for r in histogram_quantiles(sub, "v", qs).collect()
+        }
+        for q in qs:
+            assert got[(g, q)] == want[q], (g, q)
+    # singleton group: every quantile is its one value
+    assert all(got[("c", q)] == 42 for q in qs)
