@@ -165,6 +165,11 @@ def main() -> None:
             "the |quantiles|-row spine × the broadcast distinct-value "
             "histogram cumsum — both sides bounded (quantile list × "
             "distinct lengths), never the corpus",
+        "length_quantiles_by_lang": "the |groups|-row totals × "
+            "broadcast |quantiles|-row spine cross join (both bounded "
+            "metadata); the rank-threshold join itself is the "
+            "BroadcastHashJoin on the group key with the cum ≥ target "
+            "residual",
         }
         if s["bad"]:
             if name in intended_nlj:
