@@ -283,9 +283,16 @@ def main() -> None:
     print(f"rebalanced:    {n5} kept")
     print(f"domain+mix:    {n5b} kept; DSIR exemplars "
           f"{[(r.doc_id, round(r.score, 3)) for r in exemplars]}")
+    # worst_overlap is None when NO source pair shares a 4-gram (single
+    # source, or an aggressive gate) — the matrix is sparse by design
+    overlap_note = (
+        f"worst shard overlap {worst_overlap['source_a']}~"
+        f"{worst_overlap['source_b']} J={worst_overlap['jaccard']:.3f}"
+        if worst_overlap is not None
+        else "no cross-source 4-gram overlap"
+    )
     print(f"gopher audit:  {n_rule_fail} docs fail a rule flag; "
-          f"worst shard overlap {worst_overlap['source_a']}~"
-          f"{worst_overlap['source_b']} J={worst_overlap['jaccard']:.3f}")
+          f"{overlap_note}")
     print(f"epoch mix:     {mix_tokens} total mixed tokens "
           f"(8k total, UniMax-allocated, 4-epoch cap)")
     print(f"chunks:        {n_chunks} windows; packed bins: {n_bins}")

@@ -101,8 +101,18 @@ def write_bucketed(
     """Persist a relation bucketed (and optionally sorted) by its join
     key. Subsequent equi-joins between tables bucketed identically on
     the key run WITHOUT a shuffle (SortMergeJoin over pre-bucketed
-    scans — verify: no Exchange above either scan in ``.explain``)."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table_name)
+    scans — verify: no Exchange above either scan in ``.explain``).
+
+    Single-column convenience form of — and delegate to — the ONE
+    bucketed writer, ``io.sinks.write_bucketed`` (multi-column keys,
+    external paths, modes; plan-asserted shuffle-free joins in
+    tests/test_bucketed.py)."""
+    from ..io.sinks import write_bucketed as _write_bucketed
+
+    _write_bucketed(
+        df,
+        table_name,
+        [bucket_col],
+        n_buckets,
+        sort_by=[sort_col] if sort_col else None,
+    )
