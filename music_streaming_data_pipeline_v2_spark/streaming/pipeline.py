@@ -185,7 +185,10 @@ def run_incremental_pipeline(
     kpi_dir = os.path.join(output_dir, "genre_kpis")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # dynamic partition overwrite is set PER WRITE (writer option),
+        # never on the session conf: a conf mutation here silently
+        # changes overwrite semantics for every later write in the
+        # caller's session (their 'overwrite' stops truncating)
         good = validate_streams(batch_df, check_nonempty=False)
         # exact complement of the validation predicate — no join, so
         # an invalid row whose (user_id, track_id) also appears in a
@@ -211,12 +214,19 @@ def run_incremental_pipeline(
         elif quarantine_dir is not None:
             # batch-owned partition + dynamic overwrite: foreachBatch
             # is at-least-once, so a replayed batch must REWRITE its
-            # own quarantine rows, not append a second copy
-            batch_df.filter(invalid).withColumn(
-                "_batch_id", F.lit(batch_id)
-            ).write.mode("overwrite").partitionBy("_batch_id").parquet(
-                quarantine_dir
-            )
+            # own quarantine rows, not append a second copy. All-valid
+            # batches SKIP the write: an empty dynamic-partitioned
+            # overwrite creates the directory with no files (not even
+            # _SUCCESS), and a later plain read of it dies with
+            # UNABLE_TO_INFER_SCHEMA (the line_ingest r4 lesson) —
+            # replays are still idempotent, the same rows skip again
+            bad = batch_df.filter(invalid)
+            if not bad.isEmpty():
+                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "_batch_id"
+                ).parquet(quarantine_dir)
         good = good.withColumn("date", F.to_date("listen_time")).persist()
         # accumulate validated rows partitioned by (date, batch): date
         # for the recompute's partition pruning, batch so an
@@ -225,7 +235,9 @@ def run_incremental_pipeline(
         # every later recompute of those dates
         good.withColumn("_batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
-        ).partitionBy("date", "_batch_id").parquet(validated_dir)
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "date", "_batch_id"
+        ).parquet(validated_dir)
 
         # recompute ONLY the dates touched by this batch from the full
         # validated store — the reference's recompute-a-day semantics.
@@ -268,7 +280,23 @@ def run_incremental_pipeline(
                 F.col("total_listening_time_ms") / F.col("unique_listeners"),
             )
         )
-        kpis.write.mode("overwrite").partitionBy("date").parquet(kpi_dir)
+        kpis.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("date").parquet(kpi_dir)
+        # recompute-a-day must also handle a day recomputing to ZERO
+        # rows (e.g. the caller's dim no longer matches anything for
+        # that date): dynamic overwrite touches nothing for an absent
+        # date, so the stale partition would keep serving. Delete the
+        # touched-but-empty dates' partitions explicitly (Hadoop FS via
+        # the JVM — works on any scheme, never a driver-local os.path).
+        empty_dates = [
+            r["date"]
+            for r in dates_df.join(
+                kpis.select("date").distinct(), "date", "left_anti"
+            ).collect()
+        ]
+        if empty_dates:
+            _delete_date_partitions(spark, kpi_dir, empty_dates)
 
         if maintain_kv:
             from ..operators.aggregates import plays_per_item
@@ -299,9 +327,19 @@ def run_incremental_pipeline(
             # skip row groups for the pk-equality + sk-range serving
             # predicates (operators/serving.py)
             kv_dir = os.path.join(output_dir, "kv")
-            kv.sortWithinPartitions("pk", "sk").write.mode("overwrite").partitionBy(
-                "date"
-            ).parquet(kv_dir)
+            if empty_dates and kv_client_factory is not None:
+                # a vanished day's KV rows must also leave the external
+                # store: pks embed the date (GENRE#g#DATE#d / DATE#d),
+                # so read the OLD committed partition's pks BEFORE
+                # deleting it and issue pk-scoped deletes
+                _delete_kv_dates(
+                    spark, kv_dir, empty_dates, kv_client_factory
+                )
+            if empty_dates:
+                _delete_date_partitions(spark, kv_dir, empty_dates)
+            kv.sortWithinPartitions("pk", "sk").write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("date").parquet(kv_dir)
             if kv_client_factory is not None:
                 from ..io.sinks import write_kv_batched
 
