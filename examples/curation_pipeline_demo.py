@@ -299,10 +299,15 @@ def main() -> None:
     print(f"splits:        {splits} -> {out}")
     print(f"boilerplate:   {hh} heavy-hitter tokens (freq >= 1%); "
           f"{n_templates} template 4-grams (>=20% of a source)")
-    print(f"pii audit:     {n_pii} docs flagged; min LM score {lm_lo:.3f}")
+    # lm_lo / psi_hi are None when their input split is empty (gated
+    # corpus, or the hash-bucket<128 LM reference split) — same guard
+    # class as worst_overlap above
+    lm_note = f"{lm_lo:.3f}" if lm_lo is not None else "n/a"
+    print(f"pii audit:     {n_pii} docs flagged; min LM score {lm_note}")
     print(f"bm25 probe:    {[(r.doc_id, round(r.score, 3)) for r in top]}")
     print(f"hybrid probe:  {[(r.doc_id, r.n_sources) for r in htop]}")
-    print(f"drift audit:   max source PSI {psi_hi:.3f}")
+    psi_note = f"{psi_hi:.3f}" if psi_hi is not None else "n/a"
+    print(f"drift audit:   max source PSI {psi_note}")
 
 
 if __name__ == "__main__":

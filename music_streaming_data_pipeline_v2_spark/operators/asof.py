@@ -121,6 +121,7 @@ def interval_overlap_pairs(
     end_col: str,
     bucket_seconds: int = 3600,
     min_overlap_seconds: int = 0,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval overlap self-join — which intervals intersect which —
     with range-bucket blocking. The naive form is a cross join with an
@@ -141,6 +142,16 @@ def interval_overlap_pairs(
     length. Returns one row per unordered pair
     ``(id_a, id_b, overlap_seconds)`` with ``id_a < id_b`` and
     inclusive-bound overlap ≥ ``min_overlap_seconds``.
+
+    ``max_buckets_per_interval`` is the poison-row guard: a single
+    malformed interval (epoch-0 sentinel start, a year-long span with
+    a mis-sized bucket) would otherwise explode into millions of
+    bucket rows — or hit Spark's sequence-length limit — and sink the
+    whole job. Any row whose span exceeds the cap fails the query
+    with a raise_error naming the offending id (loud by design:
+    silently dropping it would change pair semantics; callers that
+    WANT to skip such rows should pre-filter on
+    ``(end-start) DIV bucket_seconds``).
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -148,6 +159,27 @@ def interval_overlap_pairs(
         F.col(end_col).cast("long").alias("_e"),
     ).filter(F.col("_s") <= F.col("_e"))
     b = int(bucket_seconds)
+    cap = int(max_buckets_per_interval)
+    span = F.expr(f"_e DIV {b}") - F.expr(f"_s DIV {b}") + F.lit(1)
+    # the guard feeds _s itself (not a dropped side column, which
+    # Catalyst's column pruning would erase along with the check)
+    base = base.withColumn(
+        "_s",
+        F.when(
+            span > cap,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_pairs: interval id="),
+                    F.col("_id").cast("string"),
+                    F.lit(
+                        f" spans more than {cap} buckets of {b}s — "
+                        "malformed bounds or bucket_seconds mis-sized; "
+                        "pre-filter or raise max_buckets_per_interval"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_s")),
+    )
     bucketed = base.select(
         "_id",
         "_s",

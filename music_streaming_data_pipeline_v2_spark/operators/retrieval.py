@@ -58,22 +58,30 @@ def rrf_fuse(
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     parts = []
-    for _src, df in rankings.items():
-        contrib = F.round(
-            F.lit(1e9) / (F.lit(int(c)) + F.col(rank_col).cast("double"))
-        ).cast("long")
+    for src_idx, (_src, df) in enumerate(rankings.items()):
         parts.append(
             df.select(
                 F.col(query_col).alias("query_id"),
                 F.col(id_col).alias("_doc"),
-                contrib.alias("_c"),
+                F.col(rank_col).cast("long").alias("_rank"),
+                F.lit(src_idx).alias("_src"),
             )
         )
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    fused = u.groupBy("query_id", "_doc").agg(
-        F.sum("_c").alias("_score_i"),
+    # one row per (query, doc, SOURCE) before fusing: a source ranking
+    # that lists a doc twice would otherwise both inflate n_sources and
+    # double-add that source's 1/(c+rank) mass — best (min) rank wins,
+    # matching how RRF treats a retriever that returns duplicates
+    dedup = u.groupBy("query_id", "_doc", "_src").agg(
+        F.min("_rank").alias("_rank")
+    )
+    contrib = F.round(
+        F.lit(1e9) / (F.lit(int(c)) + F.col("_rank").cast("double"))
+    ).cast("long")
+    fused = dedup.groupBy("query_id", "_doc").agg(
+        F.sum(contrib).alias("_score_i"),
         F.count("*").cast("int").alias("n_sources"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_score_i"), F.asc("_doc"))
@@ -214,6 +222,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_partitions: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein, SIGIR 1998): greedily select ``k_select`` results from
@@ -228,8 +237,12 @@ def mmr_rerank(
     aggregate, and a per-query argmax window. ``k_select`` is a small
     fixed constant, so the loop unrolls into a static DataFrame plan —
     no Python kernel, no driver data movement; all per-query work is
-    bounded by k_candidates². The query itself is excluded from its
-    own candidates.
+    bounded by k_candidates². ``exclude_self=True`` (default) drops
+    the corpus row whose id EQUALS the query id — correct when queries
+    are drawn from the corpus (the registry's self-retrieval shape),
+    but it assumes a SHARED id namespace: if query ids and corpus ids
+    are unrelated, an accidental collision would silently drop a
+    legitimate candidate — pass ``exclude_self=False`` there.
 
     Returns ``(query_id, step, vec_id, relevance, mmr_score)`` —
     ``step`` is the 1-based selection order; ``mmr_score`` of step 1
@@ -246,12 +259,12 @@ def mmr_rerank(
     corp = corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
     )
-    scored = (
-        corp.join(F.broadcast(q), how="cross")
-        .filter(F.col("_cid") != F.col("query_id"))
-        .withColumn("_simq", _cos6i(F.col("_qv"), F.col("_cv")))
-        .filter(F.col("_simq").isNotNull())
-    )
+    scored = corp.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        scored = scored.filter(F.col("_cid") != F.col("query_id"))
+    scored = scored.withColumn(
+        "_simq", _cos6i(F.col("_qv"), F.col("_cv"))
+    ).filter(F.col("_simq").isNotNull())
     wc = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))
     # The candidate relation is ≤ |queries|·k_candidates rows — the
     # per-step frames are all bounded by it, and every downstream job

@@ -127,6 +127,57 @@ def streaming_daily_kpis(
     )
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _delete_date_partitions(spark, base_dir: str, dates) -> None:
+    """Remove ``date=<d>`` partition directories via the Hadoop
+    FileSystem API (works on any scheme the session can write — local,
+    HDFS, s3a — unlike a driver-local ``shutil.rmtree``). Used when a
+    recompute finds a touched day now has ZERO rows: dynamic partition
+    overwrite writes nothing for an absent date, so the stale partition
+    would keep serving until deleted explicitly."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for d in dates:
+        p = _hadoop_path(spark, os.path.join(base_dir, f"date={d}"))
+        fs = p.getFileSystem(hconf)
+        # recursive delete; False return just means already absent
+        fs.delete(p, True)
+
+
+def _delete_kv_dates(spark, kv_dir: str, dates, kv_client_factory) -> None:
+    """pk-scoped deletes against the external KV store for days whose
+    recompute came back empty. The pks embed the date
+    (``GENRE#g#DATE#d`` / ``DATE#d``), so the OLD committed partition
+    is read BEFORE its directory is removed and every distinct pk gets
+    a ``delete_pk`` on the executor that owns it — the same
+    client-per-partition discipline as ``write_kv_batched``
+    (io/sinks.py), never a driver-side loop over collect()."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    existing = []
+    for d in dates:
+        part = os.path.join(kv_dir, f"date={d}")
+        p = _hadoop_path(spark, part)
+        if p.getFileSystem(hconf).exists(p):
+            existing.append(part)
+    if not existing:
+        return
+    pks = (
+        spark.read.option("basePath", kv_dir)
+        .parquet(*existing)
+        .select("pk")
+        .distinct()
+    )
+
+    def delete_partition(rows) -> None:
+        client = kv_client_factory()
+        for row in rows:
+            client.delete_pk(row["pk"])
+
+    pks.foreachPartition(delete_partition)
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     input_path: str,

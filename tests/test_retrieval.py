@@ -359,3 +359,42 @@ def test_connected_components_null_edges_do_not_hang(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1)}
+
+
+def test_rrf_fuse_duplicate_rows_within_source_count_once(spark):
+    """A source that lists a doc twice (e.g. a buggy retriever) must
+    contribute ONE vote (best rank) — not inflate n_sources or
+    double-add reciprocal mass."""
+    a = _ranking(spark, [(0, 1, 10), (0, 3, 10), (0, 2, 11)])
+    b = _ranking(spark, [(0, 1, 11)])
+    got = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}, c=60).collect()}
+
+    def c(rank):
+        return round(1e9 / (60 + rank)) / 1e9
+
+    assert got[10].n_sources == 1
+    assert abs(got[10].rrf_score - c(1)) < 1e-12  # min rank wins
+    assert got[11].n_sources == 2
+    assert abs(got[11].rrf_score - (c(2) + c(1))) < 1e-12
+
+
+def test_mmr_exclude_self_flag(spark):
+    """exclude_self=False keeps a corpus row whose id collides with the
+    query id (disjoint namespaces); the default drops it."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with_self = mmr_rerank(
+        corpus, queries, k_candidates=3, k_select=3, exclude_self=False
+    ).collect()
+    without = mmr_rerank(
+        corpus, queries, k_candidates=3, k_select=3
+    ).collect()
+    assert {r.vec_id for r in with_self} == {1, 2, 3}
+    assert {r.vec_id for r in without} == {2, 3}
+    # with the collision kept, the identical vector is the step-1 pick
+    assert [r.vec_id for r in sorted(with_self, key=lambda r: r.step)][0] == 1

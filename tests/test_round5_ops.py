@@ -818,3 +818,27 @@ def test_lm_quality_buckets_tiny_language_best_doc_is_head(spark):
     got = {r.doc_id: r.bucket for r in lm_quality_buckets(corpus, lm).collect()}
     # ceil terciles: a 2-doc language still has a head
     assert got[1] == "head" and got[2] == "middle"
+
+
+def test_interval_overlap_pairs_poison_row_guard(spark):
+    """One malformed interval (epoch-0 sentinel start) must fail the
+    query loudly instead of exploding into millions of bucket rows."""
+    import pytest
+    from music_streaming_data_pipeline_v2_spark.operators.asof import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 10_000_000)], "iid long, s long, e long"
+    )
+    bad = interval_overlap_pairs(
+        iv, "iid", "s", "e", bucket_seconds=7, max_buckets_per_interval=1000
+    )
+    with pytest.raises(Exception, match="spans more than 1000 buckets"):
+        bad.collect()
+    # raising the cap (or sane data) still works end-to-end
+    ok = interval_overlap_pairs(
+        iv, "iid", "s", "e", bucket_seconds=7,
+        max_buckets_per_interval=2_000_000,
+    )
+    assert {(r.id_a, r.id_b) for r in ok.collect()} == {(1, 2)}

@@ -935,3 +935,60 @@ def test_kv_push_replaces_stale_rank_rows(spark, tmp_path):
     assert song_rows[0].startswith("SONG#1#t2")
     stored = spark.read.parquet(str(tmp_path / "out" / "kv"))
     assert set(state2) == {(r.pk, r.sk) for r in stored.collect()}
+
+
+def test_recompute_to_zero_rows_deletes_stale_partitions(spark, tmp_path):
+    """A touched day whose recompute yields ZERO KPI rows must stop
+    serving: dynamic overwrite writes nothing for an absent date, so
+    the pipeline explicitly deletes the stale date partitions (KPI and
+    KV) and issues pk-scoped deletes to the external KV client."""
+    from music_streaming_data_pipeline_v2_spark.io.sinks import JsonDirKvClient
+
+    kv_dir = str(tmp_path / "kvstore")
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    songs1 = spark.createDataFrame(
+        [Row(track_id=f"t{i}", track_name=f"name{i}", artists=f"a{i}",
+             track_genre="rock", duration_ms=100000 + i) for i in range(2)]
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        ["0,t0,2024-06-25 10:00:00", "1,t1,2024-06-25 11:00:00"],
+    )
+    kwargs = dict(
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        maintain_kv=True, kv_client_factory=lambda: JsonDirKvClient(kv_dir),
+    )
+    run_incremental_pipeline(spark, str(inp), songs1, users, **kwargs)
+    assert spark.read.parquet(str(tmp_path / "out" / "genre_kpis")).filter(
+        F.col("date") == "2024-06-25").count() == 1
+    assert any("DATE#2024-06-25" in pk
+               for pk, _ in JsonDirKvClient(kv_dir).materialize())
+
+    # batch 2: the dim no longer contains t0/t1 — recomputing 06-25
+    # (touched again by a late row) joins to ZERO rows; 06-26 (t9,
+    # present in the new dim) stays alive so the outputs are non-empty
+    songs2 = spark.createDataFrame(
+        [Row(track_id="t9", track_name="name9", artists="a9",
+             track_genre="jazz", duration_ms=100009)]
+    )
+    _write_stream_csv(
+        str(inp / "stream2.csv"),
+        ["0,t0,2024-06-25 13:00:00", "1,t9,2024-06-26 09:00:00"],
+    )
+    run_incremental_pipeline(spark, str(inp), songs2, users, **kwargs)
+
+    kpis = spark.read.parquet(str(tmp_path / "out" / "genre_kpis"))
+    dates = {str(r.date) for r in kpis.select("date").distinct().collect()}
+    assert dates == {"2024-06-26"}  # stale 06-25 partition is GONE
+    assert not (tmp_path / "out" / "genre_kpis" / "date=2024-06-25").exists()
+
+    kv = spark.read.parquet(str(tmp_path / "out" / "kv"))
+    assert kv.filter(F.col("date") == "2024-06-25").count() == 0
+    assert not (tmp_path / "out" / "kv" / "date=2024-06-25").exists()
+
+    # the external store saw pk-scoped deletes for every vanished pk
+    state = JsonDirKvClient(kv_dir).materialize()
+    assert not any("DATE#2024-06-25" in pk for pk, _ in state)
+    assert any("DATE#2024-06-26" in pk for pk, _ in state)
