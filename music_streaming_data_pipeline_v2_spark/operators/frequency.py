@@ -38,12 +38,22 @@ from pyspark.sql import functions as F
 
 
 def mg_partition_summaries(
-    df: DataFrame, col: str, k: int, out_col: str = "value"
+    df: DataFrame,
+    col: str,
+    k: int,
+    out_col: str = "value",
+    with_counts: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries: ≤ k candidate values per
     partition, each guaranteed to include every value whose partition
     count exceeds n_p/k. One map-side pass, output ≤ n_partitions × k
-    rows."""
+    rows.
+
+    ``with_counts=True`` additionally emits ONE marker row per
+    partition — ``(value NULL, n_part = rows scanned)`` — so the
+    caller can recover the exact corpus total from the SAME scan
+    instead of running a separate count() action over the full input
+    (the summary relation stays ≤ n_partitions × (k+1) rows)."""
 
     # Self-contained closure (pickle-by-value — no references to this
     # package; the driver's Python workers may not have it on path).
@@ -51,8 +61,11 @@ def mg_partition_summaries(
         import pandas as pd
 
         counters = pd.Series(dtype="int64")
+        n_part = 0
         for pdf in batches:
-            vc = pdf.iloc[:, 0].dropna().value_counts()
+            vals = pdf.iloc[:, 0].dropna()
+            n_part += len(vals)
+            vc = vals.value_counts()
             counters = (
                 vc if counters.empty else counters.add(vc, fill_value=0)
             ).astype("int64")
@@ -66,11 +79,23 @@ def mg_partition_summaries(
         # list(), not the raw index: an empty summary's index is a
         # RangeIndex whose int64 dtype breaks Arrow conversion for
         # string-typed columns; an empty list is dtype-neutral
-        yield pd.DataFrame({"value": list(counters.index)})
+        values = list(counters.index)
+        if with_counts:
+            yield pd.DataFrame(
+                {
+                    "value": values + [None],
+                    "n_part": [None] * len(values) + [n_part],
+                }
+            )
+        else:
+            yield pd.DataFrame({"value": values})
 
     src_type = df.schema[col].dataType.simpleString()
+    schema = f"value {src_type}"
+    if with_counts:
+        schema += ", n_part long"
     return df.select(F.col(col)).mapInPandas(
-        summarize, schema=f"value {src_type}"
+        summarize, schema=schema
     ).withColumnRenamed("value", out_col)
 
 
@@ -99,34 +124,69 @@ def frequent_items(
     values = df.select(F.col(col).alias("value")).filter(
         F.col("value").isNotNull()
     )
-    n = values.count()
-    threshold = max(int(math.ceil(min_fraction * n)), 1)
-    candidates = mg_partition_summaries(values, "value", k).distinct()
+    # ONE summary pass yields both the candidates AND the exact corpus
+    # total (per-partition marker rows) — the threshold used to cost a
+    # second full count() action over the input. The tiny summary
+    # relation (≤ n_partitions × (k+1) rows) is checkpointed eagerly
+    # because two branches consume it (candidates broadcast + total);
+    # un-checkpointed, each branch would re-run the corpus scan.
+    summaries = mg_partition_summaries(
+        values, "value", k, with_counts=True
+    ).localCheckpoint(eager=True)
+    candidates = (
+        summaries.filter(F.col("value").isNotNull()).select("value").distinct()
+    )
+    n_df = summaries.agg(
+        F.coalesce(F.sum("n_part"), F.lit(0)).cast("long").alias("_n_total")
+    )
+    # threshold stays IN the plan (1-row broadcast crossJoin) — same
+    # double-multiply-then-ceil arithmetic the Python driver code used,
+    # and the same expression the HAVING-count oracle replays
+    threshold = F.greatest(
+        F.ceil(F.lit(float(min_fraction)) * F.col("_n_total")), F.lit(1)
+    )
     return (
         values.join(F.broadcast(candidates), "value", "left_semi")
         .groupBy("value")
         .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(n_df))
         .filter(F.col("n_occurrences") >= threshold)
+        .drop("_n_total")
     )
+
+
+#: Addressing-scheme version, pinned into incremental sketch state
+#: (streaming/sketch_ingest.py): v2 = 8-hex-digit (32-bit) slice.
+#: Cells placed under a different version are NOT mergeable — the same
+#: key lands in different buckets — so state readers must reject a
+#: version mismatch rather than silently undercount.
+CM_ADDR_VERSION = 2
 
 
 def cm_bucket(key: str | Column, depth_row: int, width: int) -> Column:
     """Count-min bucket of ``key`` for hash row ``depth_row`` —
-    md5('cm{d}|' + key) first-4-hex-digit arithmetic mod ``width``,
-    the same content-addressed construction as
+    md5('cm{d}|' + key) first-8-hex-digit arithmetic (a 32-bit value)
+    mod ``width``, the same content-addressed construction as
     ``sampling.hash_bucket`` so a SQL oracle can replay every cell
     placement digit by digit (no engine-private hash functions).
-    ``width`` ≤ 65536 (the 4-digit value space)."""
-    if not 1 <= width <= 65536:
-        raise ValueError("width must be in [1, 65536]")
+
+    ``width`` may be anything up to 2³¹−1 (the int bucket column); the
+    8-digit value space is 2³², so mod bias is ≤ 2⁻³²·width — nil for
+    any practical geometry. Per-row expected overcount is the classic
+    collision mass E[err] ≤ n/width (n = total key occurrences), min'd
+    over ``depth`` rows at readout: width 2²⁰ over a 10¹² -token corpus
+    bounds E[err] ≤ ~10⁶ per probe, and P[err > e·n/width] ≤ e^-depth
+    (Cormode & Muthukrishnan 2005, §4.1)."""
+    if not 1 <= width <= 2**31 - 1:
+        raise ValueError("width must be in [1, 2^31 - 1]")
     from .sampling import _hexval
 
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(f"cm{depth_row}|"), c.cast("string")))
-    v = F.lit(0)
-    for j in range(4):
+    v = F.lit(0).cast("long")
+    for j in range(8):
         v = v * 16 + _hexval(F.substring(h, j + 1, 1))
-    return (v % F.lit(width)).cast("int")
+    return (v % F.lit(int(width))).cast("int")
 
 
 def _cm_placements(key: Column, width: int, depth: int) -> Column:

@@ -1181,11 +1181,19 @@ def textrank_keywords(
     ).unionAll(bg.select(F.col("cur").alias("src"), F.col("prev").alias("dst")))
     e = und.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
     ranks = pagerank_scaled(e, iterations=iterations, weight_col="w")
+    # two-phase global top-k (the dsir_gumbel_topk pattern): orderBy +
+    # limit is TakeOrderedAndProject — per-partition k-row heaps, then
+    # a k-row merge on the driver side of the exchange. The rank
+    # window runs AFTER the cut, over k rows, so no full-vocabulary
+    # relation ever lands in one partition (the single-partition
+    # WindowExec this replaces would bottleneck at a 100 TB corpus's
+    # vocabulary).
+    top = ranks.orderBy(F.desc("rank_i"), F.asc("node")).limit(int(k))
     win = Window.orderBy(F.desc("rank_i"), F.asc("node"))
-    return (
-        ranks.withColumn("pos", F.row_number().over(win).cast("int"))
-        .filter(F.col("pos") <= k)
-        .select("pos", F.col("node").alias("keyword"), "rank_i")
+    return top.select(
+        F.row_number().over(win).cast("int").alias("pos"),
+        F.col("node").alias("keyword"),
+        "rank_i",
     )
 
 

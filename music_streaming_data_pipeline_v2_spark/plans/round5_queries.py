@@ -2262,18 +2262,20 @@ _CM_WIDTH, _CM_DEPTH = 2048, 4
 
 
 def _cm_bucket_sql(width: int) -> str:
-    """DuckDB twin of operators/frequency.py:cm_bucket — md5 of
-    'cm{depth_row}|{token}', first 4 hex digits as a 16-bit value mod
-    ``width`` (columns ``depth_row`` and ``token`` in scope)."""
+    """DuckDB twin of operators/frequency.py:cm_bucket (addressing
+    v2) — md5 of 'cm{depth_row}|{token}', first 8 hex digits as a
+    32-bit value mod ``width`` (columns ``depth_row`` and ``token`` in
+    scope)."""
     h = "MD5('cm' || CAST(depth_row AS VARCHAR) || '|' || token)"
 
     def digit(i: int) -> str:
         return f"(INSTR('0123456789abcdef', SUBSTRING({h}, {i}, 1)) - 1)"
 
-    return (
-        f"(({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 "
-        f"+ {digit(4)}) % {width})"
+    value = " + ".join(
+        f"{digit(i + 1)} * {16 ** (7 - i)}" if i < 7 else digit(8)
+        for i in range(8)
     )
+    return f"(CAST(({value}) AS BIGINT) % {width})"
 
 
 def _oracle_cm() -> str:

@@ -65,14 +65,27 @@ def _check_geometry(
     """Return the state directory's pinned (width, depth), pinning
     ``(width, depth)`` if nothing is pinned yet (``write=True``) and
     raising on any mismatch with an existing pin."""
+    from ..operators.frequency import CM_ADDR_VERSION
     from .state import read_state_or_empty
 
     geo_dir = os.path.join(work_dir, "geometry")
+    # addr_version reads as NULL from state written before the column
+    # existed (v1 = the 4-hex-digit addressing) — those cells place the
+    # same key in different buckets than the current arithmetic, so
+    # merging would silently undercount; reject and rebuild instead
     rows = read_state_or_empty(
-        spark, geo_dir, "width int, depth int"
+        spark, geo_dir, "width int, depth int, addr_version int"
     ).collect()
     if rows:
         got = (rows[0]["width"], rows[0]["depth"])
+        ver = rows[0]["addr_version"] or 1
+        if ver != CM_ADDR_VERSION:
+            raise ValueError(
+                f"sketch state at {work_dir!r} was built with bucket-"
+                f"addressing v{ver}; this build uses "
+                f"v{CM_ADDR_VERSION} — cells are not mergeable across "
+                "addressing schemes, rebuild the state directory"
+            )
         if (width, depth) != got:
             raise ValueError(
                 f"sketch state at {work_dir!r} is pinned to "
@@ -83,7 +96,8 @@ def _check_geometry(
         return got
     if write:
         spark.createDataFrame(
-            [(int(width), int(depth))], "width int, depth int"
+            [(int(width), int(depth), int(CM_ADDR_VERSION))],
+            "width int, depth int, addr_version int",
         ).write.mode("overwrite").parquet(geo_dir)
     return (width, depth)
 
