@@ -3227,99 +3227,92 @@ from . import round5_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
 # queries in registration order. Window policy (alternating window, per
-# ADVICE r3; round-5 instance):
-#   1. queries whose implementation, oracle, or shared operators CHANGED
-#      this round — sequence_packing first (r4's one red: the oracle's
-#      DECIMAL typing, now CAST to BIGINT), kv_table (cost-based persist),
-#      zorder_values (BIGINT-aligned y), the embedding queries behind the
-#      width-guarded scorer, bloom_decontamination (strategy switch,
-#      pinned 'bloom');
-#   2. the 14 queries whose last driver row was round 1/2 (the stale set
-#      VERDICT r4 listed) — after this round every registry query's most
-#      recent driver row is r3+;
-#   3. the remaining slots take the stalest r3-green queries
-#      (alphabetical is deliberate — mechanical, so the r6 rotation can
-#      take the complement without judgment calls). 27 r3-green queries
-#      remain for the r6 window (10 slots went to the new round-5
-#      registrants, which outrank re-checks).
+# ADVICE r3; round-6 instance — this round finally retires the whole
+# stale-verification debt, VERDICT r5 task #1):
+#   1. the 14 queries whose most recent driver row is round 2 (11
+#      oracled + 3 rows-only) plus minhash_drop_stats, which has NEVER
+#      produced a driver row — after r6, no registry query's latest
+#      driver row predates r3;
+#   2. queries whose implementation changed this round:
+#      heavy_hitter_tokens (single-scan threshold),
+#      cm_token_counts (8-hex 32-bit bucket addressing),
+#      textrank_keywords (two-phase TakeOrderedAndProject top-k);
+#   3. the remaining 32 slots take the stalest (r3-green) queries in
+#      alphabetical order — mechanical, so the r7 rotation can take the
+#      complement without judgment calls — except simhash_oracle is
+#      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
+#      for the simhash full-replay oracle). 17 r3-green queries remain
+#      for the r7 window.
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
 # current window. tests/test_oracle_parity.py still checks ALL oracled
 # entries at sf0.001 on every pytest run regardless of position.
 _CHECK_FIRST = [
-    # -- 0. new this round, never driver-checked (round5_queries.py)
-    "bm25_search",
-    "unigram_lm_quality",
-    "pii_scan_counts",
-    "weighted_doc_sample",
-    "boilerplate_ngrams",
-    "pq_codes",
-    "pq_topk_adc",
-    "pq_recall",
-    "ivfpq_topk_adc",
-    "duplicated_spans",
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "temperature_lang_sample",
-    "bm25_hard_negatives",
-    "line_dedup_docs",
-    "leakage_safe_split",
-    "cluster_representatives",
-    "bigram_lm_quality",
-    "rrf_hybrid_topk",
-    "retrieval_mrr_ndcg",
-    "mmr_rerank_topk",
-    "nfd_bin_packing",
-    "source_drift_psi",
-    "char_entropy_scores",
-    "embedding_decontamination",
-    "textrank_keywords",
-    "nb_domain_routing",
-    "concurrent_activity_pairs",
-    "ccnet_quality_buckets",
-    "gopher_quality_rules",
-    "gopher_repetition_signals",
-    "source_ngram_overlap",
-    "epoch_mix_plan",
-    "vocab_oov_rate",
+    # -- 1. last driver row r1/r2, plus the one never-checked entry
+    "asof_user_setting",
+    "brand_stats_having",
+    "day_over_day",
+    "embedding_near_dups_exact",
+    "except_entities",
+    "lang_detect_counts",
+    "serving_user_range",
+    "token_stats",
+    "type_share_of_day",
+    "union_dedup",
+    "user_sessions",
+    "approx_distinct_users",      # rows-only (HLL sketch)
+    "minhash_lsh_pairs_docs",     # rows-only; oracled sibling below
+    "simhash_pairs_docs",         # rows-only; oracled sibling below
+    "minhash_drop_stats",         # rows-only; first-ever driver row
+    # -- 2. implementation changed this round
+    "heavy_hitter_tokens",
     "cm_token_counts",
-    "vocab_coverage_curve",
-    "unimax_allocation",
-    "recipe_epochs_unimax",
-    "doc_length_quantiles",
-    "length_quantiles_by_lang",
-    # -- 1. changed this round
-    "sequence_packing",
-    "kv_table",
-    "zorder_values",
-    "semantic_dedup_decisions",
-    "ann_ivf_oracle",
-    "ann_ivf_recall",
-    "bloom_decontamination",
-    # -- 2. stalest re-checks (last driver row: round 1/2)
-    "rolling_7d_range",
-    "salted_agg_equivalence",
-    "serving_rank_between",
-    # -- (asof_user_setting / brand_stats_having / day_over_day /
-    #     embedding_near_dups_exact / except_entities /
-    #     lang_detect_counts / serving_user_range / token_stats
-    #     / type_share_of_day / union_dedup / user_sessions rotated
-    #     back out to make room for the round-5-late additions (Gopher
-    #     quality/repetition, source-overlap audit, epoch-mix plan,
-    #     OOV-rate audit, count-min sketch, vocab coverage curve,
-    #     UniMax allocation + the composed recipe): new
-    #     never-driver-checked queries always outrank re-checks of
-    #     already-driver-proven entries, and all eleven displaced
-    #     queries hold r1/r2-green rows plus per-run pytest oracle
-    #     parity. They head the r6 stale pool.)
-    # -- (no r3-green re-check slots left this round: all remaining
-    #     slots went to late round-5 registrants — the cluster-curation
-    #     queries, the retrieval/packing/drift batch,
-    #     entropy/embedding-decontamination, textrank/NB-routing, and
-    #     the interval-overlap/CCNet-bucket pair. New
-    #     never-driver-checked queries always outrank re-checks of
-    #     already-driver-proven entries; the 29 stale-but-proven
-    #     r3-green queries are the r6 window's rotation pool.)
+    "textrank_keywords",
+    # -- 3. stalest re-checks (r3-green, alphabetical, oracled-only:
+    #       rows-only ann_ivf_topk/ann_lsh_topk are skipped — their
+    #       full-replay oracle siblings ann_ivf_oracle/ann_lsh_oracle
+    #       are r4/r5-green) + simhash_oracle
+    "bi_nation_volume",
+    "bigram_collocations",
+    "brand_basket_pairs",
+    "cdc_latest_state",
+    "click_purchase_funnel",
+    "click_purchase_funnel_native",
+    "corpus_curation",
+    "cumulative_unique_buyers",
+    "daily_kpis",
+    "dataset_split_counts",
+    "dim_merge_upsert",
+    "disjunctive_part_revenue",
+    "doc_repetition_filter",
+    "embedding_quantize_codes",
+    "ewma_per_user",
+    "fuzzy_part_pairs",
+    "global_top_spenders",
+    "idle_rich_customers",
+    "incremental_daily_agg",
+    "interpolated_purchase_series",
+    "intersect_entities",
+    "inverted_index_tokens",
+    "minhash_lsh_oracle",
+    "monthly_retention_cohorts",
+    "multi_order_customers_exists",
+    "music_pipeline_kpis",
+    "music_pipeline_top_songs",
+    "orders_by_nation_block_in",
+    "pivot_event_type_matrix",
+    "promo_revenue_share",
+    "redacted_docs",
+    "simhash_oracle",
+    # -- (r3-green queries deferred to the r7 rotation pool:
+    #     rolling_30d_distinct_customers, scd2_user_state,
+    #     small_qty_orders_scalar_subq, source_mix_weights,
+    #     tfidf_top_terms, token_frequencies, top_types_per_day,
+    #     top_users_per_type_day, train_test_contamination,
+    #     user_value_quartiles, value_histogram,
+    #     value_moments_by_type, views_near_clicks, winsorized_means
+    #     + whatever r6 registers or changes. All hold green driver
+    #     rows and per-run pytest oracle parity.)
 ]
 
 def finalize_registry() -> dict[str, Q]:
