@@ -309,6 +309,35 @@ def main() -> None:
     psi_note = f"{psi_hi:.3f}" if psi_hi is not None else "n/a"
     print(f"drift audit:   max source PSI {psi_note}")
 
+    # 11. the same recipe as ONE composed plan — the oracle-checked
+    # production entrypoint (operators/curation.py:curation_recipe,
+    # driver query `curation_recipe_e2e`): dedup → quality-argmax
+    # representatives → integer-exact gate → component-coined split →
+    # UniMax water-fill → epoch mix, stage contracts pinned end to end
+    from music_streaming_data_pipeline_v2_spark.operators.curation import (
+        curation_recipe,
+    )
+
+    recipe = curation_recipe(docs, total_budget=6_001, max_epochs=3)
+    summary = (
+        recipe.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_tokens") * F.col("repeat_count")).alias(
+                "mixed_tokens"
+            ),
+        )
+        .orderBy("split")
+        .collect()
+    )
+    print(
+        "e2e recipe:    "
+        + "; ".join(
+            f"{r.split}: {r.docs} docs, {r.mixed_tokens} mixed tokens"
+            for r in summary
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

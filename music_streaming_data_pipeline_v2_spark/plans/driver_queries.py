@@ -3223,6 +3223,7 @@ from . import pipeline_queries  # noqa: E402,F401
 from . import round3_queries  # noqa: E402,F401
 from . import round4_queries  # noqa: E402,F401
 from . import round5_queries  # noqa: E402,F401
+from . import round6_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
@@ -3264,7 +3265,8 @@ _CHECK_FIRST = [
     "minhash_lsh_pairs_docs",     # rows-only; oracled sibling below
     "simhash_pairs_docs",         # rows-only; oracled sibling below
     "minhash_drop_stats",         # rows-only; first-ever driver row
-    # -- 2. implementation changed this round
+    # -- 2. new this round / implementation changed this round
+    "curation_recipe_e2e",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3302,10 +3304,9 @@ _CHECK_FIRST = [
     "orders_by_nation_block_in",
     "pivot_event_type_matrix",
     "promo_revenue_share",
-    "redacted_docs",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     rolling_30d_distinct_customers, scd2_user_state,
+    #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
     #     small_qty_orders_scalar_subq, source_mix_weights,
     #     tfidf_top_terms, token_frequencies, top_types_per_day,
     #     top_users_per_type_day, train_test_contamination,

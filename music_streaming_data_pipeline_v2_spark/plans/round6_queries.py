@@ -1,0 +1,186 @@
+"""Round-6 batch: the curation pipeline composed END TO END as one
+oracled query.
+
+Rounds 3-5 proved every curation stage individually — near-dup
+clustering (``dedup_clusters``), quality-argmax representatives
+(``cluster_representatives``), cluster-granular splits
+(``leakage_safe_split``), UniMax allocation (``unimax_allocation``),
+epoch mixing (``recipe_epochs_unimax``). This round proves the
+COMPOSITION: one DataFrame plan running dedup → representatives →
+quality gate → leakage-safe split → UniMax → epoch mix, with a DuckDB
+oracle replaying the full chain (the shared ``_CC_CTES`` closure plus
+the same water-filling and remainder-prefix arithmetic the stage
+oracles pin). ``examples/curation_pipeline_demo.py`` calls the same
+``operators/curation.py:curation_recipe`` function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io.sources import load_table
+from .driver_queries import _utc, q
+from .oracle_shared import _CC_CTES, _W, _md5_bucket_sql
+
+# Recipe constants — chosen so every branch is LIVE at the test sfs:
+# the gate drops part of the dedup survivors (both min-token and
+# uniq-ratio rules fire), the split produces all three buckets, and
+# the 6001-token budget sits strictly inside the total 3-epoch cap
+# (~8.6-9.9k train tokens × 3) so the UniMax water-fill caps the two
+# smallest languages AND shares the remainder over the rest, with the
+# odd token exercising the +1 ascending-rank branch; downstream, the
+# uncapped languages' budgets are not multiples of their token counts,
+# so the epoch-mix remainder prefix fires too.
+_E2E_BUDGET, _E2E_EPOCHS = 6_001, 3
+_E2E_MIN_TOKENS, _E2E_MIN_UNIQ_PM = 20, 320
+
+#: lower+trim whitespace token array (the cluster_representatives
+#: oracle's tokenization — distinct/total over THIS array is the
+#: quality ratio).
+_LT = r"REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')"
+
+
+def _oracle_curation_e2e() -> str:
+    b, e = _E2E_BUDGET, _E2E_EPOCHS
+    mt, mu = _E2E_MIN_TOKENS, _E2E_MIN_UNIQ_PM
+    ebkt = (
+        "(INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS"
+        " VARCHAR)), 1, 1)) - 1) * 16"
+        " + (INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id"
+        " AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""{_CC_CTES},
+qual AS (
+    SELECT d.doc_id, a.component, d.n_chars, d.lang, d.text,
+           CAST(LEN(LIST_DISTINCT({_LT.replace('text', 'd.text')})) AS DOUBLE)
+             / LEN({_LT.replace('text', 'd.text')}) AS uniq_ratio
+    FROM documents d JOIN alldocs a ON a.doc_id = d.doc_id
+),
+reps AS (
+    SELECT component, doc_id FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component
+                   ORDER BY uniq_ratio DESC, n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM qual
+    ) WHERE rn = 1
+),
+kept AS (
+    SELECT d.doc_id, r.component, d.lang, d.text,
+           CAST(LEN({_W}) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT({_LT.replace('text', 'd.text')}))
+               AS BIGINT) AS nd,
+           CAST(LEN({_LT.replace('text', 'd.text')}) AS BIGINT) AS nw
+    FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+),
+gated AS (
+    SELECT * FROM kept
+    WHERE n_tokens >= {mt} AND 1000 * nd >= {mu} * nw
+),
+sp AS (
+    SELECT doc_id, component, lang, n_tokens,
+           CASE WHEN {_md5_bucket_sql('component')} < 204 THEN 'train'
+                WHEN {_md5_bucket_sql('component')} < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated
+),
+train AS (SELECT * FROM sp WHERE split = 'train'),
+src AS (
+    SELECT lang AS source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+    FROM train GROUP BY lang
+),
+caps AS (
+    SELECT source, source_tokens,
+           CAST(source_tokens * {e} AS BIGINT) AS cap_tokens
+    FROM src
+),
+staged AS (
+    SELECT source, source_tokens, cap_tokens,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+           CAST(SUM(cap_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - cap_tokens AS BIGINT) AS p_before,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM caps
+    WINDOW w AS (ORDER BY cap_tokens ASC, source ASC)
+),
+flagged AS (
+    SELECT *,
+           (p_before + cap_tokens * (n - k + 1) <= {b}) AS capped
+    FROM staged
+),
+tot AS (
+    SELECT *,
+           CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                AS BIGINT) AS m,
+           CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END)
+                OVER (), 0) AS BIGINT) AS p_m
+    FROM flagged
+),
+budgets AS (
+    SELECT source,
+           CAST(CASE WHEN capped THEN cap_tokens
+                ELSE ({b} - p_m) // NULLIF(n - m, 0)
+                     + CASE WHEN (k - m) <= ({b} - p_m) % NULLIF(n - m, 0)
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS budget
+    FROM tot
+),
+t AS (
+    SELECT doc_id, lang AS source, n_tokens, {ebkt} AS bkt FROM train
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS src_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY bkt, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS BIGINT) AS cum_before
+    FROM t
+),
+mix AS (
+    SELECT c.doc_id,
+           CAST(
+               (CASE WHEN c.src_tokens > 0
+                     THEN COALESCE(b.budget, 0) // c.src_tokens ELSE 0 END)
+               + (CASE WHEN c.cum_before <
+                       (CASE WHEN c.src_tokens > 0
+                             THEN COALESCE(b.budget, 0) % c.src_tokens
+                             ELSE 0 END)
+                  THEN 1 ELSE 0 END)
+           AS BIGINT) AS repeat_count
+    FROM c LEFT JOIN budgets b USING (source)
+)
+SELECT s.doc_id, s.component, s.lang AS source, s.split, s.n_tokens,
+       CAST(COALESCE(m.repeat_count, 0) AS BIGINT) AS repeat_count
+FROM sp s LEFT JOIN mix m USING (doc_id)
+"""
+
+
+@q("curation_recipe_e2e", _oracle_curation_e2e())
+def curation_recipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation recipe as ONE plan
+    (operators/curation.py:curation_recipe): near-dup clustering →
+    quality-argmax representatives → integer-exact quality gate →
+    component-coined train/val/test split → UniMax water-filling over
+    the train split → per-document epoch mix. Output: one row per
+    surviving document with its component, split, token count, and
+    training-mix repeat count (0 for held-out splits). The oracle
+    replays the entire chain — closure, argmax, gate, split coin,
+    water-fill, and remainder prefix — in one SQL statement, so the
+    stage CONTRACTS (what each stage hands the next) are pinned, not
+    just each stage in isolation."""
+    from ..operators.curation import curation_recipe
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_recipe(
+        docs,
+        _E2E_BUDGET,
+        _E2E_EPOCHS,
+        jaccard_threshold=0.8,
+        min_tokens=_E2E_MIN_TOKENS,
+        min_uniq_permille=_E2E_MIN_UNIQ_PM,
+    )
