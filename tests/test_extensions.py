@@ -985,3 +985,36 @@ def test_resize_images_ppm_kernel_real_pixels(spark):
     # undecodable: row completely untouched (content AND meta)
     assert bytes(out[2].content) == junk
     assert out[2].meta.format == "bin" and out[2].meta.width == w
+
+
+def test_ppm_kernel_16bit_pgm_takes_fallback_path(spark):
+    """maxval>255 pin (VERDICT r5 #9): a well-formed 16-bit P5 payload
+    (maxval 65535, 2 bytes/pixel raster) is OUTSIDE the codec's 8-bit
+    contract — it must flow down the undecodable-fallback path of BOTH
+    Spark kernels (byte-histogram features; resize passes the row
+    through untouched), never a silent mis-decode that reads the
+    2-byte raster as 1-byte pixels."""
+    from music_streaming_data_pipeline_v2_spark.operators import (
+        multimodal as mm,
+    )
+    from music_streaming_data_pipeline_v2_spark.operators.multimodal import (
+        fake_image_features,
+    )
+
+    w, h = 8, 4
+    raster = bytes(
+        b for i in range(w * h) for b in ((i * 97) % 256, (i * 31) % 256)
+    )
+    p5_16 = f"P5\n{w} {h}\n65535\n".encode() + raster
+    decode, _gr, _enc = mm._ppm_codec()
+    assert decode(p5_16) is None  # the codec-level reject
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(p5_16), (w, h, None, "pgm"))],
+        mm.MEDIA_SCHEMA,
+    )
+    feat = mm.extract_features(media, image_kernel="ppm").first()
+    want = fake_image_features(p5_16)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feat.feature, want))
+    resized = mm.resize_images(media, max_dim=4, image_kernel="ppm").first()
+    assert bytes(resized.content) == p5_16
+    assert resized.meta.format == "pgm" and resized.meta.width == w
