@@ -117,8 +117,10 @@ HEADLINE = [
     "doc_length_quantiles",
     "length_quantiles_by_lang",
     # round 6: the curation pipeline composed end-to-end as one plan
-    # (dedup -> representatives -> gate -> split -> unimax -> epochs)
+    # (dedup -> representatives -> gate -> split -> unimax -> epochs),
+    # and the oracle-replayable HLL distinct sketch
     "curation_recipe_e2e",
+    "hll_distinct_users",
 ]
 
 

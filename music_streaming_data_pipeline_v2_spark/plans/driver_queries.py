@@ -3267,6 +3267,7 @@ _CHECK_FIRST = [
     "minhash_drop_stats",         # rows-only; first-ever driver row
     # -- 2. new this round / implementation changed this round
     "curation_recipe_e2e",
+    "hll_distinct_users",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3303,9 +3304,9 @@ _CHECK_FIRST = [
     "music_pipeline_top_songs",
     "orders_by_nation_block_in",
     "pivot_event_type_matrix",
-    "promo_revenue_share",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     promo_revenue_share,
     #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
     #     small_qty_orders_scalar_subq, source_mix_weights,
     #     tfidf_top_terms, token_frequencies, top_types_per_day,

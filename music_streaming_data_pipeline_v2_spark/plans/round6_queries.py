@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io.sources import load_table
-from .driver_queries import _utc, q
+from .driver_queries import _utc, load_events, q
 from .oracle_shared import _CC_CTES, _W, _md5_bucket_sql
 
 # Recipe constants — chosen so every branch is LIVE at the test sfs:
@@ -183,4 +183,96 @@ def curation_recipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.8,
         min_tokens=_E2E_MIN_TOKENS,
         min_uniq_permille=_E2E_MIN_UNIQ_PM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replayable HyperLogLog — the last rows-only sketch family gains a
+# full-replay oracle sibling (the ann_lsh_oracle/simhash_oracle
+# pattern applied to approx-distinct): md5-derived registers, an
+# exact-integer harmonic sum, and a precomputed linear-counting table
+# so neither engine evaluates ln (1-ulp JVM/DuckDB divergence,
+# measured). See operators/frequency.py module comment.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_hll() -> str:
+    from ..operators.frequency import (
+        HLL_ALPHA_SQL,
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_Z_ONE,
+        hll_lc_micro_table,
+    )
+
+    h = "MD5('hll|' || CAST(user_id AS VARCHAR))"
+
+    def digit(i: int) -> str:
+        return f"(INSTR('0123456789abcdef', SUBSTRING({h}, {i}, 1)) - 1)"
+
+    w = " + ".join(
+        f"CAST({digit(i + 3)} AS BIGINT) * {16 ** (11 - i)}"
+        if i < 11
+        else f"CAST({digit(14)} AS BIGINT)"
+        for i in range(12)
+    )
+    lc_rows = ", ".join(
+        f"({v}, {m})" for v, m in hll_lc_micro_table()
+    )
+    return f"""
+WITH lc(v_empty, lc_micro) AS (VALUES {lc_rows}),
+k AS (
+    SELECT CAST(ts AS DATE) AS date,
+           {digit(1)} * 16 + {digit(2)} AS bucket,
+           {w} AS w
+    FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+    SELECT date, bucket,
+           MAX(CASE WHEN w = 0 THEN {HLL_RHO_CAP}
+                    ELSE {HLL_RHO_CAP} - LENGTH(BIN(w)) END) AS rho_max
+    FROM k GROUP BY date, bucket
+),
+a AS (
+    SELECT date,
+           CAST({HLL_M} - COUNT(*) AS INT) AS v_empty,
+           CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - rho_max))
+                + ({HLL_M} - COUNT(*)) * {HLL_Z_ONE} AS BIGINT) AS z_scaled
+    FROM rr GROUP BY date
+),
+e AS (
+    SELECT date, v_empty, z_scaled,
+           {HLL_ALPHA_SQL} * 65536.0 * 562949953421312.0
+               / CAST(z_scaled AS DOUBLE) AS raw
+    FROM a
+)
+SELECT e.date, e.v_empty, e.z_scaled,
+       CASE WHEN raw <= {2.5 * HLL_M!r} AND e.v_empty > 0
+            THEN CAST(lc.lc_micro AS DOUBLE) / 1.0e6
+            ELSE ROUND(raw, 6) END AS approx_count
+FROM e LEFT JOIN lc ON lc.v_empty = e.v_empty
+"""
+
+
+@q("hll_distinct_users", _oracle_hll())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date approximate distinct users via the REPLAYABLE
+    HyperLogLog (operators/frequency.py:hll_distinct) — the oracled
+    sibling of rows-only `approx_distinct_users` (engine-private
+    HLL++). Registers, the exact-integer harmonic sum, the raw
+    IEEE-exact estimate, and the table-driven linear-counting branch
+    are all replayed digit by digit in SQL; at the test scale every
+    date takes the linear-counting branch (n ≈ 11-141 « 2.5m = 640),
+    while the raw branch's bit-exactness is pinned by
+    tests/test_round6_ops.py over synthetic high-cardinality groups.
+    Scale: one corpus scan into a (date, bucket)-keyed aggregate ≤
+    dates×256 rows after map-side combine — the same shuffle profile
+    approx_count_distinct has, with none of its opacity."""
+    from pyspark.sql import functions as F
+
+    from ..operators.frequency import hll_distinct
+
+    events = load_events(spark, sf_dir)
+    return hll_distinct(
+        events.withColumn("date", F.to_date("ts")), "user_id", ["date"]
     )

@@ -97,3 +97,77 @@ def test_quality_gate_is_integer_exact(recipe, spark):
         | (F.lit(1000) * F.col("nd") < F.lit(320) * F.col("nw"))
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Replayable HLL (operators/frequency.py:hll_distinct)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_linear_branch_matches_exact_when_sparse(spark):
+    # n << m: every key occupies its own register with overwhelming
+    # probability; linear counting over V empties is near-exact.
+    # With n=5 distinct keys the estimate must land within 1.
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5,) for i in range(50)], "k long"
+    )
+    row = hll_distinct(df, "k").first()
+    assert row.v_empty >= 251
+    assert abs(row.approx_count - 5) <= 1
+
+
+def test_hll_raw_branch_within_rsd(spark):
+    # n >> 2.5m forces the raw harmonic-mean branch; classic HLL rsd
+    # at m=256 is ~6.5%, so 4 rsd (26%) is a generous determinism-safe
+    # bound for one fixed hash function
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_distinct,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    row = hll_distinct(df, "k").first()
+    assert row.v_empty == 0 or row.approx_count > 640.0
+    assert abs(row.approx_count - n) / n < 0.26
+
+
+def test_hll_registers_are_mergeable(spark):
+    # max-merge of two shards' registers == registers of the union —
+    # the property that makes the sketch unionable across batches
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))
+    merged = (
+        hll_registers(a, "k")
+        .unionAll(hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    direct = hll_registers(a.unionAll(b), "k")
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+    est_m = hll_estimate(merged).first().approx_count
+    est_d = hll_estimate(direct).first().approx_count
+    assert est_m == est_d
+
+
+def test_hll_null_keys_ignored(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "k long"
+    )
+    row = hll_distinct(df, "k").first()
+    assert abs(row.approx_count - 2) <= 1
