@@ -48,13 +48,15 @@ def _stage_jsonl(df, staged: str, waves: int, key_col: str = "doc_id"):
     return out
 
 
-def probe_family(spark, name: str, df, run, work_root: str) -> list[float]:
+def probe_family(
+    spark, name: str, df, run, work_root: str, key_col: str = "doc_id"
+) -> list[float]:
     """Stage 3 waves of ``df`` and time each ``run(spark, in_dir,
     work_dir)`` drain separately."""
     base = os.path.join(work_root, name)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir, exist_ok=True)
-    waves = _stage_jsonl(df, os.path.join(base, "staged"), 3)
+    waves = _stage_jsonl(df, os.path.join(base, "staged"), 3, key_col)
     work = os.path.join(base, "work")
     times = []
     for files in waves:
@@ -84,6 +86,9 @@ def main() -> None:
     )
     from music_streaming_data_pipeline_v2_spark.streaming.sketch_ingest import (
         run_incremental_sketch,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.hll_ingest import (
+        run_incremental_hll,
     )
     from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (
         run_incremental_winnow,
@@ -121,11 +126,26 @@ def main() -> None:
             ),
             ("winnow", dt, run_incremental_winnow),
             ("sketch", dt, run_incremental_sketch),
+            (
+                "hll",
+                docs.select(
+                    F.col("source").alias("group"),
+                    F.col("doc_id").cast("string").alias("key"),
+                ).localCheckpoint(),
+                run_incremental_hll,
+            ),
         ]
         for name, df, run in families:
             work_root = tempfile.mkdtemp(prefix=f"probe_{name}_")
             try:
-                t = probe_family(spark, name, df, run, work_root)
+                t = probe_family(
+                    spark,
+                    name,
+                    df,
+                    run,
+                    work_root,
+                    key_col="key" if name == "hll" else "doc_id",
+                )
             finally:
                 shutil.rmtree(work_root, ignore_errors=True)
             ratio = round(t[2] / t[0], 2) if t[0] else float("nan")
