@@ -179,7 +179,126 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if not changed:
             break
+    else:
+        # Silently returning partially-propagated labels would hand
+        # downstream dedup WRONG clusters (two halves of one long
+        # chain as separate components). Label propagation needs
+        # O(diameter) rounds — a graph that exhausts the cap is the
+        # adversarial-topology case the alternating-star algorithm
+        # exists for.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the cap) — use "
+            "connected_components_star, which converges in O(log n) "
+            "rounds regardless of diameter"
+        )
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 60,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 §3) — the adversarial-topology companion to
+    ``connected_components``: label propagation needs O(diameter)
+    rounds (a path graph of n nodes takes n rounds), while the
+    alternating-star recurrence provably converges in O(log n) rounds
+    on ANY topology, each round two bounded shuffles. Same output
+    contract as every components variant here: ``component`` = min
+    node id reachable (equivalence property-fuzzed against the
+    union-find and label-propagation paths).
+
+    Round shape, on a canonical min-first edge list (u < v):
+
+    - **large-star**: around every center c, hang every LARGER
+      neighbor off m = min(neighborhood ∪ {c}) — one (center)-keyed
+      min aggregate + one join; never creates self-loops since
+      m ≤ c < v.
+    - **small-star**: around every center c, hang every SMALLER
+      neighbor (and c itself) off m = min of the smaller
+      neighborhood — the step that collapses chains from the low end.
+
+    Convergence (edge set reaches the fixpoint: a union of stars
+    centered at component minima) is detected EXACTLY — count match +
+    empty ``exceptAll`` — not via a hashed checksum that could
+    silently accept a collision. Each round localCheckpoints the edge
+    relation: same lineage-truncation requirement as label
+    propagation, plus it feeds the convergence probe twice.
+
+    Scale: per round the shuffles are keyed by center id and carry at
+    most |E| rows; high-degree minima are exactly the stars the
+    algorithm builds on purpose (the min aggregate combines map-side,
+    so a billion-leaf star costs its partition count, not a hot
+    reducer). 2× the per-round cost of label propagation — worth it
+    when diameter is unknown or unbounded; near-dup similarity graphs
+    are diameter-2-3, which is why it is not the default."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # large-star: adjacency in both directions; m = min(Γ(c) ∪ {c})
+        adj = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        e1 = (
+            adj.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            # m < v always (m ≤ u < v): canonical orientation is (m, v)
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .distinct()
+        )
+        # small-star: centers are the LARGER endpoints (canonical v);
+        # m = min of their smaller neighborhoods (all n < c, so
+        # min(N ∪ {c}) = min(N))
+        centers = e1.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        smin = centers.groupBy("c").agg(F.min("n").alias("m"))
+        e2 = (
+            centers.join(smin, "c")
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("n").alias("v"))
+            .union(smin.select(F.col("m").alias("u"), F.col("c").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
+        )
+        e = e2
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"alternating-star did not converge in {max_iterations} "
+            "rounds — not expected for any graph below 2^"
+            f"{max_iterations // 2} nodes; inspect the edge list"
+        )
+    # fixpoint is a union of min-rooted stars: (root, leaf) per leaf
+    return (
+        e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+        .union(e.select(F.col("u").alias("id"), F.col("u").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def dedup_clusters_exact(

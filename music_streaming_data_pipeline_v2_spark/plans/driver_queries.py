@@ -3268,6 +3268,7 @@ _CHECK_FIRST = [
     # -- 2. new this round / implementation changed this round
     "curation_recipe_e2e",
     "hll_distinct_users",
+    "dedup_clusters_star",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3303,10 +3304,9 @@ _CHECK_FIRST = [
     "music_pipeline_kpis",
     "music_pipeline_top_songs",
     "orders_by_nation_block_in",
-    "pivot_event_type_matrix",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     promo_revenue_share,
+    #     pivot_event_type_matrix, promo_revenue_share,
     #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
     #     small_qty_orders_scalar_subq, source_mix_weights,
     #     tfidf_top_terms, token_frequencies, top_types_per_day,

@@ -276,3 +276,53 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(
         events.withColumn("date", F.to_date("ts")), "user_id", ["date"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternating-star connected components — the adversarial-topology
+# clustering path gets its own hash-green driver row (the oracle is
+# topology-blind: component = min reachable id, the same recursive-CTE
+# closure dedup_clusters replays).
+# ---------------------------------------------------------------------------
+
+_ORACLE_DEDUP_CLUSTERS_STAR = f"""{_CC_CTES}
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CAST(doc_id = component AS BIGINT) AS keep
+FROM alldocs
+"""
+
+
+@q("dedup_clusters_star", _ORACLE_DEDUP_CLUSTERS_STAR)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with components computed by the alternating
+    large-star/small-star algorithm (operators/clustering.py:
+    connected_components_star, Kiveris et al. SoCC'14) instead of the
+    cost-based union-find/label-propagation router — O(log n) rounds
+    on ANY topology where label propagation needs O(diameter). Same
+    semantics (component = min reachable doc_id), same oracle closure
+    as `dedup_clusters`; a distinct driver row proves the
+    adversarial-topology path end to end, not just in unit fuzz."""
+    from ..operators.clustering import connected_components_star
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "lang", threshold=0.8)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("component")
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp, F.col("doc_id") == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn(
+            "keep",
+            (F.col("doc_id") == F.col("component")).cast("bigint"),
+        )
+    )

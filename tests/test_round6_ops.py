@@ -171,3 +171,69 @@ def test_hll_null_keys_ignored(spark):
     )
     row = hll_distinct(df, "k").first()
     assert abs(row.approx_count - 2) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Alternating-star connected components
+# (operators/clustering.py:connected_components_star)
+# ---------------------------------------------------------------------------
+
+
+def _cc_sets(df):
+    return {(r.id, r.component) for r in df.collect()}
+
+
+def test_star_equivalent_to_union_find_on_random_graphs(spark):
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    for _ in range(4):
+        n = rng.randint(5, 50)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(2 * n)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert _cc_sets(connected_components_star(df)) == _cc_sets(
+            connected_components(df)
+        )
+
+
+def test_star_solves_chain_where_label_propagation_caps(spark):
+    # a 100-edge path has diameter 100: label propagation's 25-round
+    # cap must now raise LOUDLY (returning half-merged components was
+    # the silent-wrong-cluster failure mode), while alternating-star
+    # converges in O(log n) rounds
+    import pytest as _pytest
+
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, driver_edge_threshold=0, max_iterations=25)
+    labels = connected_components_star(df).collect()
+    assert len(labels) == 101
+    assert all(r.component == 0 for r in labels)
+
+
+def test_star_ignores_self_loops_and_nulls(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (None, 3), (4, None), (5, 6)],
+        "src long, dst long",
+    )
+    got = _cc_sets(connected_components_star(df))
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
