@@ -150,6 +150,24 @@ def histogram_quantiles(
         .groupBy("value")
         .agg(F.count("*").alias("_cnt"))
     )
+    return quantiles_from_counts(hist, quantiles_permille)
+
+
+def quantiles_from_counts(
+    hist: DataFrame,
+    quantiles_permille: list[int],
+) -> DataFrame:
+    """The quantile READOUT over a prebuilt ``(value, _cnt)`` count
+    histogram — the back half of ``histogram_quantiles``, split out so
+    incrementally maintained histogram cells (streaming/hist_ingest.py
+    — counts are additive across batches, the count-min contract) read
+    out through the IDENTICAL arithmetic as the batch operator."""
+    from pyspark.sql import Window
+
+    if not quantiles_permille or any(
+        not 0 <= q <= 1000 for q in quantiles_permille
+    ):
+        raise ValueError("quantiles_permille must be ints in [0, 1000]")
     # the histogram feeds two consumers (total + cumsum) — materialize
     # once; it is distinct-value-bounded by contract
     hist = hist.localCheckpoint(eager=False)
@@ -164,7 +182,7 @@ def histogram_quantiles(
         .cast("long")
         .alias("_cum"),
     )
-    spark = df.sparkSession
+    spark = hist.sparkSession
     spine = spark.createDataFrame(
         [(int(q),) for q in sorted(set(quantiles_permille))],
         "q_permille int",
