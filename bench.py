@@ -121,6 +121,7 @@ HEADLINE = [
     # and the oracle-replayable HLL distinct sketch
     "curation_recipe_e2e",
     "hll_distinct_users",
+    "kn_bigram_quality",
 ]
 
 

@@ -811,6 +811,120 @@ def bigram_logprob_score(
     )
 
 
+def kn_bigram_logprob_score(
+    corpus: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean transition log-probability under an
+    interpolated KNESER-NEY bigram LM trained on ``lm_corpus`` — the
+    canonical step past Jelinek-Mercer (``bigram_logprob_score``):
+    instead of backing off to how FREQUENT a word is, KN backs off to
+    how many distinct CONTEXTS it continues (Kneser & Ney 1995; Chen &
+    Goodman 1999 §2.7's interpolated form). "san francisco" no longer
+    inflates p(francisco|·) after unseen contexts — francisco follows
+    almost nothing else.
+
+    Model, with every quantity an exact aggregate of the reference
+    split:
+
+    - discount ``D = n1/(n1 + 2·n2)`` (Chen-Goodman estimate from the
+      counts of bigram types seen exactly once/twice), computed
+      IN-PLAN from two exact integers — one IEEE division, identical
+      in any engine; degenerate reference splits (no singleton or
+      doubleton bigrams) fall back to D = 0.5;
+    - smoothed continuation ``Pc(w) = (N1+(·,w) + 1)/(T + V)`` where
+      ``N1+(·,w)`` = distinct contexts preceding w, ``T`` = distinct
+      bigram types, ``V`` = unigram vocabulary (add-one keeps unseen
+      words positive — the same smoothing shape the JM variant uses);
+    - seen context v: ``p(w|v) = max(c(v,w) − D, 0)/c(v) +
+      D·N1+(v,·)/c(v) · Pc(w)`` (``N1+(v,·)`` = distinct continuations
+      of v — the discount mass redistributed by continuation count);
+    - unseen context: ``p(w|v) = Pc(w)``.
+
+    Returns ``(id, n_bigrams, avg_logprob)`` over documents with ≥ 2
+    tokens. Engine portability and plan shape are the
+    ``bigram_logprob_score`` playbook verbatim: per-transition ``ln p``
+    rounded to 9 dp and summed as a scaled BIGINT; the four LM
+    relations (bigram counts, per-context totals+continuation counts,
+    per-word context counts, global stats) are reference-split-sized
+    aggregates broadcast into one map-only pair-keyed scoring join."""
+    lmb = _bigram_pairs(lm_corpus, [], text_col).groupBy("prev", "cur").agg(
+        F.count("*").alias("cb")
+    )
+    # one pass over the bigram-type relation feeds three consumers
+    # (context stats, continuation stats, global stats) — materialize
+    # once; it is bigram-type-bounded by contract
+    lmb = lmb.localCheckpoint(eager=False)
+    ctx = lmb.groupBy("prev").agg(
+        F.sum("cb").alias("cc"), F.count("*").alias("n1v")
+    )
+    cont = lmb.groupBy("cur").agg(F.count("*").alias("n1w"))
+    vocab = lm_corpus.select(
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("_w")
+    ).agg(F.countDistinct("_w").alias("v"))
+    stats = (
+        lmb.agg(
+            F.count("*").alias("t_types"),
+            F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    big = _bigram_pairs(
+        corpus.select(F.col(id_col).alias("_doc"), F.col(text_col)),
+        ["_doc"],
+        text_col,
+    )
+    return (
+        big.join(F.broadcast(lmb), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(cont), "cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_lp", F.expr(kn_contrib_sql()))
+        .groupBy("_doc")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("_lp").alias("_sum"))
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_bigrams",
+            (
+                F.col("_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e9)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def kn_contrib_sql() -> str:
+    """The per-transition KN log-probability term as ONE expression
+    string, interpolated verbatim into BOTH the Spark plan
+    (kn_bigram_logprob_score) and the DuckDB oracle — the shared-text
+    contract drift cannot survive (the psi_term_sql pattern). Expects
+    columns cb, cc, n1v, n1w, t_types, v, n1, n2 in scope; fixed
+    operation order throughout (Pc first, then discount, then the
+    seen-context mix) so both engines build the identical IEEE chain
+    before the single 9-dp rounding."""
+    pc = (
+        "((CAST(COALESCE(n1w, 0) AS DOUBLE) + 1.0)"
+        " / (CAST(t_types AS DOUBLE) + CAST(v AS DOUBLE)))"
+    )
+    d = (
+        "(CASE WHEN COALESCE(n1, 0) + 2 * COALESCE(n2, 0) > 0"
+        " THEN CAST(n1 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))"
+        " ELSE 0.5 END)"
+    )
+    return (
+        "CAST(ROUND(LN(CASE WHEN cc IS NULL THEN " + pc
+        + " ELSE GREATEST(CAST(COALESCE(cb, 0) AS DOUBLE) - " + d + ", 0.0)"
+        " / CAST(cc AS DOUBLE)"
+        " + " + d + " * CAST(n1v AS DOUBLE) / CAST(cc AS DOUBLE)"
+        " * " + pc + " END) * 1e9) AS BIGINT)"
+    )
+
+
 #: Engine-portable PII patterns — the common RE2/Java-regex subset
 #: (no backreferences, no lookaround), so DuckDB oracles replay them
 #: verbatim. Deliberately conservative recall: production scanners add

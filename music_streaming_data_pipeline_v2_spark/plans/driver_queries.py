@@ -3269,6 +3269,7 @@ _CHECK_FIRST = [
     "curation_recipe_e2e",
     "hll_distinct_users",
     "dedup_clusters_star",
+    "kn_bigram_quality",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3303,9 +3304,9 @@ _CHECK_FIRST = [
     "multi_order_customers_exists",
     "music_pipeline_kpis",
     "music_pipeline_top_songs",
-    "orders_by_nation_block_in",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     orders_by_nation_block_in,
     #     pivot_event_type_matrix, promo_revenue_share,
     #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
     #     small_qty_orders_scalar_subq, source_mix_weights,

@@ -326,3 +326,79 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("component")).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM quality — continuation-count backoff, the
+# canonical step past the Jelinek-Mercer interpolation
+# (bigram_lm_quality). Discount D estimated from the data in-plan.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_kn() -> str:
+    from ..operators.text import kn_contrib_sql
+    from .oracle_shared import _BUCKET
+
+    return rf"""
+WITH b AS (SELECT doc_id, text, {_BUCKET} AS bkt FROM documents),
+tk AS (
+    SELECT doc_id, bkt,
+           LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                          t -> LOWER(t)) AS w
+    FROM b
+),
+bg AS (
+    SELECT doc_id, bkt, w[i] AS prev, w[i + 1] AS cur
+    FROM tk, UNNEST(RANGE(1, LEN(w))) AS r(i)
+    WHERE LEN(w) >= 2
+),
+lmb AS (SELECT prev, cur, COUNT(*) AS cb FROM bg WHERE bkt < 204 GROUP BY 1, 2),
+ctx AS (
+    SELECT prev, SUM(cb) AS cc, COUNT(*) AS n1v FROM lmb GROUP BY 1
+),
+cont AS (SELECT cur, COUNT(*) AS n1w FROM lmb GROUP BY 1),
+vstat AS (
+    SELECT COUNT(DISTINCT LOWER(t.tok)) AS v
+    FROM b, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE bkt < 204
+),
+stats AS (
+    SELECT COUNT(*) AS t_types,
+           COALESCE(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END), 0) AS n1,
+           COALESCE(SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END), 0) AS n2,
+           v
+    FROM lmb CROSS JOIN vstat
+    GROUP BY v
+),
+sc AS (SELECT doc_id, prev, cur FROM bg WHERE bkt >= 230)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM({kn_contrib_sql()})
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS avg_logprob
+FROM sc
+LEFT JOIN lmb USING (prev, cur)
+LEFT JOIN ctx USING (prev)
+LEFT JOIN cont USING (cur)
+CROSS JOIN stats
+GROUP BY 1
+"""
+
+
+@q("kn_bigram_quality", _oracle_kn())
+def kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram LM quality over the engine's own hash split
+    (operators/text.py:kn_bigram_logprob_score): transitions trained
+    on the train split score the test split, with the discount mass
+    redistributed by CONTINUATION counts rather than raw frequency —
+    the distinction that keeps gluey collocation tails ("francisco")
+    from inflating unseen-context scores. D = n1/(n1+2·n2) estimated
+    from the split's own count-of-counts in-plan; the per-transition
+    term is ONE shared expression string (kn_contrib_sql) interpolated
+    into both engines, so the arithmetic cannot drift."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import kn_bigram_logprob_score
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return kn_bigram_logprob_score(docs.filter(b >= 230), docs.filter(b < 204))

@@ -237,3 +237,111 @@ def test_star_ignores_self_loops_and_nulls(spark):
     )
     got = _cc_sets(connected_components_star(df))
     assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (operators/text.py:kn_bigram_logprob_score)
+# ---------------------------------------------------------------------------
+
+
+def _kn_reference(lm_rows, score_rows):
+    """Driver-side reference of the exact KN arithmetic (same fixed
+    operation order as kn_contrib_sql)."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return [w.lower() for w in t.split()]
+
+    lm_bi = Counter()
+    lm_uni = set()
+    for _, text in lm_rows:
+        ws = toks(text)
+        lm_uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            lm_bi[(a, b)] += 1
+    cc = Counter()
+    n1v = Counter()
+    n1w = Counter()
+    for (a, b), c in lm_bi.items():
+        cc[a] += c
+        n1v[a] += 1
+        n1w[b] += 1
+    t_types = len(lm_bi)
+    n1 = sum(1 for c in lm_bi.values() if c == 1)
+    n2 = sum(1 for c in lm_bi.values() if c == 2)
+    v = len(lm_uni)
+    d = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.5
+
+    def pc(w):
+        return (n1w.get(w, 0) + 1.0) / (float(t_types) + float(v))
+
+    out = {}
+    for did, text in score_rows:
+        ws = toks(text)
+        if len(ws) < 2:
+            continue
+        s = 0
+        n = 0
+        for a, b in zip(ws, ws[1:]):
+            if a in cc:
+                p = max(lm_bi.get((a, b), 0) - d, 0.0) / cc[a] + d * n1v[
+                    a
+                ] / cc[a] * pc(b)
+            else:
+                p = pc(b)
+            s += round(math.log(p) * 1e9)
+            n += 1
+        out[did] = (n, s / n / 1e9)
+    return out
+
+
+def test_kn_matches_reference_exactly(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        kn_bigram_logprob_score,
+    )
+
+    lm_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog"),
+        (3, "san francisco san francisco san francisco"),
+    ]
+    score_rows = [
+        (10, "the cat sat"),        # fluent, seen transitions
+        (11, "cat the sat on"),     # scrambled, mostly unseen bigrams
+        (12, "francisco the"),      # continuation-poor context word
+        (13, "zzz unseen words"),   # fully OOV
+    ]
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    sc = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in kn_bigram_logprob_score(sc, lm).collect()
+    }
+    want = _kn_reference(lm_rows, score_rows)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) < 1e-12, (did, got[did], want[did])
+
+
+def test_kn_fluent_beats_scrambled(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        kn_bigram_logprob_score,
+    )
+
+    lm = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+        + [(9, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    sc = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "fox brown quick the")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in kn_bigram_logprob_score(sc, lm).collect()
+    }
+    assert got[100] > got[101]
