@@ -170,6 +170,16 @@ def main() -> None:
             "metadata); the rank-threshold join itself is the "
             "BroadcastHashJoin on the group key with the cum ≥ target "
             "residual",
+        "heavy_hitter_tokens": "the broadcast 1-row corpus-total "
+            "relation cross-joined onto the verified candidate counts "
+            "— the single-scan threshold (r5 verdict #3: the total "
+            "folds into the Misra-Gries summary pass instead of a "
+            "second corpus action); constant-size regardless of "
+            "corpus",
+        "kn_bigram_quality": "the broadcast 1-row LM stats relation "
+            "(bigram-type count, count-of-counts n1/n2, vocabulary) "
+            "cross-joined onto the scoring join — constant-size "
+            "regardless of corpus",
         }
         if s["bad"]:
             if name in intended_nlj:
