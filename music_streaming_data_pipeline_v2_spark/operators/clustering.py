@@ -102,6 +102,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     driver_edge_threshold: int = 2_000_000,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``.
 
@@ -185,7 +186,22 @@ def connected_components(
         # chain as separate components). Label propagation needs
         # O(diameter) rounds — a graph that exhausts the cap is the
         # adversarial-topology case the alternating-star algorithm
-        # exists for.
+        # exists for, so by default the job switches algorithm
+        # instead of dying (semantics are identical: component = min
+        # reachable id). fallback_star=False restores the hard error
+        # for callers that want to know their diameter assumption
+        # broke.
+        if fallback_star:
+            import warnings
+
+            warnings.warn(
+                f"label propagation did not converge in "
+                f"{max_iterations} rounds (graph diameter exceeds the "
+                "cap); falling back to connected_components_star",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return connected_components_star(pairs, src="a", dst="b")
         raise RuntimeError(
             f"label propagation did not converge in {max_iterations} "
             "rounds (graph diameter exceeds the cap) — use "

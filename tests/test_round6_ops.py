@@ -220,7 +220,18 @@ def test_star_solves_chain_where_label_propagation_caps(spark):
         [(i, i + 1) for i in range(100)], "src long, dst long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, driver_edge_threshold=0, max_iterations=25)
+        connected_components(
+            df,
+            driver_edge_threshold=0,
+            max_iterations=25,
+            fallback_star=False,
+        )
+    # default behavior: switch to the star algorithm instead of dying
+    with _pytest.warns(RuntimeWarning, match="falling back"):
+        fb = connected_components(
+            df, driver_edge_threshold=0, max_iterations=25
+        ).collect()
+    assert len(fb) == 101 and all(r.component == 0 for r in fb)
     labels = connected_components_star(df).collect()
     assert len(labels) == 101
     assert all(r.component == 0 for r in labels)
