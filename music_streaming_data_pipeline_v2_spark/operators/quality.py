@@ -414,3 +414,42 @@ def vocab_coverage_curve(
         .agg(F.count("*").alias("_cnt"))
     )
     return coverage_curve_from_counts(counts, sizes)
+
+
+def blocklist_gate(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 drop any page
+    containing a word from a configured list; production lists are
+    the UT1-style curated sets): per document, how many DISTINCT
+    blocklisted terms appear and the keep flag (keep ⇔ zero hits).
+    Matching is whole-token, lowercased — substring matching
+    ("class" ⊃ "ass") is the classic C4 false-positive bug this
+    deliberately avoids; callers wanting phrase or substring semantics
+    should use pii_scan's regex shape instead.
+
+    Scale: the term list is a LITERAL array (curated lists are
+    102-104 terms); the hit count is one map-only
+    ``array_intersect(distinct tokens, terms)`` — fully codegen, no
+    shuffle, no join, linear scan like the other quality gates.
+    Returns the input columns plus ``n_blocked_terms`` and ``keep``.
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    lowered = sorted({t.lower() for t in terms})
+    toks = F.array_distinct(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"), F.lower
+        )
+    )
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in lowered]))
+    )
+    # size() of a null array (null text) is -1 under legacy semantics:
+    # a null document has no tokens, so it has zero blocked terms
+    n = F.greatest(hits, F.lit(0)).cast("long")
+    return df.withColumn("n_blocked_terms", n).withColumn(
+        "keep", F.col("n_blocked_terms") == 0
+    )

@@ -402,3 +402,56 @@ def kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
     return kn_bigram_logprob_score(docs.filter(b >= 230), docs.filter(b < 204))
+
+
+# ---------------------------------------------------------------------------
+# C4-style blocklist gate — whole-token membership against a curated
+# term list (Raffel et al. 2020 §2.2), the one famous page-drop rule
+# the quality family didn't cover yet.
+# ---------------------------------------------------------------------------
+
+#: Stand-in curated list over the synthetic vocabulary — chosen so
+#: both gate branches are live at every test sf ('slow'/'stale' are
+#: mid-frequency corpus words; 'zzzz' pins the no-hit path for a term
+#: absent from the corpus).
+_BLOCKLIST = ["slow", "stale", "zzzz"]
+
+
+def _oracle_blocklist() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST))
+    return rf"""
+SELECT doc_id,
+       CAST(GREATEST(LEN(LIST_INTERSECT(
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'),
+                           x -> x <> ''),
+               t -> LOWER(t))),
+           [{terms}])), 0) AS BIGINT) AS n_blocked_terms,
+       GREATEST(LEN(LIST_INTERSECT(
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '[ \t\n\r\f]+'),
+                           x -> x <> ''),
+               t -> LOWER(t))),
+           [{terms}])), 0) = 0 AS keep
+FROM documents
+"""
+
+
+@q("blocklist_gate_docs", _oracle_blocklist())
+def blocklist_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 blocklist page gate
+    (operators/quality.py:blocklist_gate): drop any document whose
+    WHOLE-TOKEN lowercased vocabulary intersects the curated list —
+    token-exact matching avoids the classic substring false-positive
+    bug. Map-only array_intersect against a literal term array: fully
+    codegen, zero shuffles/joins — pure scan speed at 100 TB like the
+    other quality gates. The oracle replays tokenize → distinct →
+    intersect → count verbatim."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import blocklist_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_gate(docs, _BLOCKLIST).select(
+        "doc_id", "n_blocked_terms", "keep"
+    )

@@ -356,3 +356,31 @@ def test_kn_fluent_beats_scrambled(spark):
         for r in kn_bigram_logprob_score(sc, lm).collect()
     }
     assert got[100] > got[101]
+
+
+def test_blocklist_gate_whole_token_matching(spark):
+    # whole-token, not substring: "classic" must NOT hit a "ass"-like
+    # blocklist entry; counting is DISTINCT terms, not occurrences
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        blocklist_gate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a classic jazz record"),
+            (1, "bad bad words here"),
+            (2, "BAD case folding"),
+            (3, "clean text only"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_blocked_terms, r.keep)
+        for r in blocklist_gate(df, ["ass", "bad", "words"]).collect()
+    }
+    assert got[0] == (0, True)     # substring 'ass' in 'classic' ignored
+    assert got[1] == (2, False)    # 'bad' counted once, 'words' once
+    assert got[2] == (1, False)    # case-folded
+    assert got[3] == (0, True)
+    assert got[4] == (0, True)     # null text = no tokens
