@@ -1,0 +1,99 @@
+"""Plan-contract regression guards: the physical-plan properties the
+100 TB design depends on, ASSERTED instead of merely documented in
+PLANS.md — the test_bucketed.py stance generalized. Each contract here
+caught (or fixes) a real past defect:
+
+- textrank's single-partition full-vocabulary window (VERDICT r5 #2)
+- heavy hitters' second corpus action for its threshold (VERDICT r5 #3)
+- unpruned scans reading all columns for narrow projections
+
+Plans are read from the FINAL adaptive plan after executing THAT
+DataFrame's own query execution (a noop write executes a copy and
+leaves the adaptive plan unfinalized — the dump_plans lesson), with
+AQE's duplicated "Initial Plan" section stripped.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+    REGISTRY,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _final_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_textrank_topk_is_take_ordered(spark):
+    # the two-phase global top-k: a TakeOrderedAndProject cut BEFORE
+    # the rank window — never a full-vocabulary single-partition
+    # WindowExec (the r5 scale-killer)
+    plan = _final_plan(spark, "textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+    # the window must sit ABOVE the cut in the operator tree (appear
+    # before it in the top-down toString)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_heavy_hitters_single_corpus_scan(spark):
+    # the corpus total folds into the Misra-Gries summary pass, which
+    # materializes ONCE into a localCheckpoint — so the final plan
+    # holds exactly ONE corpus FileScan (the exact-verify semi-join
+    # side) plus checkpoint reads (Scan ExistingRDD) for candidates
+    # AND total; the pre-fix shape ran a separate count() action over
+    # a second full corpus scan
+    plan = _final_plan(spark, "heavy_hitter_tokens")
+    scans = len(re.findall(r"FileScan parquet", plan))
+    assert scans == 1, f"expected 1 in-plan corpus scan (verify), got {scans}"
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2
+
+
+def test_hll_scan_pruned_and_filter_pushed(spark):
+    plan = _final_plan(spark, "hll_distinct_users")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan found"
+    for sc in schemas:
+        cols = {c.split(":")[0] for c in sc.split(",") if c}
+        assert cols <= {"ts", "user_id"}, cols
+    assert "IsNotNull(user_id)" in plan
+
+
+def test_enrichment_joins_broadcast_dims(spark):
+    # fact⋈dim joins broadcast the small side; no shuffle join of a
+    # dimension, no nested loop anywhere
+    plan = _final_plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_predicate(spark):
+    plan = _final_plan(spark, "pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), "no pushed filters at the scan"
+
+
+def test_quantiles_shuffle_value_bounded(spark):
+    # the quantile plan aggregates BEFORE its window: the corpus-sized
+    # relation never reaches a single-partition exchange (the window
+    # runs over the distinct-value histogram)
+    plan = _final_plan(spark, "doc_length_quantiles")
+    sp = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln and "ReusedExchange" not in ln
+    ]
+    # single-partition exchanges exist (the bounded histogram cumsum +
+    # the 1-row total) — but every one must sit above a HashAggregate,
+    # never directly above a corpus scan
+    assert "HashAggregate" in plan
+    assert len(sp) <= 3
