@@ -67,12 +67,57 @@ def curation_recipe(
     engine- and partitioning-invariant (the float ratio itself is only
     used as an ORDER key upstream, where IEEE-exactness suffices).
     """
-    from .clustering import cluster_representatives, dedup_clusters_auto
-    from .packing import engine_safe_tokens
-    from .sampling import dataset_split, epoch_mix_plan, unimax_plan
+    from .clustering import dedup_clusters_auto
 
     cc = dedup_clusters_auto(
         docs, block_col, text_col, id_col, jaccard_threshold
+    ).select(id_col, "component")
+    return curation_from_components(
+        docs,
+        cc,
+        total_budget,
+        max_epochs,
+        min_tokens=min_tokens,
+        min_uniq_permille=min_uniq_permille,
+        text_col=text_col,
+        id_col=id_col,
+        source_col=source_col,
+    )
+
+
+def curation_from_components(
+    docs: DataFrame,
+    components: DataFrame,
+    total_budget: int,
+    max_epochs: int,
+    *,
+    min_tokens: int = 20,
+    min_uniq_permille: int = 320,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "lang",
+) -> DataFrame:
+    """The recipe TAIL over a PRECOMPUTED ``(id, component)`` relation
+    — representatives → gate → split → UniMax → epoch mix. Split out
+    of ``curation_recipe`` so the expensive clustering can come from
+    anywhere that produces components: the batch exact-Jaccard router
+    (``curation_recipe``), the alternating-star path, or the
+    incrementally maintained near-dup pair state
+    (streaming/curation_ingest.py — where the O(new×all) mining
+    happened at ingest and query time only pays components over the
+    pair list plus this bounded tail). Documents absent from
+    ``components`` are singletons (their own component)."""
+    from .clustering import cluster_representatives
+    from .packing import engine_safe_tokens
+    from .sampling import dataset_split, epoch_mix_plan, unimax_plan
+
+    cc = (
+        docs.select(F.col(id_col))
+        .join(components.select(id_col, "component"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
     )
     reps = cluster_representatives(
         docs, cc, text_col=text_col, id_col=id_col

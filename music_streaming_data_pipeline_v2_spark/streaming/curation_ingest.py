@@ -1,0 +1,82 @@
+"""Curation-at-ingest: the full recipe served from incrementally
+maintained near-dup state.
+
+``run_incremental_dedup`` (dedup_ingest.py) already pays the expensive
+part of curation as data arrives — O(new×all) MinHash-LSH mining per
+batch, never re-examining old×old — and commits two append-only
+relations: the document store and the verified near-dup pair list.
+This module is the query-time composition: components over the
+accumulated PAIR list (pairs ≪ documents), then the bounded recipe
+tail (operators/curation.py:curation_from_components — quality-argmax
+representatives → integer-exact gate → component-coined split →
+UniMax → epoch mix). Nothing at query time re-tokenizes or re-mines
+history; the tail's cost profile is the same bounded shape the batch
+recipe proves.
+
+Equivalence contract: query_curation over the drained state equals
+``curation_from_components(all_docs,
+components(minhash_lsh_pairs(all_docs, <same params>)))`` — the batch
+twin with the SAME miner — whenever no LSH bucket crosses the
+``max_bucket`` cap mid-stream (the cap is evaluated against the
+bucket's CURRENT width at each drain, so a bucket that grows past the
+cap between waves can admit early pairs a full-corpus run would drop;
+the cap-stats side output of the batch miner is how a pipeline audits
+that boundary). Pinned by tests/test_curation_ingest.py.
+
+Note the similarity semantics: the batch `curation_recipe` front door
+clusters by EXACT Jaccard; this path inherits dedup_ingest's
+MinHash-LSH mining (candidate generation is approximate, each
+surviving pair exact-verified on stored shingle sketches). Same
+threshold, different candidate recall — the standard batch-vs-ingest
+trade, stated rather than hidden.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def query_curation(
+    spark: SparkSession,
+    work_dir: str,
+    total_budget: int,
+    max_epochs: int,
+    *,
+    min_tokens: int = 20,
+    min_uniq_permille: int = 320,
+    source_col: str = "lang",
+) -> DataFrame:
+    """The curation recipe over everything drained so far into a
+    ``run_incremental_dedup`` state directory. Returns the
+    ``curation_recipe`` schema: ``(doc_id, component, source, split,
+    n_tokens, repeat_count)``."""
+    from ..operators.clustering import connected_components
+    from ..operators.curation import curation_from_components
+    from .state import read_state_or_empty
+
+    docs = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "docs"),
+        "doc_id long, lang string, text string, shingles array<bigint>",
+    ).select("doc_id", "lang", "text")
+    pairs = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "pairs"),
+        "id_a long, id_b long, jaccard double",
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = comp.select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    return curation_from_components(
+        docs,
+        comp,
+        total_budget,
+        max_epochs,
+        min_tokens=min_tokens,
+        min_uniq_permille=min_uniq_permille,
+        source_col=source_col,
+    )
