@@ -265,6 +265,44 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         name = "streaming_incremental_dedup"
         timings[name] = min(elapsed, timings.get(name, elapsed))
 
+        # --- curation served from incremental near-dup state: its own
+        # dedup-state replay (separate work dir so the timing of the
+        # plain dedup replay above stays cross-round comparable), with
+        # one full recipe read over the accumulated state per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.curation_ingest import (
+            query_curation,
+        )
+
+        cu_in = os.path.join(work, "curation", "in")
+        os.makedirs(cu_in, exist_ok=True)
+        cwaves = _stage_waves(
+            spark,
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "text"
+            ),
+            os.path.join(work, "curation", "staged"),
+            waves=3,
+            tag="cdocs",
+        )
+        cwork = os.path.join(work, "curation", "work")
+        t0 = time.monotonic()
+        for files in cwaves:
+            for f in files:
+                shutil.move(f, cu_in)
+            run_incremental_dedup(
+                spark,
+                cu_in,
+                cwork,
+                jaccard_threshold=0.5,
+                num_hashes=32,
+                bands=16,
+                shingle_k=3,
+            )
+            query_curation(spark, cwork, 60_000, 3).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_curation"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
         # --- incremental BM25 index over document waves (JSONL), plus
         # one query over the accumulated state per drain — the serving
         # read is part of what the index exists for
