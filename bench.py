@@ -122,6 +122,8 @@ HEADLINE = [
     "curation_recipe_e2e",
     "hll_distinct_users",
     "kn_bigram_quality",
+    "blocklist_gate_docs",
+    "dedup_clusters_star",
 ]
 
 
