@@ -3271,6 +3271,7 @@ _CHECK_FIRST = [
     "dedup_clusters_star",
     "kn_bigram_quality",
     "blocklist_gate_docs",
+    "session_window_native",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3303,10 +3304,10 @@ _CHECK_FIRST = [
     "minhash_lsh_oracle",
     "monthly_retention_cohorts",
     "multi_order_customers_exists",
-    "music_pipeline_kpis",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     music_pipeline_top_songs, orders_by_nation_block_in,
+    #     music_pipeline_kpis, music_pipeline_top_songs,
+    #     orders_by_nation_block_in,
     #     pivot_event_type_matrix, promo_revenue_share,
     #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
     #     small_qty_orders_scalar_subq, source_mix_weights,

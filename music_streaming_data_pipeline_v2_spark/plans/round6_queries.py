@@ -455,3 +455,71 @@ def blocklist_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_gate(docs, _BLOCKLIST).select(
         "doc_id", "n_blocked_terms", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window parity — Spark's built-in gap-session operator
+# oracled against the classic gaps-and-islands SQL (the same sessions
+# user_sessions derives via window functions).
+# ---------------------------------------------------------------------------
+
+_SW_GAP_MIN = 30
+
+_ORACLE_SESSION_WINDOW = f"""
+WITH m AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_SW_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_SW_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@q("session_window_native", _ORACLE_SESSION_WINDOW)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` aggregate (dynamic gap
+    sessions as a first-class grouping expression — the same operator
+    Structured Streaming uses for stateful session aggregation) run in
+    batch and oracled against the classic gaps-and-islands SQL: a
+    session is a maximal event run with < {gap} min between
+    neighbors, window end = last event + gap. Proving the native
+    operator against the window-function formulation pins BOTH
+    session derivations the engine offers (`user_sessions` is the
+    islands form) to one semantics. Plan: one user-keyed shuffle into
+    the session-window aggregate — no self-join, no window-then-
+    groupBy double shuffle."""
+    from pyspark.sql import functions as F
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SW_GAP_MIN} minutes").alias("_w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
