@@ -3272,6 +3272,7 @@ _CHECK_FIRST = [
     "kn_bigram_quality",
     "blocklist_gate_docs",
     "session_window_native",
+    "variant_json_agg",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3303,9 +3304,9 @@ _CHECK_FIRST = [
     "inverted_index_tokens",
     "minhash_lsh_oracle",
     "monthly_retention_cohorts",
-    "multi_order_customers_exists",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     multi_order_customers_exists,
     #     music_pipeline_kpis, music_pipeline_top_songs,
     #     orders_by_nation_block_in,
     #     pivot_event_type_matrix, promo_revenue_share,

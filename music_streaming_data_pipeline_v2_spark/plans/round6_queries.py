@@ -523,3 +523,46 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VariantType JSON (Spark 4) — parse once into the binary variant
+# encoding, extract typed paths with variant_get. The modern
+# replacement for per-path get_json_object string re-parsing
+# (json_extract_agg is the string-path twin).
+# ---------------------------------------------------------------------------
+
+_ORACLE_VARIANT = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) > 50 THEN 1 END)
+           AS BIGINT) AS n_high
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("variant_json_agg", _ORACLE_VARIANT)
+def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: ``parse_json`` decodes each props
+    payload ONCE into the binary variant encoding, then typed
+    ``variant_get`` extractions feed integer aggregates —
+    `json_extract_agg`'s modern twin (get_json_object re-parses the
+    JSON string per path; variant parses once and served every
+    extraction from the binary form, the 100 TB answer for
+    multi-path semi-structured scans). Same hash-exact integer
+    aggregate contract; DuckDB replays through its own JSON
+    extraction."""
+    from pyspark.sql import functions as F
+
+    events = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, F.lit(1))).alias("n_high"),
+    )
