@@ -124,6 +124,8 @@ HEADLINE = [
     "kn_bigram_quality",
     "blocklist_gate_docs",
     "dedup_clusters_star",
+    "session_window_native",
+    "variant_json_agg",
 ]
 
 
