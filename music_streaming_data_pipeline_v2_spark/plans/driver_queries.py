@@ -3234,16 +3234,20 @@ from . import round6_queries  # noqa: E402,F401
 #      oracled + 3 rows-only) plus minhash_drop_stats, which has NEVER
 #      produced a driver row — after r6, no registry query's latest
 #      driver row predates r3;
-#   2. queries whose implementation changed this round:
-#      heavy_hitter_tokens (single-scan threshold),
-#      cm_token_counts (8-hex 32-bit bucket addressing),
-#      textrank_keywords (two-phase TakeOrderedAndProject top-k);
-#   3. the remaining 32 slots take the stalest (r3-green) queries in
+#   2. queries NEW this round (never driver-checked, outrank
+#      re-checks: curation_recipe_e2e, hll_distinct_users,
+#      dedup_clusters_star, kn_bigram_quality, blocklist_gate_docs,
+#      session_window_native, variant_json_agg) and queries whose
+#      implementation changed this round (heavy_hitter_tokens's
+#      single-scan threshold, cm_token_counts's 8-hex 32-bit bucket
+#      addressing, textrank_keywords's two-phase
+#      TakeOrderedAndProject top-k);
+#   3. the remaining 25 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
 #      complement without judgment calls — except simhash_oracle is
 #      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
-#      for the simhash full-replay oracle). 17 r3-green queries remain
-#      for the r7 window.
+#      for the simhash full-replay oracle). The r3-green queries listed
+#      at the end of the window are the r7 rotation pool.
 # tests/test_registry_window.py enforces the invariant behind this:
 # every oracled entry is either already driver-proven or inside the
 # current window. tests/test_oracle_parity.py still checks ALL oracled
