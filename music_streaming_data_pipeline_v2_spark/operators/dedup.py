@@ -827,3 +827,95 @@ def dedup_lines(
             ).alias("n_dropped"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_permille: int = 600,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Directed token-set CONTAINMENT pairs within a blocking key:
+    every ordered (A, B) with ``C(A→B) = |A∩B| / |A| ≥ t`` — Broder's
+    asymmetric companion to ``jaccard_pairs``. Subset duplication (a
+    short document embedded verbatim inside a long one) scores low on
+    symmetric Jaccard (|A∪B| is dominated by the big doc) but 1.0 on
+    containment; it is how quote-farms and wrapper pages survive a
+    Jaccard-only dedup pass.
+
+    The threshold is a PERMILLE integer and the gate is the exact
+    cross-multiplication ``1000·|A∩B| ≥ t‰·|A|`` — membership is
+    engine- and partitioning-invariant; the emitted ``containment``
+    double is one int/int IEEE division (bit-identical everywhere).
+
+    Physical strategy: the one-sided prefix filter (the containment
+    specialization of Bayardo et al. WWW'07). Per block, tokens order
+    rarest-first by document frequency; the A side keeps only its
+    first ``|A| − ⌈t·|A|⌉ + 1`` tokens (if C(A→B) ≥ t, B holds ≥
+    ⌈t·|A|⌉ of A's tokens, so it must hold one of A's prefix — the
+    join is LOSSLESS), the B side posts ALL tokens, candidates come
+    from the (block, token) equi-join, and exact verification on the
+    stored token arrays removes false candidates. No symmetric length
+    filter exists here by design — a 5-token doc CAN be contained in a
+    10⁶-token doc. Scale: candidate fan-out is Σ over A-prefix tokens
+    of that token's posting length; rarest-first ordering makes those
+    postings the SHORT ones under Zipf, the same argument (and the
+    same shared ``_jaccard_base`` relation) as the Jaccard prefix
+    path. The oracle for `containment_pairs_docs` is the NAIVE
+    quadratic join, so every driver row re-proves the prefix filter's
+    losslessness on real data."""
+    if not 1 <= threshold_permille <= 1000:
+        raise ValueError("threshold_permille must be in [1, 1000]")
+    tp = int(threshold_permille)
+    base = (
+        _jaccard_base(df, block_col, text_col, id_col)
+        .filter(F.size("_tok") >= int(min_tokens))
+        .persist()
+    )
+    posts = base.select(
+        "_blk", "_id", F.explode("_tok").alias("_t")
+    )
+    dfreq = posts.groupBy("_blk", "_t").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_blk", "_id").orderBy("_df", "_t")
+    ranked = (
+        posts.join(dfreq, ["_blk", "_t"])
+        .withColumn("_rn", F.row_number().over(w))
+        .join(
+            base.select("_id", F.size("_tok").alias("_n")), "_id"
+        )
+    )
+    # prefix length n − ⌈t‰·n⌉ + 1 in exact integer arithmetic
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.expr(f"(_n * {tp} + 999) DIV 1000") + F.lit(1)
+    )
+    cand = (
+        prefix.select("_blk", "_t", F.col("_id").alias("id_a"))
+        .join(
+            posts.select("_blk", "_t", F.col("_id").alias("id_b")),
+            ["_blk", "_t"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("long")
+    na = F.size("tok_a").cast("long")
+    return (
+        cand.join(
+            base.select(F.col("_id").alias("id_a"), F.col("_tok").alias("tok_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("_id").alias("id_b"), F.col("_tok").alias("tok_b")),
+            "id_b",
+        )
+        .filter(F.lit(1000) * inter >= F.lit(tp) * na)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / na.cast("double")).alias("containment"),
+        )
+    )

@@ -3277,6 +3277,7 @@ _CHECK_FIRST = [
     "blocklist_gate_docs",
     "session_window_native",
     "variant_json_agg",
+    "containment_pairs_docs",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3307,10 +3308,9 @@ _CHECK_FIRST = [
     "intersect_entities",
     "inverted_index_tokens",
     "minhash_lsh_oracle",
-    "monthly_retention_cohorts",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     multi_order_customers_exists,
+    #     monthly_retention_cohorts, multi_order_customers_exists,
     #     music_pipeline_kpis, music_pipeline_top_songs,
     #     orders_by_nation_block_in,
     #     pivot_event_type_matrix, promo_revenue_share,

@@ -566,3 +566,46 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.when(k > 50, F.lit(1))).alias("n_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs — the asymmetric dedup measure; the
+# oracle is the NAIVE quadratic join, so every driver row re-proves
+# the one-sided prefix filter's losslessness on real data.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TP, _CONTAIN_MIN = 600, 5
+
+_ORACLE_CONTAINMENT = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+),
+f AS (SELECT doc_id, lang, tok FROM toks WHERE LEN(tok) >= {_CONTAIN_MIN})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+           / LEN(a.tok) AS containment
+FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE 1000 * LEN(LIST_INTERSECT(a.tok, b.tok)) >= {_CONTAIN_TP} * LEN(a.tok)
+"""
+
+
+@q("containment_pairs_docs", _ORACLE_CONTAINMENT)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs C(A→B) = |A∩B|/|A| ≥ 0.6, blocked
+    by lang (operators/dedup.py:containment_pairs) — the asymmetric
+    dedup measure that catches subset duplication symmetric Jaccard
+    under-scores. Integer-exact permille gate; the Spark side runs the
+    one-sided rarest-first prefix-filter join while the oracle runs
+    the naive quadratic join, so the hash match doubles as an
+    accelerator-equivalence proof."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs,
+        "lang",
+        threshold_permille=_CONTAIN_TP,
+        min_tokens=_CONTAIN_MIN,
+    )

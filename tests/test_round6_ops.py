@@ -384,3 +384,67 @@ def test_blocklist_gate_whole_token_matching(spark):
     assert got[2] == (1, False)    # case-folded
     assert got[3] == (0, True)
     assert got[4] == (0, True)     # null text = no tokens
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    # a 5-token doc fully embedded in a 50-token doc: containment 1.0
+    # A->B, while Jaccard = 5/50 = 0.1 would never flag it
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(45))
+    df = spark.createDataFrame(
+        [(1, "en", small), (2, "en", big), (3, "en", "totally other words")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            df, "lang", threshold_permille=900
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # asymmetric: big is NOT contained in small
+    assert not {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(df, "lang", threshold=0.5).collect()
+    }
+
+
+def test_containment_prefix_equals_naive_fuzz(spark):
+    # losslessness of the one-sided prefix filter vs the naive
+    # quadratic join over random corpora (the oracle proves this on
+    # the documents table; here over adversarial small vocabularies)
+    import itertools
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(12)]
+    for trial, tp in [(0, 500), (1, 700), (2, 1000)]:
+        docs = []
+        for did in range(14):
+            k = rng.randint(1, 8)
+            docs.append((did, "en", " ".join(rng.sample(vocab, k))))
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(
+                df, "lang", threshold_permille=tp
+            ).collect()
+        }
+        toks = {d: set(t.split()) for d, _, t in docs}
+        want = {
+            (a, b)
+            for a, b in itertools.permutations(toks, 2)
+            if 1000 * len(toks[a] & toks[b]) >= tp * len(toks[a])
+        }
+        assert got == want, (trial, tp, got ^ want)
