@@ -126,6 +126,11 @@ HEADLINE = [
     "dedup_clusters_star",
     "session_window_native",
     "variant_json_agg",
+    # round 6 late: asymmetric containment dedup and cluster-granular
+    # k-fold assignment (shares the clustering subtree with
+    # leakage_safe_split; timed cache-cold like everything else)
+    "containment_pairs_docs",
+    "kfold_leakage_safe",
 ]
 
 

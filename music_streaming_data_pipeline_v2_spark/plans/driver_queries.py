@@ -3241,8 +3241,10 @@ from . import round6_queries  # noqa: E402,F401
 #      implementation changed this round (heavy_hitter_tokens's
 #      single-scan threshold, cm_token_counts's 8-hex 32-bit bucket
 #      addressing, textrank_keywords's two-phase
-#      TakeOrderedAndProject top-k);
-#   3. the remaining 25 slots take the stalest (r3-green) queries in
+#      TakeOrderedAndProject top-k; late additions
+#      containment_pairs_docs and kfold_leakage_safe each displaced
+#      one alphabetical r3 fill into the r7 pool);
+#   3. the remaining 23 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
 #      complement without judgment calls — except simhash_oracle is
 #      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
@@ -3278,6 +3280,7 @@ _CHECK_FIRST = [
     "session_window_native",
     "variant_json_agg",
     "containment_pairs_docs",
+    "kfold_leakage_safe",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3306,10 +3309,10 @@ _CHECK_FIRST = [
     "incremental_daily_agg",
     "interpolated_purchase_series",
     "intersect_entities",
-    "inverted_index_tokens",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     inverted_index_tokens,
     #     monthly_retention_cohorts, multi_order_customers_exists,
     #     music_pipeline_kpis, music_pipeline_top_songs,
     #     orders_by_nation_block_in,

@@ -609,3 +609,50 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_permille=_CONTAIN_TP,
         min_tokens=_CONTAIN_MIN,
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe k-fold assignment — cross-validation folds coined on
+# the near-dup COMPONENT id (the leakage_safe_split contract extended
+# from one split to k folds).
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 8  # must divide 256 (the md5 bucket space) — zero fold bias
+
+
+def _oracle_kfold() -> str:
+    h = "MD5('f|' || CAST(component AS VARCHAR))"
+    b = (
+        f"(INSTR('0123456789abcdef', SUBSTRING({h}, 1, 1)) - 1) * 16"
+        f" + (INSTR('0123456789abcdef', SUBSTRING({h}, 2, 1)) - 1)"
+    )
+    return f"""{_CC_CTES}
+SELECT doc_id, component,
+       CAST(({b}) // {256 // _KFOLD_K} AS INT) AS fold
+FROM alldocs
+"""
+
+
+@q("kfold_leakage_safe", _oracle_kfold())
+def kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment at CLUSTER granularity: the
+    fold coin hashes the near-dup COMPONENT id ('f|'-salted — the
+    purpose-salt rule: an unsalted coin would correlate with
+    dataset_split's identity digest), so near-duplicate documents can
+    never straddle folds — per-fold held-out evaluation stays
+    contamination-free, the leakage_safe_split guarantee extended
+    from one split to k=8 folds. k divides 256, so folds are exactly
+    uniform over the bucket space. Cost beyond clustering: one
+    map-side hash, no new shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import dedup_clusters_auto
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8).select(
+        "doc_id", "component"
+    )
+    return cc.withColumn(
+        "fold", hash_bucket("component", buckets=_KFOLD_K, salt="f|")
+    )
