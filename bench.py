@@ -131,6 +131,11 @@ HEADLINE = [
     # leakage_safe_split; timed cache-cold like everything else)
     "containment_pairs_docs",
     "kfold_leakage_safe",
+    # round 6 late: BPE tokenizer induction (vocabulary-compressed
+    # merge mining; unrolled static k-step plan) + the corpus-encode
+    # compression audit built on the trained vocabulary
+    "bpe_merge_steps",
+    "bpe_token_lengths",
 ]
 
 

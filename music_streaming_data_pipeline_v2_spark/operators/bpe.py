@@ -1,0 +1,205 @@
+"""Distributed BPE tokenizer induction (merge-step mining).
+
+Byte-pair encoding (Gage 1994; Sennrich et al., ACL 2016 for NMT
+subwords) trains by repeatedly merging the most frequent adjacent
+symbol pair. The scale design is the one real tokenizer trainers
+(HuggingFace ``tokenizers``, SentencePiece BPE) use: the corpus is
+first compressed to the DISTINCT-WORD frequency table — pair counts
+and merges then run over the vocabulary (≈10⁶-10⁷ rows at web scale),
+never the corpus, so each merge iteration is a vocabulary-sized
+aggregate no matter how many tokens the corpus holds.
+
+Engine-portable representation: a word's current symbol segmentation
+is one string with every symbol WRAPPED as ``\\x1e sym \\x1f``
+(record-separator open, unit-separator close). Merging pair (a, b) is
+then the plain literal replace of ``\\x1ea\\x1f\\x1eb\\x1f`` with
+``\\x1eab\\x1f`` — matches are anchored at whole-symbol boundaries on
+BOTH sides (no false hit when ``a`` or ``b`` is a prefix/suffix of a
+longer symbol) and two matches can never overlap (a match consumes
+whole symbols and the markers are distinct chars), so replacement
+order cannot matter and Spark's ``F.replace`` and DuckDB's
+``REPLACE`` provably agree. For a same-symbol run ("aaa" merging
+(a,a)) leftmost-first non-overlapping replace is exactly canonical
+BPE's leftmost-first iterative merge.
+
+Everything stays in exact integer arithmetic (counts), the argmax
+tie-break is total (count desc, lhs asc, rhs asc), and the k-step
+loop is unrolled into ONE static DataFrame plan — each step's 1-row
+best-pair relation broadcast-cross-joined into the next replace, the
+``mmr_rerank`` idiom. Both the vocabulary and the 1-row best are
+``localCheckpoint``-ed per step: each is referenced by two downstream
+subtrees (the next pair count AND the next replace / the output
+union), so un-checkpointed lineage would double per step (the
+exponential-plan gotcha mmr_rerank hit, 4.2 → 2.3 s after fixing).
+
+No analog in the reference pipeline (its transform layer is
+KPI aggregation, reference src/process_data.py); this module is
+training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .packing import ENGINE_SAFE_WS
+
+#: Symbol wrap markers. Control chars never produced by the
+#: whitespace tokenizer's token bodies in practice; both engines strip
+#: them from words defensively (identically) so a hostile document
+#: cannot corrupt the segmentation encoding.
+SYM_OPEN = "\x1e"
+SYM_CLOSE = "\x1f"
+
+
+def _word_freqs(corpus: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table — the corpus-compression step.
+
+    One corpus scan + one word-keyed shuffle; everything after runs on
+    this relation. Words are whitespace tokens with the two marker
+    control chars stripped (see module docstring)."""
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w = corpus.select(F.explode(toks).alias("word")).filter(
+        F.col("word") != ""
+    )
+    w = w.select(
+        F.regexp_replace("word", f"[{SYM_OPEN}{SYM_CLOSE}]", "").alias("word")
+    ).filter(F.col("word") != "")
+    return w.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+
+
+def _wrapped(col: str | Column) -> Column:
+    """Initial segmentation: every char its own wrapped symbol."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(.)", f"{SYM_OPEN}$1{SYM_CLOSE}")
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """freq-weighted adjacent-symbol pair counts (zip-slice, map-only
+    until the pair-keyed aggregate)."""
+    syms = F.split(F.replace(F.col("s"), F.lit(SYM_CLOSE), F.lit("")), SYM_OPEN)
+    n = F.size(syms) - 1  # leading empty element before the first open
+    pr = F.arrays_zip(
+        F.slice(syms, F.lit(2), n - 1).alias("lhs"),
+        F.slice(syms, F.lit(3), n - 1).alias("rhs"),
+    )
+    return (
+        words.filter(n >= 2)
+        .select("freq", F.explode(pr).alias("p"))
+        .groupBy(
+            F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_merges(
+    corpus: DataFrame, k: int = 6, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Mine the first ``k`` BPE merges from ``corpus``.
+
+    Returns ``(merges, words)``: ``merges`` is the ordered merge table
+    ``(step, lhs, rhs, pair_count)`` — the trained tokenizer — and
+    ``words`` is the final ``(word, freq, s)`` vocabulary with each
+    word's segmentation after all ``k`` merges (``s`` in the wrapped
+    encoding), ready for corpus-side encoding via a word equi-join.
+
+    Scale: the corpus is scanned once (word frequencies); each of the
+    ``k`` steps is one vocabulary-sized aggregate + one map-side
+    replace, with the 1-row argmax broadcast — no corpus-sized state
+    ever re-shuffles, matching how production BPE trainers scale to
+    arbitrarily large corpora with vocabulary-bounded memory."""
+    words = (
+        _word_freqs(corpus, text_col)
+        .withColumn("s", _wrapped("word"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[DataFrame] = []
+    for step in range(1, int(k) + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                "pair_count",
+            )
+        )
+        pat = F.concat(
+            F.lit(SYM_OPEN),
+            F.col("lhs"),
+            F.lit(SYM_CLOSE + SYM_OPEN),
+            F.col("rhs"),
+            F.lit(SYM_CLOSE),
+        )
+        rep = F.concat(
+            F.lit(SYM_OPEN), F.col("lhs"), F.col("rhs"), F.lit(SYM_CLOSE)
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .withColumn("s", F.replace(F.col("s"), pat, rep))
+            .select("word", "freq", "s")
+            .localCheckpoint(eager=False)
+        )
+    if not merges:  # k=0: untrained tokenizer, every char its own token
+        out = corpus.sparkSession.createDataFrame(
+            [], "step int, lhs string, rhs string, pair_count long"
+        )
+    else:
+        out = merges[0]
+        for m in merges[1:]:
+            out = out.unionAll(m)
+    return out, words
+
+
+def bpe_encode_lengths(
+    corpus: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under the ``k``-merge tokenizer
+    trained on the same corpus — the compression-ratio audit that
+    tells a data pipeline what a tokenizer change does to its token
+    budget before anyone retrains.
+
+    Returns ``(doc_id, n_words, n_bpe_tokens)``. A word's token count
+    is the number of open markers in its final segmentation, read off
+    the trained vocabulary — so encoding is ONE corpus scan joined to
+    the vocabulary on ``word`` (every corpus word is in the vocabulary
+    by construction; at serving time an unseen word would fall back to
+    its char count, the same expression applied to the raw word)."""
+    merged_words = bpe_merges(corpus, k=k, text_col=text_col)[1]
+    per_word = merged_words.select(
+        "word",
+        (
+            F.length("s")
+            - F.length(F.replace(F.col("s"), F.lit(SYM_OPEN), F.lit("")))
+        )
+        .cast("long")
+        .alias("w_tokens"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    doc_words = (
+        corpus.select(id_col, F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .select(
+            id_col,
+            F.regexp_replace(
+                "word", f"[{SYM_OPEN}{SYM_CLOSE}]", ""
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        doc_words.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )

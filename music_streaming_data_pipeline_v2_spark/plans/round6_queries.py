@@ -656,3 +656,126 @@ def kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn(
         "fold", hash_bucket("component", buckets=_KFOLD_K, salt="f|")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer induction — merge-step mining over the
+# distinct-word frequency table (operators/bpe.py), with the k-step
+# loop replayed by DuckDB as chained CTEs whose per-step argmax feeds
+# the next REPLACE through scalar subqueries.
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def _bpe_cte_chain(k: int) -> str:
+    """CTE chain w0, p1, b1, w1, ..., bk, wk replaying bpe_merges.
+
+    Symbols are wrapped CHR(30) sym CHR(31); merge i is a plain
+    literal REPLACE parameterized by the step's 1-row argmax b{i} via
+    scalar subqueries — the SQL twin of the broadcast cross join."""
+    wrap = r"REGEXP_REPLACE(word, '(.)', CHR(30) || '\1' || CHR(31), 'g')"
+    parts = [
+        f"""w0 AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, {wrap} AS s
+    FROM (
+        SELECT REPLACE(REPLACE(t.word, CHR(30), ''), CHR(31), '') AS word
+        FROM (SELECT UNNEST({_W}) AS word FROM documents) t
+    )
+    WHERE word <> ''
+    GROUP BY word
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+    SELECT s2.syms[s2.i] AS lhs, s2.syms[s2.i + 1] AS rhs,
+           CAST(SUM(s2.freq) AS BIGINT) AS pair_count
+    FROM (
+        SELECT freq, syms, UNNEST(RANGE(2, LEN(syms))) AS i
+        FROM (
+            SELECT freq,
+                   STRING_SPLIT(REPLACE(s, CHR(31), ''), CHR(30)) AS syms
+            FROM {prev}
+        )
+    ) s2
+    GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""b{i} AS (
+    SELECT lhs, rhs, pair_count FROM p{i}
+    ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+    SELECT word, freq,
+           REPLACE(
+               s,
+               (SELECT CHR(30) || lhs || CHR(31) || CHR(30) || rhs || CHR(31)
+                FROM b{i}),
+               (SELECT CHR(30) || lhs || rhs || CHR(31) FROM b{i})
+           ) AS s
+    FROM {prev}
+)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _oracle_bpe_merges() -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, _BPE_K + 1)
+    )
+    return f"{_bpe_cte_chain(_BPE_K)}\n{rows}"
+
+
+def _oracle_bpe_token_lengths() -> str:
+    return f"""{_bpe_cte_chain(_BPE_K)},
+pw AS (
+    SELECT word,
+           CAST(LEN(s) - LEN(REPLACE(s, CHR(30), '')) AS BIGINT) AS w_tokens
+    FROM w{_BPE_K}
+),
+dw AS (
+    SELECT doc_id,
+           REPLACE(REPLACE(t.word, CHR(30), ''), CHR(31), '') AS word
+    FROM (SELECT doc_id, UNNEST({_W}) AS word FROM documents) t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(pw.w_tokens) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN pw USING (word)
+WHERE dw.word <> ''
+GROUP BY doc_id
+"""
+
+
+@q("bpe_merge_steps", _oracle_bpe_merges())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges mined from the documents corpus (Sennrich et
+    al. 2016 training loop, vocabulary-compressed as real tokenizer
+    trainers do): one corpus scan builds the distinct-word frequency
+    table, then each step is one vocabulary-sized pair aggregate whose
+    1-row argmax broadcasts into a map-side literal replace — the
+    unrolled static plan never re-touches the corpus. Output is the
+    trained merge table (step, lhs, rhs, pair_count), exact BIGINT."""
+    from ..operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, k=_BPE_K)[0]
+
+
+@q("bpe_token_lengths", _oracle_bpe_token_lengths())
+def bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the 6-merge BPE tokenizer
+    trained on the same corpus — the compression audit run before any
+    tokenizer change: encode cost is ONE corpus scan equi-joined to
+    the trained vocabulary (a word's token count is its open-marker
+    count, already materialized by training)."""
+    from ..operators.bpe import bpe_encode_lengths
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_lengths(docs, k=_BPE_K)

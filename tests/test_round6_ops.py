@@ -448,3 +448,107 @@ def test_containment_prefix_equals_naive_fuzz(spark):
             if 1000 * len(toks[a] & toks[b]) >= tp * len(toks[a])
         }
         assert got == want, (trial, tp, got ^ want)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (operators/bpe.py). The hash-exact DuckDB
+# replay lives in the registry (bpe_merge_steps / bpe_token_lengths);
+# these pin semantics the oracle hash can't state directly.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], ["doc_id", "text"]
+    )
+
+
+def test_bpe_hand_checkable_merges(spark):
+    """'low lower lowest low' × canonical hand-trace: the most
+    frequent pair merges first and later steps build on merged
+    symbols."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+    )
+
+    corpus = _bpe_corpus(spark, ["low low low lower", "lowest low lower"])
+    merges, words = bpe_merges(corpus, k=3)
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    # 6 'low'-prefixed words: (l,o) and (o,w) both appear 7× — tie
+    # breaks lexicographically to (l,o); then (lo,w) 7×; then 'low'
+    # is one symbol in every word and (low, e) appears in lower×2 +
+    # lowest = 3 vs everything else ≤ 3 — (low,e) wins ties by lhs.
+    assert got[0] == (1, "l", "o", 7)
+    assert got[1] == (2, "lo", "w", 7)
+    assert got[2] == (3, "low", "e", 3)
+    seg = {
+        r["word"]: r["s"] for r in words.collect()
+    }
+    assert seg["low"] == "\x1elow\x1f"
+    assert seg["lower"] == "\x1elowe\x1f\x1er\x1f"
+
+
+def test_bpe_same_symbol_run_is_leftmost_greedy(spark):
+    """'aaaa' under merge (a,a): leftmost non-overlapping → aa|aa;
+    'aaaaa' → aa|aa|a (canonical BPE run behavior, the case plain
+    space-delimited string replace gets wrong)."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+    )
+
+    corpus = _bpe_corpus(spark, ["aaaa aaaaa"])
+    merges, words = bpe_merges(corpus, k=1)
+    m = merges.collect()[0]
+    # pairs: aaaa has 3 (a,a), aaaaa has 4 → 7
+    assert (m["lhs"], m["rhs"], m["pair_count"]) == ("a", "a", 7)
+    seg = {r["word"]: r["s"] for r in words.collect()}
+    assert seg["aaaa"] == "\x1eaa\x1f\x1eaa\x1f"
+    assert seg["aaaaa"] == "\x1eaa\x1f\x1eaa\x1f\x1ea\x1f"
+
+
+def test_bpe_no_false_boundary_matches(spark):
+    """Merging (a,b) must not fire inside longer symbols: after
+    (a,b)→ab exists as a symbol, a later (ab,c) merge only matches
+    the whole symbols, never a char run inside an unrelated word."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+    )
+
+    # 'xabc' contains chars a,b,c but after step1 merges the corpus
+    # majority pair, step2's pattern must anchor on symbol boundaries.
+    corpus = _bpe_corpus(
+        spark, ["ab ab ab ab abc abc", "xabc ab abc"]
+    )
+    merges, words = bpe_merges(corpus, k=2)
+    got = [(r["lhs"], r["rhs"]) for r in merges.orderBy("step").collect()]
+    assert got[0] == ("a", "b")
+    seg = {r["word"]: r["s"] for r in words.collect()}
+    # xabc: x + merged(ab) + c under step1; step2 (ab,c) merges abc
+    assert "\x1eab\x1f" in seg["ab"]
+    if got[1] == ("ab", "c"):
+        assert seg["abc"] == "\x1eabc\x1f"
+        assert seg["xabc"] == "\x1ex\x1f\x1eabc\x1f"
+
+
+def test_bpe_encode_lengths_sum_invariants(spark):
+    """n_bpe_tokens is bounded by chars (no merges possible) below and
+    n_words above (every word ≥1 token), and merging monotonically
+    shrinks total tokens as k grows."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_encode_lengths,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    totals = {}
+    for k in (0, 3):
+        enc = bpe_encode_lengths(docs, k=k)
+        agg = enc.agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+        ).collect()[0]
+        totals[k] = (agg["w"], agg["t"])
+    assert totals[0][0] == totals[3][0]  # word count independent of k
+    assert totals[0][1] > totals[3][1]   # k=0 tokens = chars > merged
+    assert totals[3][1] >= totals[3][0]  # every word ≥ 1 token
