@@ -23,6 +23,15 @@ from bench import HEADLINE
 
 # Cross-round bench-number context the plan shapes alone don't show.
 BENCH_NOTES = {
+    "bpe_merge_steps": (
+        "the dumped plan is the tail union of the k lazily-"
+        "localCheckpointed 1-row argmax picks — at action time the "
+        "chain runs as k sequential vocabulary-sized jobs (pair "
+        "aggregate → TakeOrderedAndProject argmax → broadcast 1-row "
+        "replace), each step's input checkpointed so plan growth is "
+        "linear in k (the mmr_rerank idiom). The corpus is scanned "
+        "exactly once, by the word-frequency step."
+    ),
     "mmr_rerank_topk": (
         "the dumped plan is only the tail union of localCheckpointed "
         "step picks — the greedy selection executes EAGERLY while the "
@@ -180,6 +189,12 @@ def main() -> None:
             "(bigram-type count, count-of-counts n1/n2, vocabulary) "
             "cross-joined onto the scoring join — constant-size "
             "regardless of corpus",
+        "bpe_merge_steps": "each merge step broadcast-cross-joins its "
+            "1-row argmax pair into the vocabulary replace — "
+            "constant-size regardless of corpus or vocabulary",
+        "bpe_token_lengths": "same 1-row per-step argmax cross joins "
+            "as bpe_merge_steps inside the training chain; the encode "
+            "itself is a word equi-join",
         }
         if s["bad"]:
             if name in intended_nlj:
