@@ -54,16 +54,13 @@ SYM_CLOSE = "\x1f"
 def _word_freqs(corpus: DataFrame, text_col: str) -> DataFrame:
     """Distinct-word frequency table — the corpus-compression step.
 
-    One corpus scan + one word-keyed shuffle; everything after runs on
-    this relation. Words are whitespace tokens with the two marker
-    control chars stripped (see module docstring)."""
+    One corpus scan + one word-keyed shuffle; everything after runs
+    on this relation. Marker stripping happens downstream in
+    ``bpe_merges_from_freqs`` (shared with the ingest-state path)."""
     toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
     w = corpus.select(F.explode(toks).alias("word")).filter(
         F.col("word") != ""
     )
-    w = w.select(
-        F.regexp_replace("word", f"[{SYM_OPEN}{SYM_CLOSE}]", "").alias("word")
-    ).filter(F.col("word") != "")
     return w.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
 
 
@@ -92,24 +89,30 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merges(
-    corpus: DataFrame, k: int = 6, text_col: str = "text"
+def bpe_merges_from_freqs(
+    freqs: DataFrame, k: int = 6
 ) -> tuple[DataFrame, DataFrame]:
-    """Mine the first ``k`` BPE merges from ``corpus``.
+    """Mine the first ``k`` BPE merges from a ``(word, freq)``
+    relation — the core ``bpe_merges`` wraps with a corpus scan, and
+    the path that trains STRAIGHT FROM INGEST STATE: summed
+    vocabulary cells (streaming/vocab_ingest.py) are exactly this
+    relation, so a tokenizer retrains from accumulated state without
+    ever re-reading the corpus (tests/test_vocab_ingest.py pins the
+    equivalence).
 
-    Returns ``(merges, words)``: ``merges`` is the ordered merge table
-    ``(step, lhs, rhs, pair_count)`` — the trained tokenizer — and
-    ``words`` is the final ``(word, freq, s)`` vocabulary with each
-    word's segmentation after all ``k`` merges (``s`` in the wrapped
-    encoding), ready for corpus-side encoding via a word equi-join.
-
-    Scale: the corpus is scanned once (word frequencies); each of the
-    ``k`` steps is one vocabulary-sized aggregate + one map-side
-    replace, with the 1-row argmax broadcast — no corpus-sized state
-    ever re-shuffles, matching how production BPE trainers scale to
-    arbitrarily large corpora with vocabulary-bounded memory."""
+    Input words are marker-stripped and re-aggregated defensively
+    (identical to the corpus path), so both entrances share one
+    normalization."""
     words = (
-        _word_freqs(corpus, text_col)
+        freqs.select(
+            F.regexp_replace("word", f"[{SYM_OPEN}{SYM_CLOSE}]", "").alias(
+                "word"
+            ),
+            "freq",
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.sum("freq").cast("long").alias("freq"))
         .withColumn("s", _wrapped("word"))
         .localCheckpoint(eager=False)
     )
@@ -146,7 +149,7 @@ def bpe_merges(
             .localCheckpoint(eager=False)
         )
     if not merges:  # k=0: untrained tokenizer, every char its own token
-        out = corpus.sparkSession.createDataFrame(
+        out = freqs.sparkSession.createDataFrame(
             [], "step int, lhs string, rhs string, pair_count long"
         )
     else:
@@ -154,6 +157,25 @@ def bpe_merges(
         for m in merges[1:]:
             out = out.unionAll(m)
     return out, words
+
+
+def bpe_merges(
+    corpus: DataFrame, k: int = 6, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Mine the first ``k`` BPE merges from ``corpus``.
+
+    Returns ``(merges, words)``: ``merges`` is the ordered merge table
+    ``(step, lhs, rhs, pair_count)`` — the trained tokenizer — and
+    ``words`` is the final ``(word, freq, s)`` vocabulary with each
+    word's segmentation after all ``k`` merges (``s`` in the wrapped
+    encoding), ready for corpus-side encoding via a word equi-join.
+
+    Scale: the corpus is scanned once (word frequencies); each of the
+    ``k`` steps is one vocabulary-sized aggregate + one map-side
+    replace, with the 1-row argmax broadcast — no corpus-sized state
+    ever re-shuffles, matching how production BPE trainers scale to
+    arbitrarily large corpora with vocabulary-bounded memory."""
+    return bpe_merges_from_freqs(_word_freqs(corpus, text_col), k=k)
 
 
 def bpe_encode_lengths(

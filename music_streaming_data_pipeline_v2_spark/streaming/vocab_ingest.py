@@ -124,3 +124,23 @@ def query_coverage_curve(
     return coverage_curve_from_counts(
         _merged_cells(spark, work_dir).select("_tok", "_cnt"), sizes
     )
+
+
+def query_bpe_merges(
+    spark: SparkSession, work_dir: str, k: int = 6
+) -> DataFrame:
+    """Train the first ``k`` BPE merges STRAIGHT FROM the accumulated
+    vocabulary cells — the tokenizer-retrain path that never re-reads
+    the corpus: summed occurrence cells are exactly the
+    ``(word, freq)`` relation ``operators/bpe.py:bpe_merges``
+    compresses the corpus into, so training cost is ``k``
+    vocabulary-sized jobs regardless of how much text ever ingested.
+    Tokens in state are lowercased (``vocab_cells``), so this equals
+    batch ``bpe_merges`` over the lowercased corpus —
+    tests/test_vocab_ingest.py pins the equivalence."""
+    from ..operators.bpe import bpe_merges_from_freqs
+
+    freqs = _merged_cells(spark, work_dir).select(
+        F.col("_tok").alias("word"), F.col("_cnt").alias("freq")
+    )
+    return bpe_merges_from_freqs(freqs, k=k)[0]

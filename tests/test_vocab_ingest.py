@@ -93,3 +93,31 @@ def test_query_before_any_drain_is_empty_vocab_zero_curve(spark, tmp_path):
         == (0, 0, 0.0)
         for r in rows.values()
     )
+
+
+def test_bpe_from_state_equals_batch_on_lowered_corpus(spark, tmp_path):
+    """Tokenizer retrain from accumulated cells ≡ batch bpe_merges on
+    the lowercased concatenation of every drained wave — the corpus is
+    never re-read, yet the merge table is identical."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.vocab_ingest import (
+        query_bpe_merges,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_vocab(spark, str(inp), str(work))
+    _write_wave(inp / "w2.jsonl", DOCS_W2)
+    run_incremental_vocab(spark, str(inp), str(work))
+
+    batch = bpe_merges(
+        _df(spark, DOCS_W1 + DOCS_W2).withColumn("text", F.lower("text")),
+        k=4,
+    )[0]
+    assert _vals(query_bpe_merges(spark, str(work), k=4)) == _vals(batch)
