@@ -136,6 +136,7 @@ HEADLINE = [
     # compression audit built on the trained vocabulary
     "bpe_merge_steps",
     "bpe_token_lengths",
+    "wordpiece_merge_steps",
 ]
 
 

@@ -89,10 +89,23 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _symbol_counts(words: DataFrame) -> DataFrame:
+    """freq-weighted occurrence count of every current symbol —
+    WordPiece's scoring denominator. Same exploded relation shape as
+    the pair counts, one vocabulary-sized aggregate."""
+    syms = F.split(F.replace(F.col("s"), F.lit(SYM_CLOSE), F.lit("")), SYM_OPEN)
+    n = F.size(syms) - 1
+    return (
+        words.select("freq", F.explode(F.slice(syms, F.lit(2), n)).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("sym_count"))
+    )
+
+
 def bpe_merges_from_freqs(
-    freqs: DataFrame, k: int = 6
+    freqs: DataFrame, k: int = 6, scoring: str = "freq"
 ) -> tuple[DataFrame, DataFrame]:
-    """Mine the first ``k`` BPE merges from a ``(word, freq)``
+    """Mine the first ``k`` merges from a ``(word, freq)``
     relation — the core ``bpe_merges`` wraps with a corpus scan, and
     the path that trains STRAIGHT FROM INGEST STATE: summed
     vocabulary cells (streaming/vocab_ingest.py) are exactly this
@@ -102,7 +115,14 @@ def bpe_merges_from_freqs(
 
     Input words are marker-stripped and re-aggregated defensively
     (identical to the corpus path), so both entrances share one
-    normalization."""
+    normalization.
+
+    ``scoring='freq'`` is classic BPE (Sennrich: most frequent pair
+    wins); ``scoring='wordpiece'`` is the WordPiece likelihood rule
+    (Schuster & Nakajima 2012, the HF-documented variant): merge the
+    pair maximizing pair_count/(cnt_lhs·cnt_rhs) — the merge whose
+    parts co-occur most beyond chance, which favors gluing rare
+    morphemes over piling onto frequent chars."""
     words = (
         freqs.select(
             F.regexp_replace("word", f"[{SYM_OPEN}{SYM_CLOSE}]", "").alias(
@@ -118,10 +138,50 @@ def bpe_merges_from_freqs(
     )
     merges: list[DataFrame] = []
     for step in range(1, int(k) + 1):
+        pairs = _pair_counts(words)
+        if scoring == "wordpiece":
+            # WordPiece likelihood score: pair / (cnt_lhs · cnt_rhs).
+            # BIGINT→DOUBLE casts and one IEEE division are
+            # correctly-rounded in both JVM and DuckDB (unlike
+            # transcendentals), so the float is SAFE in an ORDER BY;
+            # ties break on exact integers.
+            syms = _symbol_counts(words)
+            pairs = (
+                pairs.join(
+                    syms.select(
+                        F.col("sym").alias("lhs"),
+                        F.col("sym_count").alias("_cl"),
+                    ),
+                    "lhs",
+                )
+                .join(
+                    syms.select(
+                        F.col("sym").alias("rhs"),
+                        F.col("sym_count").alias("_cr"),
+                    ),
+                    "rhs",
+                )
+                .withColumn(
+                    "_score",
+                    F.col("pair_count").cast("double")
+                    / (
+                        F.col("_cl").cast("double")
+                        * F.col("_cr").cast("double")
+                    ),
+                )
+            )
+            order = [
+                F.desc("_score"),
+                F.desc("pair_count"),
+                F.asc("lhs"),
+                F.asc("rhs"),
+            ]
+        else:
+            order = [F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")]
         best = (
-            _pair_counts(words)
-            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            pairs.orderBy(*order)
             .limit(1)
+            .select("lhs", "rhs", "pair_count")
             .localCheckpoint(eager=False)
         )
         merges.append(
@@ -224,4 +284,15 @@ def bpe_encode_lengths(
             F.count("*").cast("long").alias("n_words"),
             F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
         )
+    )
+
+
+def wordpiece_merges(
+    corpus: DataFrame, k: int = 6, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """WordPiece-scored merge mining (see ``bpe_merges_from_freqs``):
+    same vocabulary-compressed loop as BPE, argmax by the likelihood
+    score pair/(lhs·rhs) instead of raw pair frequency."""
+    return bpe_merges_from_freqs(
+        _word_freqs(corpus, text_col), k=k, scoring="wordpiece"
     )

@@ -668,15 +668,19 @@ def kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 6
 
 
-def _bpe_cte_chain(k: int) -> str:
-    """CTE chain w0, p1, b1, w1, ..., bk, wk replaying bpe_merges.
+def _bpe_cte_chain(k: int, scoring: str = "freq") -> str:
+    """CTE chain w0, p1, b1, w1, ..., bk, wk replaying bpe_merges
+    (``scoring='wordpiece'`` adds per-step symbol-count CTEs c{i} and
+    the likelihood argmax — one BIGINT→DOUBLE IEEE division, which is
+    correctly-rounded identically in JVM and DuckDB, unlike the
+    transcendentals the HLL oracle had to precompute).
 
     Symbols are wrapped CHR(30) sym CHR(31); merge i is a plain
     literal REPLACE parameterized by the step's 1-row argmax b{i} via
     scalar subqueries — the SQL twin of the broadcast cross join."""
     wrap = r"REGEXP_REPLACE(word, '(.)', CHR(30) || '\1' || CHR(31), 'g')"
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, {wrap} AS s
     FROM (
         SELECT REPLACE(REPLACE(t.word, CHR(30), ''), CHR(31), '') AS word
@@ -689,7 +693,7 @@ def _bpe_cte_chain(k: int) -> str:
     for i in range(1, k + 1):
         prev = f"w{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
     SELECT s2.syms[s2.i] AS lhs, s2.syms[s2.i + 1] AS rhs,
            CAST(SUM(s2.freq) AS BIGINT) AS pair_count
     FROM (
@@ -703,14 +707,43 @@ def _bpe_cte_chain(k: int) -> str:
     GROUP BY 1, 2
 )"""
         )
-        parts.append(
-            f"""b{i} AS (
+        if scoring == "wordpiece":
+            parts.append(
+                f"""c{i} AS MATERIALIZED (
+    SELECT s3.sym, CAST(SUM(s3.freq) AS BIGINT) AS sym_count
+    FROM (
+        SELECT freq, UNNEST(syms[2:LEN(syms)]) AS sym
+        FROM (
+            SELECT freq,
+                   STRING_SPLIT(REPLACE(s, CHR(31), ''), CHR(30)) AS syms
+            FROM {prev}
+        )
+    ) s3
+    GROUP BY s3.sym
+)"""
+            )
+            parts.append(
+                f"""b{i} AS MATERIALIZED (
+    SELECT p.lhs, p.rhs, p.pair_count
+    FROM p{i} p
+    JOIN c{i} cl ON cl.sym = p.lhs
+    JOIN c{i} cr ON cr.sym = p.rhs
+    ORDER BY CAST(p.pair_count AS DOUBLE)
+             / (CAST(cl.sym_count AS DOUBLE) * CAST(cr.sym_count AS DOUBLE))
+             DESC,
+             p.pair_count DESC, p.lhs ASC, p.rhs ASC
+    LIMIT 1
+)"""
+            )
+        else:
+            parts.append(
+                f"""b{i} AS MATERIALIZED (
     SELECT lhs, rhs, pair_count FROM p{i}
     ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 )"""
-        )
+            )
         parts.append(
-            f"""w{i} AS (
+            f"""w{i} AS MATERIALIZED (
     SELECT word, freq,
            REPLACE(
                s,
@@ -779,3 +812,26 @@ def bpe_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_lengths(docs, k=_BPE_K)
+
+
+def _oracle_wordpiece_merges() -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, _BPE_K + 1)
+    )
+    return f"{_bpe_cte_chain(_BPE_K, scoring='wordpiece')}\n{rows}"
+
+
+@q("wordpiece_merge_steps", _oracle_wordpiece_merges())
+def wordpiece_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 WordPiece merges (Schuster & Nakajima 2012 likelihood
+    rule) from the documents corpus: the same vocabulary-compressed
+    loop as bpe_merge_steps, argmax by pair/(lhs·rhs) — per step, two
+    extra vocabulary-sized joins against the symbol counts. The 'qu'
+    contrast with BPE's 'er' first merge is the textbook behavior:
+    likelihood scoring glues pairs that co-occur beyond chance rather
+    than the globally most frequent pair."""
+    from ..operators.bpe import wordpiece_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_merges(docs, k=_BPE_K)[0]

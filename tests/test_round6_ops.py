@@ -552,3 +552,22 @@ def test_bpe_encode_lengths_sum_invariants(spark):
     assert totals[0][0] == totals[3][0]  # word count independent of k
     assert totals[0][1] > totals[3][1]   # k=0 tokens = chars > merged
     assert totals[3][1] >= totals[3][0]  # every word ≥ 1 token
+
+
+def test_wordpiece_diverges_from_bpe_on_likelihood(spark):
+    """(q,u): rare but perfectly co-occurring → wordpiece's first
+    merge; (e,r): more frequent but diluted by standalone e/r → BPE's
+    first merge. Scores: 3/(3·3)=0.33 vs 5/(15·15)=0.022."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+        wordpiece_merges,
+    )
+
+    corpus = _bpe_corpus(
+        spark,
+        ["qu qu qu er er er er er", "e e e e e e e e e e r r r r r r r r r r"],
+    )
+    wp = wordpiece_merges(corpus, k=1)[0].collect()[0]
+    bp = bpe_merges(corpus, k=1)[0].collect()[0]
+    assert (wp["lhs"], wp["rhs"], wp["pair_count"]) == ("q", "u", 3)
+    assert (bp["lhs"], bp["rhs"], bp["pair_count"]) == ("e", "r", 5)
