@@ -338,6 +338,25 @@ def main() -> None:
         )
     )
 
+    # 12. tokenizer induction on the CURATED train split (the data a
+    # tokenizer should see — post-dedup, post-gate, train-only so the
+    # held-out splits never leak into the subword inventory): first
+    # BPE merges vs the WordPiece likelihood variant
+    # (operators/bpe.py; driver queries bpe_merge_steps /
+    # wordpiece_merge_steps).
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+        wordpiece_merges,
+    )
+
+    train_docs = docs.join(
+        recipe.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    bm = bpe_merges(train_docs, k=4)[0].orderBy("step").collect()
+    wm = wordpiece_merges(train_docs, k=4)[0].orderBy("step").collect()
+    fmt = lambda rows: " ".join(f"{r.lhs}+{r.rhs}" for r in rows)  # noqa: E731
+    print(f"tokenizer:     BPE merges [{fmt(bm)}] | WordPiece [{fmt(wm)}]")
+
 
 if __name__ == "__main__":
     main()

@@ -44,6 +44,12 @@ BENCH_NOTES = {
         "linear in k (the mmr_rerank idiom). The corpus is scanned "
         "exactly once, by the word-frequency step."
     ),
+    "wordpiece_merge_steps": (
+        "same unrolled-checkpoint shape as bpe_merge_steps; each step "
+        "additionally joins the pair counts to the per-symbol counts "
+        "(two vocabulary-bounded hash joins) for the likelihood "
+        "argmax."
+    ),
     "mmr_rerank_topk": (
         "the dumped plan is only the tail union of localCheckpointed "
         "step picks — the greedy selection executes EAGERLY while the "
