@@ -243,20 +243,28 @@ def bpe_encode_lengths(
     k: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    trained_words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token counts under the ``k``-merge tokenizer
-    trained on the same corpus — the compression-ratio audit that
-    tells a data pipeline what a tokenizer change does to its token
-    budget before anyone retrains.
+    trained on the same corpus (default) or a tokenizer trained
+    elsewhere (``trained_words`` = the vocabulary relation
+    ``bpe_merges`` returns) — the compression-ratio audit that tells a
+    data pipeline what a tokenizer change does to its token budget
+    before anyone retrains.
 
     Returns ``(doc_id, n_words, n_bpe_tokens)``. A word's token count
     is the number of open markers in its final segmentation, read off
-    the trained vocabulary — so encoding is ONE corpus scan joined to
-    the vocabulary on ``word`` (every corpus word is in the vocabulary
-    by construction; at serving time an unseen word would fall back to
-    its char count, the same expression applied to the raw word)."""
-    merged_words = bpe_merges(corpus, k=k, text_col=text_col)[1]
-    per_word = merged_words.select(
+    the trained vocabulary — so encoding is ONE corpus scan
+    left-joined to the vocabulary on ``word``. Words outside the
+    training vocabulary (possible only in the cross-corpus case) fall
+    back to their char count — the untrained segmentation, a
+    conservative upper bound (merges that would apply to an unseen
+    word's chars are NOT replayed; real serving encoders apply the
+    merge list, which is O(k) string ops per distinct unseen word —
+    the same vocabulary-compression trick would apply)."""
+    if trained_words is None:
+        trained_words = bpe_merges(corpus, k=k, text_col=text_col)[1]
+    per_word = trained_words.select(
         "word",
         (
             F.length("s")
@@ -278,11 +286,13 @@ def bpe_encode_lengths(
         .filter(F.col("word") != "")
     )
     return (
-        doc_words.join(per_word, "word")
+        doc_words.join(per_word, "word", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.coalesce(F.col("w_tokens"), F.length("word")))
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
     )
 

@@ -571,3 +571,19 @@ def test_wordpiece_diverges_from_bpe_on_likelihood(spark):
     bp = bpe_merges(corpus, k=1)[0].collect()[0]
     assert (wp["lhs"], wp["rhs"], wp["pair_count"]) == ("q", "u", 3)
     assert (bp["lhs"], bp["rhs"], bp["pair_count"]) == ("e", "r", 5)
+
+
+def test_bpe_cross_corpus_encode_unseen_word_fallback(spark):
+    """Encoding a corpus with a tokenizer trained elsewhere: unseen
+    words fall back to char count; seen words use trained lengths."""
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_encode_lengths,
+        bpe_merges,
+    )
+
+    train = _bpe_corpus(spark, ["ab ab ab ab"])
+    trained = bpe_merges(train, k=1)[1]  # 'ab' is one symbol now
+    serve = _bpe_corpus(spark, ["ab zzz"])
+    row = bpe_encode_lengths(serve, trained_words=trained).collect()[0]
+    # 'ab' → 1 trained token; 'zzz' unseen → 3 chars
+    assert (row["n_words"], row["n_bpe_tokens"]) == (2, 4)
