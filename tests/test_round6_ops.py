@@ -587,3 +587,76 @@ def test_bpe_cross_corpus_encode_unseen_word_fallback(spark):
     row = bpe_encode_lengths(serve, trained_words=trained).collect()[0]
     # 'ab' → 1 trained token; 'zzz' unseen → 3 chars
     assert (row["n_words"], row["n_bpe_tokens"]) == (2, 4)
+
+
+def test_bpe_matches_pure_python_reference_fuzz(spark):
+    """Property: bpe_merges ≡ an INDEPENDENT pure-Python greedy BPE
+    (dict-of-tuples trainer, no string-encoding tricks) on seeded
+    random corpora — kills any shared-design bug between the Spark
+    implementation and its DuckDB oracle, which replay the same
+    wrapped-string algorithm."""
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.bpe import (
+        bpe_merges,
+    )
+
+    def ref_bpe(words, k):
+        # vocab: word -> (freq, symbol tuple)
+        vocab = {}
+        for w in words:
+            f, syms = vocab.get(w, (0, tuple(w)))
+            vocab[w] = (f + 1, syms)
+        merges = []
+        for _ in range(k):
+            pc = {}
+            for f, syms in vocab.values():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            # total order: count desc, lhs asc, rhs asc
+            items = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (lhs, rhs), cnt = items[0]
+            merges.append((lhs, rhs, cnt))
+            new_vocab = {}
+            for w, (f, syms) in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[w] = (f, tuple(out))
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(406)
+    for trial in range(4):
+        n_docs = rng.randint(2, 6)
+        docs, all_words = [], []
+        for _ in range(n_docs):
+            n_words = rng.randint(1, 12)
+            ws = [
+                "".join(
+                    rng.choice("abcd") for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(n_words)
+            ]
+            all_words.extend(ws)
+            docs.append(" ".join(ws))
+        k = rng.randint(1, 5)
+        expected = ref_bpe(all_words, k)
+        got = [
+            (r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_merges(_bpe_corpus(spark, docs), k=k)[0]
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == expected, (trial, docs, k, got, expected)
