@@ -137,6 +137,9 @@ HEADLINE = [
     "bpe_merge_steps",
     "bpe_token_lengths",
     "wordpiece_merge_steps",
+    # round 6 late: FineWeb-style within-source percentile calibration
+    # (aggregate-before-window, no document-row sort)
+    "quality_percentile_by_source",
 ]
 
 

@@ -453,3 +453,55 @@ def blocklist_gate(
     return df.withColumn("n_blocked_terms", n).withColumn(
         "keep", F.col("n_blocked_terms") == 0
     )
+
+
+def score_percentiles(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile calibration of a quality score — the
+    FineWeb/CCNet normalization step: raw quality signals are not
+    comparable ACROSS sources (a news crawl's median entropy differs
+    from a forum dump's), so gates threshold each document's
+    percentile WITHIN its source instead of the raw score.
+
+    Output adds ``pctl_permille`` = ⌊1000·(rank−1)/(n−1)⌋ per group
+    (PERCENT_RANK's exact integer numerator/denominator; competition
+    rank, ties share the min; 0 for single-row groups) — integer end
+    to end, so the DuckDB oracle compares exactly.
+
+    Scale design: NO row-count-sized sort window. Scores aggregate to
+    per-(group, score) counts first — shuffle ∝ distinct score values
+    per group, not documents — the cumulative window runs over that
+    bounded relation, and documents join back on (group, score), the
+    aggregate-before-window pattern histogram_quantiles proved
+    (runtime flat across a 10× corpus)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, score_col).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(group_col)
+    ranked = counts.select(
+        group_col,
+        score_col,
+        F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_below"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    return df.join(ranked, [group_col, score_col]).select(
+        *df.columns,
+        F.when(
+            F.col("_n") > 1,
+            F.expr("(1000 * _below) DIV (_n - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pctl_permille"),
+    )

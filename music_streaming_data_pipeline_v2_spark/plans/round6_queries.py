@@ -835,3 +835,56 @@ def wordpiece_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wordpiece_merges(docs, k=_BPE_K)[0]
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-score percentile calibration — the FineWeb/CCNet
+# normalization step (raw quality signals are not comparable across
+# sources; gates threshold each document's WITHIN-source percentile).
+# ---------------------------------------------------------------------------
+
+
+_ORACLE_SCORE_PCTL = r"""
+WITH s AS (
+    SELECT doc_id, source,
+           (1000 * LEN(LIST_DISTINCT(toks))) // LEN(toks) AS score
+    FROM (
+        SELECT doc_id, source,
+               REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents
+    )
+)
+SELECT doc_id, source, score,
+       CAST(CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+                 THEN (1000 * (RANK() OVER (PARTITION BY source
+                                            ORDER BY score) - 1))
+                      // (COUNT(*) OVER (PARTITION BY source) - 1)
+                 ELSE 0 END AS BIGINT) AS pctl_permille
+FROM s
+"""
+
+
+@q("quality_percentile_by_source", _ORACLE_SCORE_PCTL)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile of the integer uniq-token-ratio score
+    (operators/quality.py:score_percentiles). The oracle ranks with a
+    plain window; the Spark side NEVER sorts document rows — scores
+    aggregate to per-(source, score) counts (shuffle ∝ distinct
+    values), the cumulative runs over that bounded relation, and the
+    corpus joins back on (source, score): the aggregate-before-window
+    pattern, so the hash match also proves the count-based rank
+    arithmetic ≡ RANK()/PERCENT_RANK semantics."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import score_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(1000 * size(array_distinct(split(lower(trim(text)),"
+            " '\\\\s+')))) DIV size(split(lower(trim(text)), '\\\\s+'))"
+        ).alias("score"),
+    )
+    return score_percentiles(scored, "score", "source", "doc_id")

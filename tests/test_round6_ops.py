@@ -660,3 +660,26 @@ def test_bpe_matches_pure_python_reference_fuzz(spark):
             .collect()
         ]
         assert got == expected, (trial, docs, k, got, expected)
+
+
+def test_score_percentiles_semantics(spark):
+    """Ties share the competition-rank percentile, the strict max gets
+    1000, the min gets 0, and single-row groups get 0."""
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        score_percentiles,
+    )
+
+    rows = [
+        (1, "a", 10),
+        (2, "a", 10),
+        (3, "a", 20),
+        (4, "a", 30),
+        (5, "a", 40),  # n=5: ranks 1,1,3,4,5 -> 0,0,500,750,1000
+        (6, "b", 99),  # singleton group -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        r["doc_id"]: r["pctl_permille"]
+        for r in score_percentiles(df, "score").collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 500, 4: 750, 5: 1000, 6: 0}
