@@ -140,6 +140,7 @@ HEADLINE = [
     # round 6 late: FineWeb-style within-source percentile calibration
     # (aggregate-before-window, no document-row sort)
     "quality_percentile_by_source",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -3242,10 +3242,11 @@ from . import round6_queries  # noqa: E402,F401
 #      single-scan threshold, cm_token_counts's 8-hex 32-bit bucket
 #      addressing, textrank_keywords's two-phase
 #      TakeOrderedAndProject top-k; late additions
-#      containment_pairs_docs, kfold_leakage_safe, the three
-#      tokenizer-induction queries, and quality_percentile_by_source
-#      each displaced one alphabetical r3 fill into the r7 pool);
-#   3. the remaining 19 slots take the stalest (r3-green) queries in
+#      containment_pairs_docs, kfold_leakage_safe, the four
+#      tokenizer-induction/fertility queries, and
+#      quality_percentile_by_source each displaced one alphabetical
+#      r3 fill into the r7 pool);
+#   3. the remaining 18 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
 #      complement without judgment calls — except simhash_oracle is
 #      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
@@ -3286,6 +3287,7 @@ _CHECK_FIRST = [
     "bpe_token_lengths",
     "wordpiece_merge_steps",
     "quality_percentile_by_source",
+    "bpe_fertility_by_lang",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3309,10 +3311,10 @@ _CHECK_FIRST = [
     "embedding_quantize_codes",
     "ewma_per_user",
     "fuzzy_part_pairs",
-    "global_top_spenders",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     global_top_spenders,
     #     idle_rich_customers, incremental_daily_agg,
     #     interpolated_purchase_series, intersect_entities,
     #     inverted_index_tokens,

@@ -888,3 +888,57 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return score_percentiles(scored, "score", "source", "doc_id")
+
+
+def _oracle_bpe_fertility() -> str:
+    return f"""{_bpe_cte_chain(_BPE_K)},
+pw AS (
+    SELECT word,
+           CAST(LEN(s) - LEN(REPLACE(s, CHR(30), '')) AS BIGINT) AS w_tokens
+    FROM w{_BPE_K}
+),
+dw AS (
+    SELECT doc_id,
+           REPLACE(REPLACE(t.word, CHR(30), ''), CHR(31), '') AS word
+    FROM (SELECT doc_id, UNNEST({_W}) AS word FROM documents) t
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(pw.w_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * CAST(SUM(pw.w_tokens) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS fertility_permille
+FROM dw JOIN pw USING (word) JOIN documents d USING (doc_id)
+WHERE dw.word <> ''
+GROUP BY d.lang
+"""
+
+
+@q("bpe_fertility_by_lang", _oracle_bpe_fertility())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per word, permille) by
+    language under the corpus-trained 6-merge tokenizer — the
+    standard tokenizer-equity audit: a merge inventory dominated by
+    one language's morphology inflates every other language's token
+    budget (the imbalance UniMax allocation then has to pay for).
+    Exact integers end to end: Σtokens and Σwords aggregate
+    exactly; fertility is one integer DIV at permille scale. Cost on
+    top of the training chain: the same encode join as
+    bpe_token_lengths plus a lang-keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_encode_lengths
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_lengths(docs, k=_BPE_K)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_permille",
+            F.expr("(1000 * n_bpe_tokens) DIV n_words"),
+        )
+    )
