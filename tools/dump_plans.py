@@ -213,6 +213,9 @@ def main() -> None:
         "bpe_token_lengths": "same 1-row per-step argmax cross joins "
             "as bpe_merge_steps inside the training chain; the encode "
             "itself is a word equi-join",
+        "bpe_fertility_by_lang": "same 1-row per-step argmax cross "
+            "joins as bpe_merge_steps inside the training chain; the "
+            "encode is a word equi-join + a lang-keyed aggregate",
         }
         if s["bad"]:
             if name in intended_nlj:
