@@ -141,6 +141,7 @@ HEADLINE = [
     # (aggregate-before-window, no document-row sort)
     "quality_percentile_by_source",
     "bpe_fertility_by_lang",
+    "minhash_drop_stats_oracle",
 ]
 
 

@@ -2087,7 +2087,10 @@ def _md5int16_col(c: F.Column, seed: int) -> F.Column:
     return out
 
 
-_ORACLE_MINHASH = rf"""
+#: The shared md5-LSH front half (shingles → minhash → band postings)
+#: — consumed by _ORACLE_MINHASH here and the drop-stats oracle in
+#: round6_queries.
+_MINHASH_CTES = rf"""
 WITH sh AS (
     SELECT doc_id,
            LIST_DISTINCT(LIST_TRANSFORM(
@@ -2111,7 +2114,9 @@ banded AS (
         f"FROM minh"
         for b in range(_MH_BANDS)
     )}
-),
+)"""
+
+_ORACLE_MINHASH = rf"""{_MINHASH_CTES},
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
@@ -2129,14 +2134,13 @@ WHERE CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS DOUBLE)
 """
 
 
-@q("minhash_lsh_oracle", _ORACLE_MINHASH)
-def minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end oracled MinHash-LSH near-dup pipeline (md5-based
-    hash family, 8 hashes × 4 bands, word 3-shingles, jaccard ≥ 0.5).
-    Same plan shape as operators/dedup.py:minhash_lsh_pairs."""
+def _md5_banded(docs: DataFrame):
+    """(base, banded) relations of the md5-seeded LSH family — the
+    shared front half of minhash_lsh_oracle and
+    minhash_drop_stats_oracle (round6_queries): word 3-shingles →
+    8 md5 minhashes → 4 two-hash band postings."""
     from ..operators.dedup import word_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         F.col("doc_id").alias("_id"), word_shingles("text", 3).alias("_sh")
     ).filter(F.size("_sh") > 0).persist()
@@ -2169,6 +2173,16 @@ def minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_band"),
     ).select("_id", "_band.band_id", "_band.band_hash")
+    return base, banded
+
+
+@q("minhash_lsh_oracle", _ORACLE_MINHASH)
+def minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracled MinHash-LSH near-dup pipeline (md5-based
+    hash family, 8 hashes × 4 bands, word 3-shingles, jaccard ≥ 0.5).
+    Same plan shape as operators/dedup.py:minhash_lsh_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    base, banded = _md5_banded(docs)
 
     cand = (
         banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
@@ -3244,9 +3258,9 @@ from . import round6_queries  # noqa: E402,F401
 #      TakeOrderedAndProject top-k; late additions
 #      containment_pairs_docs, kfold_leakage_safe, the four
 #      tokenizer-induction/fertility queries, and
-#      quality_percentile_by_source each displaced one alphabetical
-#      r3 fill into the r7 pool);
-#   3. the remaining 18 slots take the stalest (r3-green) queries in
+#      quality_percentile_by_source and minhash_drop_stats_oracle
+#      each displaced one alphabetical r3 fill into the r7 pool);
+#   3. the remaining 17 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
 #      complement without judgment calls — except simhash_oracle is
 #      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
@@ -3288,6 +3302,7 @@ _CHECK_FIRST = [
     "wordpiece_merge_steps",
     "quality_percentile_by_source",
     "bpe_fertility_by_lang",
+    "minhash_drop_stats_oracle",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3310,11 +3325,10 @@ _CHECK_FIRST = [
     "doc_repetition_filter",
     "embedding_quantize_codes",
     "ewma_per_user",
-    "fuzzy_part_pairs",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     global_top_spenders,
+    #     fuzzy_part_pairs, global_top_spenders,
     #     idle_rich_customers, incremental_daily_agg,
     #     interpolated_purchase_series, intersect_entities,
     #     inverted_index_tokens,

@@ -942,3 +942,62 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_bpe_tokens) DIV n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracled bucket-cap drop stats — the md5-seeded sibling of rows-only
+# minhash_drop_stats (the ann_lsh_oracle pattern applied to the LAST
+# observability side-output without a replayable twin): same counter
+# arithmetic, engine-portable hash family, so DuckDB replays the
+# bucket-size relation and the three counters hash-check exactly.
+# ---------------------------------------------------------------------------
+
+_DROP_CAP = 2  # tight so the cap bites at gate scale factors
+
+
+def _oracle_minhash_drop_stats() -> str:
+    from .driver_queries import _MINHASH_CTES
+
+    return f"""{_MINHASH_CTES},
+bs AS (
+    SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS c
+    FROM banded GROUP BY band_id, band_hash
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS dropped_buckets,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dropped_rows,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+           AS dropped_candidate_pairs
+FROM bs WHERE c > {_DROP_CAP}
+"""
+
+
+@q("minhash_drop_stats_oracle", _oracle_minhash_drop_stats())
+def minhash_drop_stats_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH bucket-cap observability counters under the md5-seeded
+    hash family (driver_queries._md5_banded — the same 8×4 banding
+    minhash_lsh_oracle replays): dropped_buckets / dropped_rows /
+    dropped_candidate_pairs for max_bucket=2, Σ c·(c−1)/2 over
+    over-cap buckets. The production operator's counters
+    (minhash_drop_stats, xxhash-seeded, rows-only by necessity) use
+    the IDENTICAL aggregate over its own bucket relation — this
+    sibling pins that arithmetic against SQL, closing the last
+    observability output without a replayable twin."""
+    from pyspark.sql import functions as F
+
+    from .driver_queries import _md5_banded
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = _md5_banded(docs)[1]
+    bs = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    over = bs.filter(F.col("c") > _DROP_CAP)
+    return over.agg(
+        F.count("*").cast("long").alias("dropped_buckets"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.coalesce(
+            F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("dropped_candidate_pairs"),
+    )
