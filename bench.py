@@ -142,6 +142,7 @@ HEADLINE = [
     "quality_percentile_by_source",
     "bpe_fertility_by_lang",
     "minhash_drop_stats_oracle",
+    "curated_bpe_merges",
 ]
 
 

@@ -40,15 +40,10 @@ _E2E_MIN_TOKENS, _E2E_MIN_UNIQ_PM = 20, 320
 _LT = r"REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')"
 
 
-def _oracle_curation_e2e() -> str:
-    b, e = _E2E_BUDGET, _E2E_EPOCHS
+def _curation_sp_ctes() -> str:
+    """The recipe chain through the split assignment (``sp``) —
+    shared by the e2e oracle and the curated-tokenizer oracle."""
     mt, mu = _E2E_MIN_TOKENS, _E2E_MIN_UNIQ_PM
-    ebkt = (
-        "(INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS"
-        " VARCHAR)), 1, 1)) - 1) * 16"
-        " + (INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id"
-        " AS VARCHAR)), 2, 1)) - 1)"
-    )
     return f"""{_CC_CTES},
 qual AS (
     SELECT d.doc_id, a.component, d.n_chars, d.lang, d.text,
@@ -84,7 +79,18 @@ sp AS (
                 WHEN {_md5_bucket_sql('component')} < 230 THEN 'val'
                 ELSE 'test' END AS split
     FROM gated
-),
+)"""
+
+
+def _oracle_curation_e2e() -> str:
+    b, e = _E2E_BUDGET, _E2E_EPOCHS
+    ebkt = (
+        "(INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id AS"
+        " VARCHAR)), 1, 1)) - 1) * 16"
+        " + (INSTR('0123456789abcdef', SUBSTRING(MD5('e|' || CAST(doc_id"
+        " AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""{_curation_sp_ctes()},
 train AS (SELECT * FROM sp WHERE split = 'train'),
 src AS (
     SELECT lang AS source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
@@ -668,7 +674,12 @@ def kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 6
 
 
-def _bpe_cte_chain(k: int, scoring: str = "freq") -> str:
+def _bpe_cte_chain(
+    k: int,
+    scoring: str = "freq",
+    docs_rel: str = "documents",
+    with_kw: bool = True,
+) -> str:
     """CTE chain w0, p1, b1, w1, ..., bk, wk replaying bpe_merges
     (``scoring='wordpiece'`` adds per-step symbol-count CTEs c{i} and
     the likelihood argmax — one BIGINT→DOUBLE IEEE division, which is
@@ -684,7 +695,7 @@ def _bpe_cte_chain(k: int, scoring: str = "freq") -> str:
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, {wrap} AS s
     FROM (
         SELECT REPLACE(REPLACE(t.word, CHR(30), ''), CHR(31), '') AS word
-        FROM (SELECT UNNEST({_W}) AS word FROM documents) t
+        FROM (SELECT UNNEST({_W}) AS word FROM {docs_rel}) t
     )
     WHERE word <> ''
     GROUP BY word
@@ -754,7 +765,8 @@ def _bpe_cte_chain(k: int, scoring: str = "freq") -> str:
     FROM {prev}
 )"""
         )
-    return "WITH " + ",\n".join(parts)
+    head = "WITH " if with_kw else ""
+    return head + ",\n".join(parts)
 
 
 def _oracle_bpe_merges() -> str:
@@ -1001,3 +1013,61 @@ def minhash_drop_stats_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curated tokenizer — BPE trained on the CURATION OUTPUT (the demo's
+# closing step, now oracled): dedup → representatives → gate →
+# leakage-safe split → train-split-only merge mining, the full
+# "curate, then induce the subword inventory from what you actually
+# train on" recipe in one SQL-replayed plan.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_curated_bpe() -> str:
+    chain = _bpe_cte_chain(_BPE_K, docs_rel="traindocs", with_kw=False)
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, _BPE_K + 1)
+    )
+    return f"""{_curation_sp_ctes()},
+traindocs AS MATERIALIZED (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+    WHERE sp.split = 'train'
+),
+{chain}
+{rows}"""
+
+
+@q("curated_bpe_merges", _oracle_curated_bpe())
+def curated_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges trained on the CURATED train split — the
+    composition the curation demo closes with, now hash-pinned: the
+    tokenizer's subword inventory must come from post-dedup,
+    post-gate, train-only text (a held-out split leaking into merge
+    mining is subword-level contamination; boilerplate surviving
+    dedup would dominate the pair counts). One plan: curation_recipe
+    (clustering subtree shared via its localCheckpoint) → train-split
+    doc ids → the vocabulary-compressed merge loop. The oracle splices
+    the recipe chain through `sp` into the BPE CTE chain — two proven
+    closures composed, pinning the handoff contract."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_merges
+    from ..operators.curation import curation_recipe
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    recipe = curation_recipe(
+        docs,
+        _E2E_BUDGET,
+        _E2E_EPOCHS,
+        jaccard_threshold=0.8,
+        min_tokens=_E2E_MIN_TOKENS,
+        min_uniq_permille=_E2E_MIN_UNIQ_PM,
+    )
+    train = docs.join(
+        recipe.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    return bpe_merges(train, k=_BPE_K)[0]
