@@ -143,6 +143,7 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "minhash_drop_stats_oracle",
     "curated_bpe_merges",
+    "curation_funnel_by_lang",
 ]
 
 

@@ -85,31 +85,23 @@ def curation_recipe(
     )
 
 
-def curation_from_components(
+def curation_split(
     docs: DataFrame,
     components: DataFrame,
-    total_budget: int,
-    max_epochs: int,
     *,
     min_tokens: int = 20,
     min_uniq_permille: int = 320,
     text_col: str = "text",
     id_col: str = "doc_id",
-    source_col: str = "lang",
 ) -> DataFrame:
-    """The recipe TAIL over a PRECOMPUTED ``(id, component)`` relation
-    — representatives → gate → split → UniMax → epoch mix. Split out
-    of ``curation_recipe`` so the expensive clustering can come from
-    anywhere that produces components: the batch exact-Jaccard router
-    (``curation_recipe``), the alternating-star path, or the
-    incrementally maintained near-dup pair state
-    (streaming/curation_ingest.py — where the O(new×all) mining
-    happened at ingest and query time only pays components over the
-    pair list plus this bounded tail). Documents absent from
-    ``components`` are singletons (their own component)."""
+    """Representatives → gate → component-coined split over a
+    precomputed ``(id, component)`` relation — the recipe MIDDLE,
+    exposed so audits (the per-stage funnel) and the full recipe tail
+    share one definition of "what survives to which split".
+    Documents absent from ``components`` are singletons."""
     from .clustering import cluster_representatives
     from .packing import engine_safe_tokens
-    from .sampling import dataset_split, epoch_mix_plan, unimax_plan
+    from .sampling import dataset_split
 
     cc = (
         docs.select(F.col(id_col))
@@ -146,7 +138,41 @@ def curation_from_components(
         )
     )
     # split coined on the COMPONENT id (leakage_safe_split semantics)
-    split = dataset_split(gated, "component")
+    return dataset_split(gated, "component")
+
+
+def curation_from_components(
+    docs: DataFrame,
+    components: DataFrame,
+    total_budget: int,
+    max_epochs: int,
+    *,
+    min_tokens: int = 20,
+    min_uniq_permille: int = 320,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "lang",
+) -> DataFrame:
+    """The recipe TAIL over a PRECOMPUTED ``(id, component)`` relation
+    — representatives → gate → split → UniMax → epoch mix. Split out
+    of ``curation_recipe`` so the expensive clustering can come from
+    anywhere that produces components: the batch exact-Jaccard router
+    (``curation_recipe``), the alternating-star path, or the
+    incrementally maintained near-dup pair state
+    (streaming/curation_ingest.py — where the O(new×all) mining
+    happened at ingest and query time only pays components over the
+    pair list plus this bounded tail). Documents absent from
+    ``components`` are singletons (their own component)."""
+    from .sampling import epoch_mix_plan, unimax_plan
+
+    split = curation_split(
+        docs,
+        components,
+        min_tokens=min_tokens,
+        min_uniq_permille=min_uniq_permille,
+        text_col=text_col,
+        id_col=id_col,
+    )
     # three consumers below — materialize once instead of re-running
     # the clustering subtree per consumer
     split = split.localCheckpoint(eager=False)

@@ -3258,10 +3258,10 @@ from . import round6_queries  # noqa: E402,F401
 #      TakeOrderedAndProject top-k; late additions
 #      containment_pairs_docs, kfold_leakage_safe, the four
 #      tokenizer-induction/fertility queries, and
-#      quality_percentile_by_source, minhash_drop_stats_oracle, and
-#      curated_bpe_merges each displaced one alphabetical r3 fill
-#      into the r7 pool);
-#   3. the remaining 16 slots take the stalest (r3-green) queries in
+#      quality_percentile_by_source, minhash_drop_stats_oracle,
+#      curated_bpe_merges, and curation_funnel_by_lang each displaced
+#      one alphabetical r3 fill into the r7 pool);
+#   3. the remaining 15 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
 #      complement without judgment calls — except simhash_oracle is
 #      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
@@ -3305,6 +3305,7 @@ _CHECK_FIRST = [
     "bpe_fertility_by_lang",
     "minhash_drop_stats_oracle",
     "curated_bpe_merges",
+    "curation_funnel_by_lang",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,10 +3326,10 @@ _CHECK_FIRST = [
     "dim_merge_upsert",
     "disjunctive_part_revenue",
     "doc_repetition_filter",
-    "embedding_quantize_codes",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     embedding_quantize_codes,
     #     ewma_per_user, fuzzy_part_pairs, global_top_spenders,
     #     idle_rich_customers, incremental_daily_agg,
     #     interpolated_purchase_series, intersect_entities,

@@ -1071,3 +1071,95 @@ def curated_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         recipe.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     return bpe_merges(train, k=_BPE_K)[0]
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel audit — per-language doc counts at every recipe
+# stage (input → dedup representatives → quality gate → each split).
+# The ops dashboard that tells a pipeline where each language's mass
+# went; at 100 TB every stage count is a grouped aggregate over
+# relations the recipe already builds.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_curation_funnel() -> str:
+    return f"""{_curation_sp_ctes()}
+SELECT stage, lang, CAST(n_docs AS BIGINT) AS n_docs FROM (
+    SELECT '1_input' AS stage, lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '2_dedup_rep', d.lang, COUNT(*)
+    FROM reps r JOIN documents d ON d.doc_id = r.doc_id GROUP BY d.lang
+    UNION ALL
+    SELECT '3_gated', lang, COUNT(*) FROM gated GROUP BY lang
+    UNION ALL
+    SELECT '4_' || split, lang, COUNT(*) FROM sp GROUP BY split, lang
+)
+"""
+
+
+@q("curation_funnel_by_lang", _oracle_curation_funnel())
+def curation_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document counts through every curation stage:
+    input corpus → near-dup representatives → quality-gate survivors
+    → train/val/test. Shares the recipe's stage definitions through
+    operators/curation.py:curation_split (the funnel and the recipe
+    can't drift apart), so the oracle row for this query pins WHERE
+    each language's mass went, not just what survived — the audit
+    that catches a gate silently wiping out one language. All stages
+    are grouped aggregates over relations the recipe already builds;
+    the clustering subtree runs once (curation_split's input)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import dedup_clusters_auto
+    from ..operators.curation import curation_split
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        dedup_clusters_auto(docs, "lang", "text", "doc_id", 0.8)
+        .select("doc_id", "component")
+        .localCheckpoint(eager=False)  # two consumers: split + reps
+    )
+    split = curation_split(
+        docs,
+        cc,
+        min_tokens=_E2E_MIN_TOKENS,
+        min_uniq_permille=_E2E_MIN_UNIQ_PM,
+    ).localCheckpoint(eager=False)
+
+    def _count(df, stage):
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs")
+        ).select(F.lit(stage).alias("stage"), "lang", "n_docs")
+
+    input_c = _count(docs, "1_input")
+    # representatives = one survivor per component, pre-gate: split's
+    # parent before the gate isn't exposed — recompute the rep set
+    # from the same clustering (cheap: reps ≤ components)
+    from ..operators.clustering import cluster_representatives
+
+    cc_full = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    reps = cluster_representatives(docs, cc_full)
+    rep_c = _count(
+        docs.join(reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id"),
+        "2_dedup_rep",
+    )
+    gate_c = _count(split, "3_gated")
+    split_c = (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            F.concat(F.lit("4_"), F.col("split")).alias("stage"),
+            "lang",
+            "n_docs",
+        )
+    )
+    return input_c.unionAll(rep_c).unionAll(gate_c).unionAll(split_c)
