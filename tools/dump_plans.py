@@ -226,6 +226,13 @@ def main() -> None:
         "bpe_fertility_by_lang": "same 1-row per-step argmax cross "
             "joins as bpe_merge_steps inside the training chain; the "
             "encode is a word equi-join + a lang-keyed aggregate",
+        "curated_bpe_merges": "the recipe's bounded-metadata cross "
+            "joins (UniMax 1-row totals) plus the BPE chain's 1-row "
+            "per-step argmax — both adjudicated on their parent "
+            "queries (curation_recipe_e2e, bpe_merge_steps)",
+        "curation_funnel_by_lang": "the clustering router's 1-row "
+            "cost-probe cross join (dedup_clusters adjudication); "
+            "funnel aggregates are plain grouped counts",
         }
         if s["bad"]:
             if name in intended_nlj:
