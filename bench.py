@@ -144,6 +144,11 @@ HEADLINE = [
     "minhash_drop_stats_oracle",
     "curated_bpe_merges",
     "curation_funnel_by_lang",
+    "chi2_keyness_by_lang",
+    "sq8_codes",
+    "sq8_topk_sym",
+    "sq8_recall",
+    "source_overlap_minhash",
 ]
 
 

@@ -1128,3 +1128,161 @@ def embedding_decontamination(
         F.round("cosine", 6).alias("max_cos"),
         (F.col("cosine") >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (FAISS IndexScalarQuantizer QT_8bit) — the
+# quantization family's other workhorse next to PQ: one byte per
+# DIMENSION (4× smaller than float32, no codebook training), per-dim
+# affine grid from the corpus min/max.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 256
+SQ_SCALE = "1e6"  # reconstruction quantum for the order-free BIGINT sums
+
+
+def sq_code_sql(elem: str, mn: str, step: str) -> str:
+    """Shared-dialect SQL for one dimension's 8-bit code:
+    ``clamp(floor((v − mn) / step), 0, 255)``. ``elem``/``mn``/``step``
+    are SQL fragments — Spark interpolates Python float literals and
+    0-based element access, the DuckDB oracle interpolates column refs
+    over its own MIN/MAX aggregate and 1-based access; everything else
+    is the SAME string, so the IEEE arithmetic cannot drift. The
+    ``step > 0`` guard pins the degenerate constant dimension to code
+    0 in both engines."""
+    body = (
+        f"LEAST(255, GREATEST(0, CAST(FLOOR((CAST({elem} AS DOUBLE)"
+        f" - {mn}) / {step}) AS BIGINT)))"
+    )
+    return f"CASE WHEN {step} > 0.0 THEN {body} ELSE CAST(0 AS BIGINT) END"
+
+
+def sq_recon_scaled_sql(elem: str, mn: str, step: str) -> str:
+    """Shared-dialect SQL for one dimension's RECONSTRUCTED value on
+    the SQ8 grid, scaled to a BIGINT: ``ROUND((mn + (code + 0.5) ×
+    step) × 1e6)``. Per-element rounding keeps every downstream
+    distance a pure BIGINT sum — aggregation-order-free, so partition
+    order can never flip a rank (the bm25/l2_topk playbook)."""
+    code = sq_code_sql(elem, mn, step)
+    return (
+        f"CASE WHEN {step} > 0.0 THEN CAST(ROUND(({mn} + ((CAST({code}"
+        f" AS DOUBLE) + 0.5) * {step})) * {SQ_SCALE}) AS BIGINT)"
+        f" ELSE CAST(ROUND({mn} * {SQ_SCALE}) AS BIGINT) END"
+    )
+
+
+def sq_params(
+    corpus: DataFrame, dims: int = 64, vec_col: str = "embedding"
+) -> tuple[list[float], list[float], list[float]]:
+    """Per-dimension (min, max, step) of the SQ8 grid from ONE
+    aggregate pass over the corpus (step = (max − min)/256). MIN/MAX
+    of float32 values widened to double involve no FP accumulation,
+    so any engine re-derives bit-identical parameters from the same
+    data — the quantizer is 192 doubles, broadcast as plan literals
+    exactly like the PQ codebooks. Ragged vectors are excluded by the
+    SIZE guard (assign_centroid's sanitization rule)."""
+    base = corpus.filter(F.expr(f"SIZE({vec_col}) = {dims}"))
+    aggs: list[F.Column] = []
+    for i in range(dims):
+        e = F.expr(f"CAST({vec_col}[{i}] AS DOUBLE)")
+        aggs.append(F.min(e).alias(f"_mn{i}"))
+        aggs.append(F.max(e).alias(f"_mx{i}"))
+    row = base.agg(*aggs).first()
+    mins = [float(row[f"_mn{i}"]) for i in range(dims)]
+    maxs = [float(row[f"_mx{i}"]) for i in range(dims)]
+    steps = [(mx - mn) / float(SQ_LEVELS) for mn, mx in zip(mins, maxs)]
+    return mins, maxs, steps
+
+
+def sq_encode(
+    corpus: DataFrame,
+    mins: list[float],
+    steps: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8-encode each vector: ``(id, sq_code)`` where ``sq_code`` is
+    the comma-joined 64-byte code string (one byte per dimension —
+    4× smaller than float32; a production sink would store the raw
+    byte array, the string form is the hash-stable exchange format).
+    Map-only scan, flat codegen clamp/floor chains, no shuffle."""
+    dims = len(mins)
+    codes = ", ".join(
+        sq_code_sql(f"{vec_col}[{i}]", repr(mins[i]), repr(steps[i]))
+        for i in range(dims)
+    )
+    return corpus.filter(F.expr(f"SIZE({vec_col}) = {dims}")).select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"array_join(transform(array({codes}),"
+            " x -> CAST(x AS STRING)), ',')"
+        ).alias("sq_code"),
+    )
+
+
+def _sq_recon_col(
+    mins: list[float], steps: list[float], vec_col: str
+) -> F.Column:
+    dims = len(mins)
+    recon = ", ".join(
+        sq_recon_scaled_sql(f"{vec_col}[{i}]", repr(mins[i]), repr(steps[i]))
+        for i in range(dims)
+    )
+    return F.expr(f"ARRAY({recon})")
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    steps: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Symmetric SQ8 L2 top-``k``: both sides reconstruct onto the
+    8-bit grid (scaled BIGINTs), distance is the exact integer
+    ``Σ (qr_i − cr_i)²`` — FAISS's symmetric scalar-quantizer distance
+    with the engine's order-free integer arithmetic. Returns
+    ``(query_id, rank, doc_id, d2)`` with ``d2`` descaled to the
+    double L2² approximation.
+
+    Scale: the quantizer (192 doubles) folds into the plan; the
+    corpus side is ONE map-only scan producing 64 BIGINTs per row that
+    feed the broadcast-query distance loop — no corpus shuffle, no
+    codebook join; the per-query top-k is the l2_topk window. At 100
+    TB the stored index is the 64-byte codes (sq_encode), and the
+    reconstruction is a map-side decode of those codes — same plan
+    shape, 4× less IO than raw float32."""
+    from pyspark.sql import Window
+
+    dims = len(mins)
+    q = queries.filter(F.expr(f"SIZE({vec_col}) = {dims}")).select(
+        F.col(query_id_col).alias("query_id"),
+        _sq_recon_col(mins, steps, vec_col).alias("_qr"),
+    )
+    c = corpus.filter(F.expr(f"SIZE({vec_col}) = {dims}")).select(
+        F.col(id_col).alias("doc_id"),
+        _sq_recon_col(mins, steps, vec_col).alias("_cr"),
+    )
+    scored = c.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(_qr, _cr, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("doc_id"))
+    scale2 = float(SQ_SCALE) * float(SQ_SCALE)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("_d").cast("double") / F.lit(scale2)).alias("d2"),
+        )
+    )

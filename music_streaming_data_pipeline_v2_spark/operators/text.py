@@ -1483,3 +1483,114 @@ def lm_quality_buckets(
             .alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyness: distinctive terms per group vs. the rest
+# ---------------------------------------------------------------------------
+
+def chi2_milli_sql() -> str:
+    """Shared scalar chi-square expression over BIGINT contingency
+    counts named ``a`` (term in group), ``b`` (term elsewhere), ``c``
+    (other terms in group), ``d`` (other terms elsewhere), milli-scaled
+    to one BIGINT: ``ROUND(1000 * N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)))``.
+
+    ONE string interpolated into BOTH engines (the kn_contrib_sql
+    rule), pure rational IEEE arithmetic — products and divisions are
+    correctly rounded identically on JVM and DuckDB, unlike POWER/LN
+    (Math.pow is only within 1 ulp, so the square is spelled
+    ``x * x``). The milli-scaled BIGINT is the ranking key, so
+    cross-engine ordering can never drift on a stray ulp."""
+    num = (
+        "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    )
+    den = (
+        "(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+        " * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+    )
+    return (
+        f"CAST(ROUND(((CAST(a + b + c + d AS DOUBLE)"
+        f" * ({num} * {num})) / {den}) * 1000.0) AS BIGINT)"
+    )
+
+
+#: Overrepresentation gate: observed > expected, i.e. a·N > (a+b)(a+c).
+#: Compared in DOUBLE — at 10^12 tokens the BIGINT products overflow;
+#: near the boundary (observed ≈ expected) chi-square ≈ 0, so a
+#:  half-ulp flip there only moves terms that would rank last anyway,
+#: and both engines flip identically (same IEEE products).
+CHI2_OVERREP_SQL = (
+    "CAST(a AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)"
+    " > CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)"
+)
+
+
+def chi2_keyness(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` chi-square keyness terms per group — the corpus-
+    linguistics "what words make this source/language different"
+    audit (Dunning 1993's keyness setup with the chi-square statistic
+    instead of G2, which would need LN): for each (group, token) the
+    2x2 contingency table against the REST of the corpus, keeping only
+    overrepresented terms with at least ``min_count`` occurrences.
+
+    Returns ``(group_col, token, n_in_group, chi2_milli, rk)``.
+
+    Scale: ONE corpus scan builds the (group, token) count relation;
+    the token totals, group totals, and the global total are all
+    aggregates OVER that relation (AQE reuses its exchange — no second
+    corpus scan), so shuffle is vocabulary-sized, never corpus-sized.
+    Group totals and the 1-row global total broadcast; the token-total
+    join is vocab-keyed. The final top-k window partitions by group
+    over the min_count-filtered vocabulary — bounded by the post-gate
+    vocab per group, the same profile as bigram_collocations (raw
+    frequency top-k); this query ranks by DISTINCTIVENESS instead."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+        )
+        .groupBy("g", "token")
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    tok_tot = counts.groupBy("token").agg(F.sum("a").alias("t_tot"))
+    grp_tot = counts.groupBy("g").agg(F.sum("a").alias("g_tot"))
+    tot = counts.agg(F.sum("a").alias("tot"))
+    f = (
+        counts.join(tok_tot, "token")
+        .join(F.broadcast(grp_tot), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "token",
+            "a",
+            (F.col("t_tot") - F.col("a")).alias("b"),
+            (F.col("g_tot") - F.col("a")).alias("c"),
+            (F.col("tot") - F.col("t_tot") - F.col("g_tot") + F.col("a")).alias(
+                "d"
+            ),
+        )
+        .filter(F.col("a") >= min_count)
+        .filter(F.expr(CHI2_OVERREP_SQL))
+        .withColumn("chi2_milli", F.expr(chi2_milli_sql()))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("chi2_milli"), F.asc("token"))
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            "token",
+            F.col("a").alias("n_in_group"),
+            "chi2_milli",
+            "rk",
+        )
+    )

@@ -3259,7 +3259,9 @@ from . import round6_queries  # noqa: E402,F401
 #      containment_pairs_docs, kfold_leakage_safe, the four
 #      tokenizer-induction/fertility queries, and
 #      quality_percentile_by_source, minhash_drop_stats_oracle,
-#      curated_bpe_merges, and curation_funnel_by_lang each displaced
+#      curated_bpe_merges, curation_funnel_by_lang, and the second
+#      late batch — chi2_keyness_by_lang, the sq8 family (codes /
+#      topk / recall), source_overlap_minhash — each displaced
 #      one alphabetical r3 fill into the r7 pool);
 #   3. the remaining 15 slots take the stalest (r3-green) queries in
 #      alphabetical order — mechanical, so the r7 rotation can take the
@@ -3306,6 +3308,11 @@ _CHECK_FIRST = [
     "minhash_drop_stats_oracle",
     "curated_bpe_merges",
     "curation_funnel_by_lang",
+    "chi2_keyness_by_lang",
+    "sq8_codes",
+    "sq8_topk_sym",
+    "sq8_recall",
+    "source_overlap_minhash",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3320,15 +3327,13 @@ _CHECK_FIRST = [
     "click_purchase_funnel",
     "click_purchase_funnel_native",
     "corpus_curation",
-    "cumulative_unique_buyers",
     "daily_kpis",
-    "dataset_split_counts",
-    "dim_merge_upsert",
-    "disjunctive_part_revenue",
-    "doc_repetition_filter",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     cumulative_unique_buyers, dataset_split_counts,
+    #     dim_merge_upsert, disjunctive_part_revenue,
+    #     doc_repetition_filter,
     #     embedding_quantize_codes,
     #     ewma_per_user, fuzzy_part_pairs, global_top_spenders,
     #     idle_rich_customers, incremental_daily_agg,

@@ -1163,3 +1163,360 @@ def curation_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return input_c.unionAll(rep_c).unionAll(gate_c).unionAll(split_c)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyness — distinctive vocabulary per language vs. the
+# rest of the corpus (the corpus-linguistics audit that catches a
+# source drifting off-distribution BEFORE training on it).
+# ---------------------------------------------------------------------------
+
+_KEYNESS_K, _KEYNESS_MIN = 10, 5
+
+
+def _oracle_chi2_keyness() -> str:
+    from ..operators.text import CHI2_OVERREP_SQL, chi2_milli_sql
+
+    return rf"""
+WITH tok AS (
+    SELECT d.lang AS g, LOWER(t.tok) AS token
+    FROM documents d,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+),
+counts AS (
+    SELECT g, token, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+),
+tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS t_tot FROM counts GROUP BY 1),
+gt AS (SELECT g, CAST(SUM(a) AS BIGINT) AS g_tot FROM counts GROUP BY 1),
+n AS (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM counts),
+f AS (
+    SELECT x.g, x.token, x.a AS a,
+           tt.t_tot - x.a AS b,
+           gt.g_tot - x.a AS c,
+           n.tot - tt.t_tot - gt.g_tot + x.a AS d
+    FROM counts x JOIN tt USING (token) JOIN gt USING (g) CROSS JOIN n
+),
+scored AS (
+    SELECT g, token, a, {chi2_milli_sql()} AS chi2_milli
+    FROM f
+    WHERE a >= {_KEYNESS_MIN} AND ({CHI2_OVERREP_SQL})
+)
+SELECT g AS lang, token, a AS n_in_group, chi2_milli,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY g ORDER BY chi2_milli DESC, token ASC
+       ) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_KEYNESS_K}
+"""
+
+
+@q("chi2_keyness_by_lang", _oracle_chi2_keyness())
+def chi2_keyness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 chi-square keyness terms per language
+    (operators/text.py:chi2_keyness): for each (lang, token) the 2x2
+    contingency table against the rest of the corpus, overrepresented
+    terms only, ranked by the milli-scaled BIGINT statistic so the
+    cross-engine ordering is ulp-proof. The chi-square arithmetic is
+    ONE shared expression string (chi2_milli_sql) interpolated into
+    both engines — pure rational IEEE ops, no POWER/LN. One corpus
+    scan: token/group/global totals all derive from the (lang, token)
+    count relation, whose exchange AQE reuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import chi2_keyness
+
+    return chi2_keyness(
+        docs, group_col="lang", k=_KEYNESS_K, min_count=_KEYNESS_MIN
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the quantization family's other workhorse
+# next to PQ (FAISS IndexScalarQuantizer QT_8bit): per-dimension
+# affine 8-bit grid from corpus min/max, no codebook training. Codes,
+# symmetric top-k, and recall-vs-exact, each fully SQL-replayed via
+# the SAME dialect-shared expression generators the Spark side uses.
+# ---------------------------------------------------------------------------
+
+_SQ_DIMS = 64
+
+
+def _sq_oracle_ctes() -> str:
+    from ..operators.similarity import sq_recon_scaled_sql
+
+    mm_cols = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i},"
+        f" MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(_SQ_DIMS)
+    )
+    st_cols = ", ".join(
+        f"(mx{i} - mn{i}) / 256.0 AS st{i}" for i in range(_SQ_DIMS)
+    )
+    recon = ", ".join(
+        sq_recon_scaled_sql(f"e.embedding[{i + 1}]", f"st.mn{i}", f"st.st{i}")
+        for i in range(_SQ_DIMS)
+    )
+    return f"""
+mm AS (
+    SELECT {mm_cols}
+    FROM embeddings WHERE LEN(embedding) = {_SQ_DIMS}
+),
+st AS (SELECT *, {st_cols} FROM mm),
+recon AS (
+    SELECT e.vec_id, [{recon}] AS r
+    FROM embeddings e CROSS JOIN st
+    WHERE LEN(e.embedding) = {_SQ_DIMS}
+)"""
+
+
+def _oracle_sq_codes() -> str:
+    from ..operators.similarity import sq_code_sql
+
+    mm_cols = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i},"
+        f" MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(_SQ_DIMS)
+    )
+    st_cols = ", ".join(
+        f"(mx{i} - mn{i}) / 256.0 AS st{i}" for i in range(_SQ_DIMS)
+    )
+    codes = ", ".join(
+        sq_code_sql(f"e.embedding[{i + 1}]", f"st.mn{i}", f"st.st{i}")
+        for i in range(_SQ_DIMS)
+    )
+    return f"""
+WITH mm AS (
+    SELECT {mm_cols}
+    FROM embeddings WHERE LEN(embedding) = {_SQ_DIMS}
+),
+st AS (SELECT *, {st_cols} FROM mm)
+SELECT e.vec_id AS id,
+       ARRAY_TO_STRING(
+           LIST_TRANSFORM([{codes}], x -> CAST(x AS VARCHAR)), ','
+       ) AS sq_code
+FROM embeddings e CROSS JOIN st
+WHERE LEN(e.embedding) = {_SQ_DIMS}
+"""
+
+
+@q("sq8_codes", _oracle_sq_codes())
+def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization encoding (operators/similarity.py:
+    sq_encode): each 64-dim float32 vector becomes 64 one-byte codes
+    on a per-dimension affine grid derived from corpus min/max — 4×
+    smaller than float32 with NO codebook training (the quantizer is
+    192 doubles folded into the plan as literals). The oracle
+    re-derives the grid from its own MIN/MAX aggregate and replays
+    the clamp/floor arithmetic through the SAME dialect-shared
+    expression string (sq_code_sql), so Spark's collected literals
+    are pinned bit-exact against SQL-computed parameters. Map-only
+    encode scan; the 1-row params aggregate is the only other job."""
+    from ..operators.similarity import sq_encode, sq_params
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, _maxs, steps = sq_params(emb, dims=_SQ_DIMS)
+    return sq_encode(emb, mins, steps)
+
+
+def _oracle_sq_topk() -> str:
+    return f"""
+WITH {_sq_oracle_ctes()},
+qr AS (SELECT vec_id AS query_id, r AS q FROM recon WHERE vec_id < 5),
+scored AS (
+    SELECT qr.query_id, c.vec_id AS doc_id,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, {_SQ_DIMS + 1}),
+               i -> (qr.q[i] - c.r[i]) * (qr.q[i] - c.r[i])
+           )) AS BIGINT) AS d
+    FROM recon c CROSS JOIN qr
+)
+SELECT query_id, rank, doc_id, d2 FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank,
+           CAST(d AS DOUBLE) / 1000000000000.0 AS d2
+    FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+@q("sq8_topk_sym", _oracle_sq_topk())
+def sq8_topk_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric SQ8 L2 top-10 (operators/similarity.py:sq_topk):
+    both sides reconstruct onto the 8-bit grid as 1e6-scaled BIGINTs
+    and the distance is the exact integer Σ(qr−cr)² — order-free, so
+    no partition layout can flip a rank. Corpus side is one map-only
+    scan (at scale: a decode of the stored 64-byte codes); queries
+    broadcast; per-query ranking is the l2_topk window."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import sq_params, sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, _maxs, steps = sq_params(emb, dims=_SQ_DIMS)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk(emb, queries, mins, steps, k=10)
+
+
+def _sq_l2_sql(q: str, v: str) -> str:
+    return " + ".join(
+        f"POWER(CAST({q}[{i + 1}] AS DOUBLE) - CAST({v}[{i + 1}] AS DOUBLE), 2)"
+        for i in range(_SQ_DIMS)
+    )
+
+
+def _oracle_sq_recall() -> str:
+    return f"""
+WITH {_sq_oracle_ctes()},
+qr AS (SELECT vec_id AS query_id, r AS q FROM recon WHERE vec_id < 5),
+approx AS (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT qr.query_id, c.vec_id AS doc_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                   RANGE(1, {_SQ_DIMS + 1}),
+                   i -> (qr.q[i] - c.r[i]) * (qr.q[i] - c.r[i])
+               )) AS BIGINT) AS d
+        FROM recon c CROSS JOIN qr
+    )
+),
+exact AS (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d ASC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               CAST(ROUND(({_sq_l2_sql('q.embedding', 'e.embedding')}) * 1e9)
+                    AS BIGINT) AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+        WHERE LEN(e.embedding) = {_SQ_DIMS}
+          AND LEN(q.embedding) = {_SQ_DIMS}
+    )
+)
+SELECT (SELECT COUNT(DISTINCT query_id) FROM exact WHERE rank <= 10)
+           AS n_queries,
+       10 AS k,
+       (SELECT COUNT(*) FROM exact WHERE rank <= 10) AS n_exact,
+       (SELECT COUNT(*) FROM exact e
+        JOIN approx a ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+        WHERE e.rank <= 10 AND a.rank <= 10) AS n_hits
+"""
+
+
+@q("sq8_recall", _oracle_sq_recall())
+def sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of symmetric SQ8 against exact brute-force L2 as a
+    one-row in-engine reduction — the pq_recall pattern for the
+    scalar quantizer: the oracle replays BOTH sides (grid derivation,
+    reconstruction, integer symmetric distance, exact L2), so the
+    recall number is deterministic and driver-hashed rather than a
+    pinned threshold."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import l2_topk, sq_params, sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, _maxs, steps = sq_params(emb, dims=_SQ_DIMS)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sq_topk(emb, queries, mins, steps, k=10)
+    exact = l2_topk(emb, queries, k=10, dims=_SQ_DIMS)
+    hits = exact.join(
+        approx.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    )
+    return (
+        exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select("n_queries", F.lit(10).alias("k"), "n_exact", "n_hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-level corpus overlap from MinHash signature unions — the
+# sketch-algebra trick (sig(A ∪ B) = elementwise-min) turned into the
+# corpus-composition audit, with the exact Jaccard twin in the same
+# row so every driver run re-measures the estimator against truth.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_source_overlap() -> str:
+    from .driver_queries import _MH_HASHES, _md5int16_sql
+
+    sig_cols = ", ".join(
+        f"MIN({_md5int16_sql('s', i)}) AS h{i}" for i in range(_MH_HASHES)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_HASHES)
+    )
+    return rf"""
+WITH t AS (
+    SELECT source AS g, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS w
+    FROM documents
+    WHERE LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) >= 3
+),
+dsh AS (
+    SELECT DISTINCT g, ARRAY_TO_STRING(w[i:i+2], ' ') AS s
+    FROM t, UNNEST(RANGE(1, LEN(w) - 1)) AS r(i)
+),
+sig AS (SELECT g, {sig_cols} FROM dsh GROUP BY g),
+sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY g),
+common AS (
+    SELECT a.g AS g_a, b.g AS g_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM dsh a JOIN dsh b ON a.s = b.s AND a.g < b.g
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT p.g_a, p.g_b, p.n_sh_a, p.n_sh_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST({matches} AS BIGINT) AS est_matches
+    FROM (SELECT a.g AS g_a, a.n_sh AS n_sh_a, b.g AS g_b, b.n_sh AS n_sh_b
+          FROM sizes a JOIN sizes b ON a.g < b.g) p
+    LEFT JOIN common c ON c.g_a = p.g_a AND c.g_b = p.g_b
+    JOIN sig sa ON sa.g = p.g_a
+    JOIN sig sb ON sb.g = p.g_b
+)
+SELECT g_a, g_b, n_sh_a, n_sh_b, n_common,
+       CAST((1000 * n_common) // (n_sh_a + n_sh_b - n_common) AS BIGINT)
+           AS exact_permille,
+       est_matches,
+       CAST((1000 * est_matches) // {_MH_HASHES} AS BIGINT) AS est_permille
+FROM m
+"""
+
+
+@q("source_overlap_minhash", _oracle_source_overlap())
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level shingle overlap estimated from MinHash
+    signature UNIONS (operators/dedup.py:group_minhash_overlap, run
+    here with the md5-portable hash family minhash_lsh_oracle
+    established): sig(A ∪ B) is the elementwise MIN of member
+    signatures, so each source's signature is one (source)-keyed MIN
+    aggregate — groups × 8 rows after map-side combine — and
+    J(A, B) ≈ matching components / 8. The same row carries the exact
+    distinct-shingle Jaccard (shingle-keyed equi-join), so the driver
+    hash re-audits the estimator against ground truth every round;
+    at 100 TB the exact twin is the part you drop and the sketch is
+    the plan that survives."""
+    from .driver_queries import _MH_HASHES, _md5int16_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import group_minhash_overlap
+
+    hash_fns = [
+        (lambda c, i=i: _md5int16_col(c, i)) for i in range(_MH_HASHES)
+    ]
+    return group_minhash_overlap(
+        docs, group_col="source", shingle_k=3, hash_fns=hash_fns
+    )

@@ -683,3 +683,136 @@ def test_score_percentiles_semantics(spark):
         for r in score_percentiles(df, "score").collect()
     }
     assert got == {1: 0, 2: 0, 3: 500, 4: 750, 5: 1000, 6: 0}
+
+
+# ---------------------------------------------------------------------------
+# chi2_keyness — invariants beyond the oracle hash
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_keyness_only_overrepresented_and_ordered(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        chi2_keyness,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = chi2_keyness(docs, group_col="lang", k=10, min_count=5).collect()
+    assert out, "keyness produced no rows"
+    by_group: dict = {}
+    for r in out:
+        assert r["n_in_group"] >= 5
+        assert r["chi2_milli"] >= 0
+        by_group.setdefault(r["lang"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        # ordering: chi2 non-increasing with rank
+        vals = [r["chi2_milli"] for r in rows]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_chi2_keyness_exclusive_token_tops_its_group(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        chi2_keyness,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "A", "zebra common filler words here"))
+        rows.append((100 + i, "B", "common filler words here also"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = chi2_keyness(docs, group_col="lang", k=3, min_count=5)
+    top_a = out.filter("lang = 'A' AND rk = 1").first()
+    assert top_a["token"] == "zebra"  # exclusive to A => most distinctive
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_grid_endpoints_and_degenerate_dim(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        sq_encode,
+        sq_params,
+    )
+
+    # dim0 spans [0, 1]; dim1 is constant (degenerate step=0)
+    data = [
+        (0, [0.0, 7.0]),
+        (1, [0.5, 7.0]),
+        (2, [1.0, 7.0]),
+    ]
+    emb = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>"
+    )
+    mins, maxs, steps = sq_params(emb, dims=2)
+    assert mins[0] == 0.0 and maxs[0] == 1.0
+    assert steps[1] == 0.0
+    codes = {
+        r["id"]: r["sq_code"].split(",")
+        for r in sq_encode(emb, mins, steps).collect()
+    }
+    assert codes[0][0] == "0"  # min of the grid
+    assert codes[2][0] == "255"  # max clamps to the top cell
+    assert 0 <= int(codes[1][0]) <= 255
+    assert {c[1] for c in codes.values()} == {"0"}  # degenerate dim -> 0
+
+
+def test_sq8_recall_is_high_at_8_bits(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        l2_topk,
+        sq_params,
+        sq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    mins, _maxs, steps = sq_params(emb, dims=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = sq_topk(emb, queries, mins, steps, k=10)
+    exact = l2_topk(emb, queries, k=10, dims=64)
+    hits = exact.join(
+        approx.select("query_id", "doc_id"),
+        ["query_id", "doc_id"],
+        "left_semi",
+    ).count()
+    total = exact.count()
+    assert total == 50
+    # 8-bit per-dim symmetric quantization on 64 dims is near-exact
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+# ---------------------------------------------------------------------------
+# group_minhash_overlap (default xxhash family; md5 family is pinned
+# by the source_overlap_minhash oracle row)
+# ---------------------------------------------------------------------------
+
+
+def test_group_overlap_identical_and_disjoint(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.dedup import (
+        group_minhash_overlap,
+    )
+
+    rows = []
+    for i in range(30):
+        t_a = f"alpha beta gamma delta epsilon token{i} zeta eta"
+        rows.append((i, "g1", t_a))
+        rows.append((1000 + i, "g2", t_a))  # g2 == g1 exactly
+        rows.append(
+            (2000 + i, "g3", f"uno dos tres cuatro cinco w{i} seis siete")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in group_minhash_overlap(docs, group_col="source").collect()
+    }
+    same = out[("g1", "g2")]
+    assert same["exact_permille"] == 1000
+    assert same["est_matches"] == 8 and same["est_permille"] == 1000
+    disj = out[("g1", "g3")]
+    assert disj["n_common"] == 0 and disj["exact_permille"] == 0
+    assert disj["est_matches"] == 0  # 64-bit hashes: collisions ~0
