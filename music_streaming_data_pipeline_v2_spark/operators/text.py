@@ -1553,8 +1553,14 @@ def chi2_keyness(
     frequency top-k); this query ranks by DISTINCTIVENESS instead."""
     from pyspark.sql import Window
 
+    # The upfront null-group filter is ALSO a plan-shape requirement:
+    # without it the downstream join pushes IsNotNull(group) into only
+    # two of the four count-relation subtrees, splitting their
+    # exchange canonicalization — 2 corpus scans instead of 1 scan +
+    # 3 ReusedExchange (observed in the sf0.01 final plan).
     counts = (
-        docs.select(
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
             F.col(group_col).alias("g"),
             F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
         )

@@ -1182,6 +1182,7 @@ WITH tok AS (
     SELECT d.lang AS g, LOWER(t.tok) AS token
     FROM documents d,
          UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE d.lang IS NOT NULL
 ),
 counts AS (
     SELECT g, token, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2

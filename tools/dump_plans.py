@@ -233,6 +233,20 @@ def main() -> None:
         "curation_funnel_by_lang": "the clustering router's 1-row "
             "cost-probe cross join (dedup_clusters adjudication); "
             "funnel aggregates are plain grouped counts",
+        "chi2_keyness_by_lang": "the broadcast 1-row global "
+            "token-total relation cross-joined onto the vocab-sized "
+            "contingency relation — constant-size regardless of "
+            "corpus",
+        "sq8_topk_sym": "the broadcast 5-row reconstructed query set "
+            "× corpus cross join — the ann_cosine_topk/pq exact-twin "
+            "shape, query-side bounded",
+        "sq8_recall": "both ranking sides cross-join the broadcast "
+            "5-row query set × corpus (approx + exact ground truth), "
+            "then 1-row count relations combine — all bounded by the "
+            "query list",
+        "source_overlap_minhash": "the |groups|-row size relation × "
+            "its broadcast twin (group-pair spine) — bounded metadata "
+            "(sources², ~190 pairs), never shingles or documents",
         }
         if s["bad"]:
             if name in intended_nlj:
