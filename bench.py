@@ -149,6 +149,8 @@ HEADLINE = [
     "sq8_topk_sym",
     "sq8_recall",
     "source_overlap_minhash",
+    "ks_drift_by_source",
+    "ngram_novelty_scores",
 ]
 
 

@@ -133,3 +133,81 @@ def psi_from_cells(cells: DataFrame, smoothing: float = 1.0) -> DataFrame:
             (F.col("_psi_i").cast("double") / F.lit(1e9)).alias("psi"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic of
+    ``value_col``'s distribution against the REST of the input — the
+    nonparametric sibling of `psi_drift` (no binning choice, no
+    smoothing constant): ``KS = max_v |F_g(v) − F_rest(v)|``.
+
+    Exactness: the CDF difference is kept as the cross-multiplied
+    INTEGER numerator ``|cum_g·n_rest − cum_rest·n_g|`` — no division
+    until the final permille, so the max and the reported statistic
+    are exact BIGINT arithmetic on any engine and any partition order.
+    (Overflow bound: exact while ``n_g·n_rest < 2⁶³`` ≈ 9.2e18 — fine
+    to ~3e9 rows per side; past that, widen to DOUBLE and accept ulp
+    ties, or pre-aggregate values into coarser distinct levels.)
+
+    Returns ``(group_col, n_g, n_rest, ks_num, ks_permille)``.
+
+    Scale: one input scan into a (group, value) count relation;
+    the value spine × group grid is |groups| × |distinct values| —
+    the cumulative windows run over THAT bounded relation (the
+    quantiles aggregate-before-window rule), never input rows. For
+    continuous features, pre-bucket the value (the caller picks the
+    resolution) to bound the distinct-value count."""
+    from pyspark.sql import Window
+
+    cnts = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("c_g"))
+    )
+    allv = cnts.groupBy("v").agg(F.sum("c_g").alias("c_all"))
+    groups = cnts.groupBy("g").agg(F.sum("c_g").alias("n_g"))
+    total = cnts.agg(F.sum("c_g").alias("n_total"))
+    spine = allv.crossJoin(F.broadcast(groups)).crossJoin(
+        F.broadcast(total)
+    )
+    grid = (
+        spine.join(cnts, ["g", "v"], "left")
+        .withColumn("c_g", F.coalesce("c_g", F.lit(0)))
+        .withColumn("c_rest", F.col("c_all") - F.col("c_g"))
+        .withColumn("n_rest", F.col("n_total") - F.col("n_g"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = grid.select(
+        "g",
+        "n_g",
+        "n_rest",
+        F.abs(
+            F.sum("c_g").over(w) * F.col("n_rest")
+            - F.sum("c_rest").over(w) * F.col("n_g")
+        ).alias("_num"),
+    )
+    return (
+        scored.groupBy("g", "n_g", "n_rest")
+        .agg(F.max("_num").alias("ks_num"))
+        .select(
+            F.col("g").alias(group_col),
+            "n_g",
+            "n_rest",
+            "ks_num",
+            F.expr("(1000 * ks_num) DIV (n_g * n_rest)").alias(
+                "ks_permille"
+            ),
+        )
+    )

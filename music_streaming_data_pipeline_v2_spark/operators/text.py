@@ -1600,3 +1600,49 @@ def chi2_keyness(
             "rk",
         )
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    inverse view of `ngram_contamination` (memorization / forgetting
+    audits ask "how much of this document is new text", e.g. the
+    novel-n-gram fraction used when auditing generated text against
+    training data, McCoy et al. 2023 "How much do language models
+    copy"): for each test document, the fraction of its distinct word
+    n-grams that appear NOWHERE in the training corpus.
+
+    Returns ``(doc_id, n_grams, n_seen, novelty_permille)`` for every
+    test document that has at least one n-gram; the permille is exact
+    integer arithmetic.
+
+    Scale: the training side collapses to its DISTINCT gram inventory
+    (no doc identity — a strictly smaller shuffle than
+    ngram_contamination's postings); the join is gram-keyed. Total-
+    and seen-counts are per-doc aggregates of the same test postings
+    relation (exchange reused)."""
+    tg = (
+        word_ngram_postings(train, n, text_col, id_col)
+        .select("gram")
+        .dropDuplicates(["gram"])
+    )
+    sg = word_ngram_postings(test, n, text_col, id_col)
+    tot = sg.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    seen = (
+        sg.join(tg, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_seen"))
+    )
+    return (
+        tot.join(seen, id_col, "left")
+        .withColumn("n_seen", F.coalesce("n_seen", F.lit(0)))
+        .withColumn(
+            "novelty_permille",
+            F.expr("(1000 * (n_grams - n_seen)) DIV n_grams"),
+        )
+    )

@@ -3313,6 +3313,8 @@ _CHECK_FIRST = [
     "sq8_topk_sym",
     "sq8_recall",
     "source_overlap_minhash",
+    "ks_drift_by_source",
+    "ngram_novelty_scores",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,12 +3327,11 @@ _CHECK_FIRST = [
     "brand_basket_pairs",
     "cdc_latest_state",
     "click_purchase_funnel",
-    "click_purchase_funnel_native",
-    "corpus_curation",
     "daily_kpis",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,
     #     doc_repetition_filter,

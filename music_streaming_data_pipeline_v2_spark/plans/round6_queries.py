@@ -1521,3 +1521,116 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_minhash_overlap(
         docs, group_col="source", shingle_k=3, hash_fns=hash_fns
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov drift — the nonparametric sibling of the PSI
+# audit: no binning choice, no smoothing constant, exact integer
+# arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+_ORACLE_KS = """
+WITH cnts AS (
+    SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c_g
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    GROUP BY 1, 2
+),
+allv AS (SELECT v, CAST(SUM(c_g) AS BIGINT) AS c_all FROM cnts GROUP BY 1),
+groups AS (SELECT g, CAST(SUM(c_g) AS BIGINT) AS n_g FROM cnts GROUP BY 1),
+total AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n_total FROM cnts),
+grid AS (
+    SELECT s.g, s.v, s.n_g, s.n_total - s.n_g AS n_rest,
+           COALESCE(c.c_g, 0) AS c_g,
+           s.c_all - COALESCE(c.c_g, 0) AS c_rest
+    FROM (SELECT a.v, a.c_all, gr.g, gr.n_g, t.n_total
+          FROM allv a CROSS JOIN groups gr CROSS JOIN total t) s
+    LEFT JOIN cnts c ON c.g = s.g AND c.v = s.v
+),
+scored AS (
+    SELECT g, n_g, n_rest,
+           ABS(SUM(c_g) OVER w * n_rest - SUM(c_rest) OVER w * n_g) AS num
+    FROM grid
+    WINDOW w AS (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g AS source, n_g, n_rest,
+       CAST(MAX(num) AS BIGINT) AS ks_num,
+       CAST((1000 * MAX(num)) // (n_g * n_rest) AS BIGINT) AS ks_permille
+FROM scored
+GROUP BY g, n_g, n_rest
+"""
+
+
+@q("ks_drift_by_source", _ORACLE_KS)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of the document-length
+    distribution, each source vs the rest of the corpus
+    (operators/drift.py:ks_drift) — the nonparametric sibling of
+    `source_drift_psi`: no bin edges to pick, no smoothing constant,
+    and the statistic is EXACT — the CDF gap is kept as the
+    cross-multiplied integer numerator |cum_g·n_rest − cum_rest·n_g|,
+    divided only once into the final permille. The cumulative windows
+    run over the |sources| × |distinct lengths| grid (the quantiles
+    aggregate-before-window rule), never document rows."""
+    from ..operators.drift import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — the inverse view of decontamination: how much of
+# each held-out document is text the training corpus has never seen.
+# ---------------------------------------------------------------------------
+
+_ORACLE_NOVELTY = f"""
+WITH b AS (
+    SELECT doc_id, text, {{bucket}} AS bkt FROM documents
+),
+g AS (
+    SELECT doc_id, bkt,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN({{w}}) - 3),
+               i -> ARRAY_TO_STRING(({{w}})[i : i + 4], ' ')
+           )) AS grams
+    FROM b WHERE LEN({{w}}) >= 5
+),
+tg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE bkt < 204),
+sg AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE bkt >= 230),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY 1),
+seen AS (
+    SELECT sg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+    FROM sg JOIN tg USING (gram) GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen,
+       CAST((1000 * (t.n_grams - COALESCE(s.n_seen, 0))) // t.n_grams
+            AS BIGINT) AS novelty_permille
+FROM tot t LEFT JOIN seen s USING (doc_id)
+"""
+
+
+def _oracle_novelty() -> str:
+    from .oracle_shared import _BUCKET, _W
+
+    return _ORACLE_NOVELTY.format(bucket=_BUCKET, w=_W)
+
+
+@q("ngram_novelty_scores", _oracle_novelty())
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty of the test split against the train
+    split (operators/text.py:ngram_novelty) — the inverse view of
+    `ngram_decontamination`: the permille of each held-out document's
+    distinct 5-grams that appear nowhere in training text (the
+    memorization-audit statistic). Train side collapses to its
+    distinct gram inventory before the gram-keyed join (smaller
+    shuffle than the decontamination postings — no train doc
+    identity); exact integer permille."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import ngram_novelty
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return ngram_novelty(docs.filter(b < 204), docs.filter(b >= 230), n=5)

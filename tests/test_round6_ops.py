@@ -816,3 +816,53 @@ def test_group_overlap_identical_and_disjoint(spark):
     disj = out[("g1", "g3")]
     assert disj["n_common"] == 0 and disj["exact_permille"] == 0
     assert disj["est_matches"] == 0  # 64-bit hashes: collisions ~0
+
+
+# ---------------------------------------------------------------------------
+# ks_drift — textbook endpoints the oracle hash can't state
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.drift import (
+        ks_drift,
+    )
+
+    same = [("a", v) for v in range(10)] + [("b", v) for v in range(10)]
+    df = spark.createDataFrame(same, "g string, v long")
+    out = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    assert out["a"]["ks_permille"] == 0  # identical distributions
+    assert out["a"]["ks_num"] == 0
+
+    disj = [("a", v) for v in range(10)] + [("b", 100 + v) for v in range(10)]
+    df2 = spark.createDataFrame(disj, "g string, v long")
+    out2 = {r["g"]: r for r in ks_drift(df2, "g", "v").collect()}
+    assert out2["a"]["ks_permille"] == 1000  # disjoint supports => KS=1
+    assert out2["b"]["ks_permille"] == 1000
+    assert out2["a"]["n_g"] == 10 and out2["a"]["n_rest"] == 10
+
+
+def test_ngram_novelty_endpoints(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "a b c d e f g"),  # verbatim copy -> novelty 0
+            (11, "x y z w v u t"),  # fully new -> novelty 1000
+            (12, "a b c d e z z"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in ngram_novelty(train, test, n=5).collect()
+    }
+    assert out[10]["novelty_permille"] == 0
+    assert out[10]["n_seen"] == out[10]["n_grams"] == 3
+    assert out[11]["novelty_permille"] == 1000 and out[11]["n_seen"] == 0
+    assert out[12]["n_grams"] == 3 and out[12]["n_seen"] == 1
+    assert out[12]["novelty_permille"] == 666
