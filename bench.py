@@ -151,6 +151,7 @@ HEADLINE = [
     "source_overlap_minhash",
     "ks_drift_by_source",
     "ngram_novelty_scores",
+    "embedding_outlier_gate",
 ]
 
 

@@ -1286,3 +1286,67 @@ def sq_topk(
             (F.col("_d").cast("double") / F.lit(scale2)).alias("d2"),
         )
     )
+
+
+def embedding_outlier_gate(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    keep_permille: int = 900,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier pruning — the SSL-prefilter curation
+    step (used by DataComp-style pipelines and the D4 recipe ahead of
+    SemDeDup): assign each vector to its nearest centroid, score it by
+    distance to that centroid, and DROP the farthest tail WITHIN each
+    cell (per-cell percentiles, because cell radii differ — the same
+    within-group calibration argument as score_percentiles).
+
+    Returns ``(id, centroid_id, d2_scaled, pctl_permille, keep)`` with
+    ``keep = pctl_permille <= keep_permille`` (900 drops the farthest
+    ~10% of each cell). ``d2_scaled`` is the 1e9-scaled BIGINT L2² to
+    the assigned centroid, so ranking and the percentile arithmetic
+    are exact integers end to end.
+
+    Scale: assignment is the broadcast-codebook argmax scan
+    (assign_centroid); the distance joins a |cells|-row broadcast
+    centroid relation; percentiles run over per-(cell, distance)
+    counts (aggregate-before-window), never vector rows. Ragged
+    vectors are excluded upfront (no distance is defined for them)."""
+    from ..operators.quality import score_percentiles
+
+    dims = len(centroids[0])
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent = corpus.sparkSession.createDataFrame(
+        cent_rows, "centroid_id int, _cv array<double>"
+    )
+    base = corpus.filter(F.expr(f"SIZE({vec_col}) = {dims}")).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    assigned = assign_centroid(base, centroids, vec_col="_v")
+    d2 = " + ".join(
+        f"POWER(CAST(_v[{i}] AS DOUBLE) - _cv[{i}], 2)" for i in range(dims)
+    )
+    scored = (
+        assigned.join(F.broadcast(cent), "centroid_id")
+        .select(
+            "_id",
+            "centroid_id",
+            F.expr(f"CAST(ROUND(({d2}) * 1e9) AS BIGINT)").alias(
+                "d2_scaled"
+            ),
+        )
+        # two consumers inside score_percentiles (the count aggregate
+        # and the join-back) would each re-run the codebook-argmax +
+        # distance scan; the checkpointed relation is 3 scalars/row —
+        # the narrow-materialization trade curation_funnel proved
+        .localCheckpoint(eager=False)
+    )
+    pct = score_percentiles(scored, "d2_scaled", "centroid_id", "_id")
+    return pct.select(
+        F.col("_id").alias(id_col),
+        "centroid_id",
+        "d2_scaled",
+        "pctl_permille",
+        (F.col("pctl_permille") <= keep_permille).alias("keep"),
+    )

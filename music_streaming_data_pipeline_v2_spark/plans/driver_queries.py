@@ -3315,6 +3315,7 @@ _CHECK_FIRST = [
     "source_overlap_minhash",
     "ks_drift_by_source",
     "ngram_novelty_scores",
+    "embedding_outlier_gate",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,13 +3326,12 @@ _CHECK_FIRST = [
     "bi_nation_volume",
     "bigram_collocations",
     "brand_basket_pairs",
-    "cdc_latest_state",
     "click_purchase_funnel",
     "daily_kpis",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     click_purchase_funnel_native, corpus_curation,
+    #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,
     #     doc_repetition_filter,

@@ -1634,3 +1634,83 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
     return ngram_novelty(docs.filter(b < 204), docs.filter(b >= 230), n=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier gate — the SSL-prefilter curation step
+# (distance-to-assigned-centroid percentile pruning, per cell).
+# ---------------------------------------------------------------------------
+
+_GATE_CELLS, _GATE_KEEP = 8, 900
+
+
+def _oracle_outlier_gate() -> str:
+    from .driver_queries import cos_sql
+
+    d2 = " + ".join(
+        f"POWER(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(s.cv[{i + 1}] AS DOUBLE), 2)"
+        for i in range(_SQ_DIMS)
+    )
+    return f"""
+WITH seeds AS (
+    SELECT embedding AS cv,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS cid
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_GATE_CELLS}
+),
+cells AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos_sql('e.embedding', 's.cv')} DESC,
+                            s.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+        WHERE LEN(e.embedding) = {_SQ_DIMS}
+    ) WHERE rn = 1
+),
+d AS (
+    SELECT c.vec_id, c.cid AS centroid_id,
+           CAST(ROUND(({d2}) * 1e9) AS BIGINT) AS d2_scaled
+    FROM cells c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN seeds s ON s.cid = c.cid
+),
+p AS (
+    SELECT vec_id, centroid_id, d2_scaled,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY centroid_id) > 1
+                     THEN (1000 * (RANK() OVER (
+                               PARTITION BY centroid_id
+                               ORDER BY d2_scaled) - 1))
+                          // (COUNT(*) OVER (PARTITION BY centroid_id) - 1)
+                     ELSE 0 END AS BIGINT) AS pctl_permille
+    FROM d
+)
+SELECT vec_id, centroid_id, d2_scaled, pctl_permille,
+       pctl_permille <= {_GATE_KEEP} AS keep
+FROM p
+"""
+
+
+@q("embedding_outlier_gate", _oracle_outlier_gate())
+def embedding_outlier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning (operators/similarity.py:
+    embedding_outlier_gate — the DataComp/D4-style SSL prefilter run
+    ahead of SemDeDup): assign to the md5-seed codebook
+    (assign_centroid's dot/|c| argmax, oracle-ranked by full cosine —
+    the proven equivalence), score by 1e9-scaled BIGINT L2² to the
+    assigned centroid, drop the farthest 10% WITHIN each cell
+    (per-cell percentile via the aggregate-before-window
+    score_percentiles, because cell radii differ). Everything the
+    driver hashes — assignment, distance, percentile, keep — is
+    integer-exact."""
+    from ..operators.similarity import (
+        embedding_outlier_gate,
+        seed_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_vectors(emb, _GATE_CELLS)
+    return embedding_outlier_gate(emb, cents, keep_permille=_GATE_KEEP)

@@ -866,3 +866,25 @@ def test_ngram_novelty_endpoints(spark):
     assert out[11]["novelty_permille"] == 1000 and out[11]["n_seen"] == 0
     assert out[12]["n_grams"] == 3 and out[12]["n_seen"] == 1
     assert out[12]["novelty_permille"] == 666
+
+
+def test_embedding_outlier_gate_drops_far_tail(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.similarity import (
+        embedding_outlier_gate,
+    )
+
+    # one tight cluster at the origin-ish corner, one planted outlier
+    rows = [(i, [0.01 * i] + [0.0] * 63) for i in range(20)]
+    rows.append((99, [50.0] + [0.0] * 63))  # far outlier, same cell
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0] * 64]
+    out = {
+        r["vec_id"]: r
+        for r in embedding_outlier_gate(
+            emb, cents, keep_permille=900
+        ).collect()
+    }
+    assert out[99]["pctl_permille"] == 1000 and not out[99]["keep"]
+    assert out[0]["pctl_permille"] == 0 and out[0]["keep"]
+    kept = sum(1 for r in out.values() if r["keep"])
+    assert kept < len(out)  # the gate actually bites
