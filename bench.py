@@ -503,6 +503,44 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         name = "streaming_incremental_psi"
         timings[name] = min(elapsed, timings.get(name, elapsed))
 
+        # --- incremental per-source MinHash signatures (corpus
+        # overlap matrix), reusing the PSI waves' (doc, source)
+        # staging; one pair-matrix read over the merged state per
+        # drain
+        from music_streaming_data_pipeline_v2_spark.streaming.overlap_ingest import (
+            query_overlap,
+            run_incremental_overlap,
+        )
+
+        ov_in = os.path.join(work, "overlap", "in")
+        os.makedirs(ov_in, exist_ok=True)
+        owaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "overlap", "staged", f"w{wnum}")
+            pdocs.filter(key == wnum).repartition(4).write.mode(
+                "overwrite"
+            ).json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "overlap", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            owaves.append(files)
+        wdiro = os.path.join(work, "overlap", "work")
+        t0 = time.monotonic()
+        for files in owaves:
+            for f in files:
+                shutil.move(f, ov_in)
+            run_incremental_overlap(spark, ov_in, wdiro)
+            query_overlap(spark, wdiro).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_overlap"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
         # --- incremental winnow (MOSS) overlap index over the same
         # doc waves, plus one cross-batch pair read per drain
         from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (

@@ -925,6 +925,81 @@ def containment_pairs(
 # Group-level corpus overlap from MinHash signature unions
 # ---------------------------------------------------------------------------
 
+def default_overlap_hashes(n: int = 8) -> list:
+    """The production xxhash64 hash family for group signatures —
+    seed-indexed ``Column -> Column`` factories. The oracled query
+    swaps in the md5-portable family; the incremental ingest twin
+    (streaming/overlap_ingest.py) uses THIS family on both sides of
+    its equivalence pin."""
+    return [(lambda c, i=i: F.xxhash64(F.lit(i), c)) for i in range(n)]
+
+
+def group_signatures(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    hash_fns: list | None = None,
+) -> DataFrame:
+    """Per-group MinHash signature over the UNION of the group's
+    shingle sets: sig(∪ docs) is the elementwise MIN of shingle
+    hashes, so the signature is one (group)-keyed MIN aggregate —
+    groups × n_hashes values after map-side combine. Returns
+    ``(g, _h0.._h{n-1})``. MIN is associative, commutative, and
+    idempotent, which is what makes the signature incrementally
+    maintainable (streaming/overlap_ingest.py merges per-batch
+    signatures by elementwise MIN) and replay-safe."""
+    if hash_fns is None:
+        hash_fns = default_overlap_hashes()
+    n = len(hash_fns)
+    lowered = F.lower(F.col(text_col))
+    dsh = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(word_shingles(lowered, shingle_k)).alias("s"),
+        )
+        .dropDuplicates(["g", "s"])
+    )
+    hashed = dsh.select(
+        "g", *[hash_fns[i](F.col("s")).alias(f"_h{i}") for i in range(n)]
+    )
+    return hashed.groupBy("g").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n)]
+    )
+
+
+def signature_overlap_pairs(sig: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """Pairwise Jaccard estimates from per-group signatures:
+    ``(g_a, g_b, est_matches, est_permille)`` for every unordered
+    group pair, J(A, B) ≈ matching components / n_hashes. The pair
+    spine is a bounded-metadata cross join over the group list. THE
+    shared core of the batch audit (group_minhash_overlap) and the
+    ingest-state twin (streaming/overlap_ingest.py:query_overlap) —
+    one estimator, so the incremental path cannot drift from the
+    oracled batch arithmetic."""
+    sig_a = sig.select(
+        F.col("g").alias("g_a"),
+        *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(n_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("g").alias("g_b"),
+        *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(n_hashes)],
+    )
+    est = None
+    for i in range(n_hashes):
+        term = (F.col(f"_ha{i}") == F.col(f"_hb{i}")).cast("long")
+        est = term if est is None else est + term
+    return (
+        sig_a.crossJoin(F.broadcast(sig_b))
+        .filter(F.col("g_a") < F.col("g_b"))
+        .withColumn("est_matches", est)
+        .withColumn(
+            "est_permille", F.expr(f"(1000 * est_matches) DIV {n_hashes}")
+        )
+        .select("g_a", "g_b", "est_matches", "est_permille")
+    )
+
+
 def group_minhash_overlap(
     docs: DataFrame,
     group_col: str = "source",
@@ -937,9 +1012,9 @@ def group_minhash_overlap(
     languages, snapshots) estimated from MinHash signature unions —
     the corpus-composition audit run before mixing sources: a MinHash
     signature of a UNION of sets is the elementwise MIN of the
-    members' signatures, so per-group signatures come straight from a
-    (group)-keyed MIN aggregate over shingle hashes, and
-    J(A, B) ≈ matching components / n_hashes.
+    members' signatures (group_signatures), and
+    J(A, B) ≈ matching components / n_hashes
+    (signature_overlap_pairs — the shared estimator core).
 
     Returns one row per unordered group pair ``(g_a, g_b)`` with
     ``n_sh_a/n_sh_b`` (distinct shingles), ``est_matches`` /
@@ -955,12 +1030,15 @@ def group_minhash_overlap(
     bounded-metadata cross join over the group list. The exact twin is
     a shingle-keyed equi-join (the same profile the dedup family
     already pays) and is the part you drop at 100 TB — the estimate
-    IS the scale path."""
-    n = len(hash_fns) if hash_fns is not None else 8
+    IS the scale path (and, being a pure MIN-merge, the part that
+    stays incrementally maintainable at ingest —
+    streaming/overlap_ingest.py). Persisting the shared distinct-
+    shingle relation was probed and rejected at sf0.1 (5.27 s vs
+    4.38 s: materialization costs more than the exchange-reused
+    scans)."""
     if hash_fns is None:
-        hash_fns = [
-            (lambda c, i=i: F.xxhash64(F.lit(i), c)) for i in range(n)
-        ]
+        hash_fns = default_overlap_hashes()
+    n = len(hash_fns)
     lowered = F.lower(F.col(text_col))
     dsh = (
         docs.select(
@@ -975,8 +1053,9 @@ def group_minhash_overlap(
     sig = hashed.groupBy("g").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n)]
     )
+    est = signature_overlap_pairs(sig, n)
     sizes = dsh.groupBy("g").agg(F.count("*").cast("long").alias("n_sh"))
-    pairs = (
+    out = (
         sizes.select(F.col("g").alias("g_a"), F.col("n_sh").alias("n_sh_a"))
         .crossJoin(
             F.broadcast(
@@ -986,26 +1065,7 @@ def group_minhash_overlap(
             )
         )
         .filter(F.col("g_a") < F.col("g_b"))
-    )
-    sig_a = sig.select(
-        F.col("g").alias("g_a"),
-        *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(n)],
-    )
-    sig_b = sig.select(
-        F.col("g").alias("g_b"),
-        *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(n)],
-    )
-    est = None
-    for i in range(n):
-        term = (F.col(f"_ha{i}") == F.col(f"_hb{i}")).cast("long")
-        est = term if est is None else est + term
-    out = (
-        pairs.join(F.broadcast(sig_a), "g_a")
-        .join(F.broadcast(sig_b), "g_b")
-        .withColumn("est_matches", est)
-        .withColumn(
-            "est_permille", F.expr(f"(1000 * est_matches) DIV {n}")
-        )
+        .join(est, ["g_a", "g_b"])
     )
     if with_exact:
         a = dsh.select(F.col("g").alias("g_a"), "s")

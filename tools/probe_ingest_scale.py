@@ -90,6 +90,9 @@ def main() -> None:
     from music_streaming_data_pipeline_v2_spark.streaming.hll_ingest import (
         run_incremental_hll,
     )
+    from music_streaming_data_pipeline_v2_spark.streaming.overlap_ingest import (
+        run_incremental_overlap,
+    )
     from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (
         run_incremental_winnow,
     )
@@ -126,6 +129,11 @@ def main() -> None:
             ),
             ("winnow", dt, run_incremental_winnow),
             ("sketch", dt, run_incremental_sketch),
+            (
+                "overlap",
+                docs.select("doc_id", "text", "source").localCheckpoint(),
+                run_incremental_overlap,
+            ),
             (
                 "hll",
                 docs.select(
