@@ -152,6 +152,7 @@ HEADLINE = [
     "ks_drift_by_source",
     "ngram_novelty_scores",
     "embedding_outlier_gate",
+    "source_token_overlap_hll",
 ]
 
 

@@ -400,3 +400,73 @@ def hll_distinct(
     ``hll_registers`` → ``hll_estimate``."""
     gc = list(group_cols or [])
     return hll_estimate(hll_registers(df, col, gc), gc)
+
+
+def hll_group_overlap(
+    df: DataFrame, group_col: str, col: str
+) -> DataFrame:
+    """Pairwise distinct-value overlap between groups via HLL register
+    algebra — the CARDINALITY complement of the MinHash overlap audit
+    (dedup.py:group_minhash_overlap estimates Jaccard; this estimates
+    |A|, |B|, |A∪B| and, by inclusion–exclusion, |A∩B|): HLL registers
+    are max-mergeable, so the union sketch of any group pair is the
+    bucket-wise MAX of the two register relations — no rescan, pure
+    sketch algebra (Flajolet et al. 2007 §4: the union estimator is
+    exactly the estimator of the merged sketch).
+
+    Returns ``(g_a, g_b, est_a, est_b, est_union, est_intersection)``
+    per unordered group pair. ``est_intersection = est_a + est_b −
+    est_union`` inherits both sketches' error and can go slightly
+    negative for disjoint groups — that is the standard estimator's
+    behavior, report it raw (clamping would hide the error bar).
+
+    Scale: ONE corpus scan into the (group, bucket) register relation
+    (≤ groups × 256 rows after map-side combine, lazily checkpointed —
+    four consumers would otherwise re-scan); the pair-union relation
+    is ≤ pairs × 256 rows of bounded metadata; every estimate is the
+    shared hll_estimate arithmetic."""
+    regs = hll_registers(df, col, [group_col]).localCheckpoint(
+        eager=False
+    )
+    g = group_col
+    est = hll_estimate(regs, [g])
+    groups = regs.select(g).distinct()
+    pairs = (
+        groups.select(F.col(g).alias("g_a"))
+        .crossJoin(F.broadcast(groups.select(F.col(g).alias("g_b"))))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    ra = pairs.join(
+        regs.select(F.col(g).alias("g_a"), "bucket", "rho_max"), "g_a"
+    )
+    rb = pairs.join(
+        regs.select(F.col(g).alias("g_b"), "bucket", "rho_max"), "g_b"
+    )
+    union_regs = (
+        ra.unionByName(rb)
+        .groupBy("g_a", "g_b", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    u = hll_estimate(union_regs, ["g_a", "g_b"]).select(
+        "g_a", "g_b", F.col("approx_count").alias("est_union")
+    )
+    ea = est.select(
+        F.col(g).alias("g_a"), F.col("approx_count").alias("est_a")
+    )
+    eb = est.select(
+        F.col(g).alias("g_b"), F.col("approx_count").alias("est_b")
+    )
+    return (
+        u.join(F.broadcast(ea), "g_a")
+        .join(F.broadcast(eb), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )

@@ -3316,6 +3316,7 @@ _CHECK_FIRST = [
     "ks_drift_by_source",
     "ngram_novelty_scores",
     "embedding_outlier_gate",
+    "source_token_overlap_hll",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,12 +3326,12 @@ _CHECK_FIRST = [
     #       are r4/r5-green) + simhash_oracle
     "bi_nation_volume",
     "bigram_collocations",
-    "brand_basket_pairs",
     "click_purchase_funnel",
     "daily_kpis",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     brand_basket_pairs,
     #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,

@@ -1714,3 +1714,128 @@ def embedding_outlier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = seed_vectors(emb, _GATE_CELLS)
     return embedding_outlier_gate(emb, cents, keep_permille=_GATE_KEEP)
+
+
+# ---------------------------------------------------------------------------
+# HLL register algebra — pairwise distinct-token overlap between
+# sources via bucket-wise-MAX union sketches + inclusion–exclusion
+# (the cardinality complement of source_overlap_minhash's Jaccard).
+# ---------------------------------------------------------------------------
+
+
+def _hll_digit(h: str, i: int) -> str:
+    return f"(INSTR('0123456789abcdef', SUBSTRING({h}, {i}, 1)) - 1)"
+
+
+def _hll_w_sql(h: str) -> str:
+    return " + ".join(
+        f"CAST({_hll_digit(h, i + 3)} AS BIGINT) * {16 ** (11 - i)}"
+        if i < 11
+        else f"CAST({_hll_digit(h, 14)} AS BIGINT)"
+        for i in range(12)
+    )
+
+
+def _hll_est_ctes(prefix: str, regs: str, gcols: str) -> str:
+    """The hll_estimate arithmetic replay over a register relation —
+    agg / raw / linear-counting CTE triple, parameterized by group
+    columns (the same digit-for-digit chain the hll_distinct_users
+    oracle pinned)."""
+    from ..operators.frequency import HLL_ALPHA_SQL, HLL_M, HLL_Z_ONE
+
+    return f"""{prefix}a AS (
+    SELECT {gcols}, CAST({HLL_M} - COUNT(*) AS INT) AS v_empty,
+           CAST(SUM(CAST(1 AS BIGINT) << (49 - rho_max))
+                + ({HLL_M} - COUNT(*)) * {HLL_Z_ONE} AS BIGINT) AS z_scaled
+    FROM {regs} GROUP BY {gcols}
+),
+{prefix}e AS (
+    SELECT {gcols}, v_empty,
+           {HLL_ALPHA_SQL} * 65536.0 * 562949953421312.0
+               / CAST(z_scaled AS DOUBLE) AS raw
+    FROM {prefix}a
+),
+{prefix}est AS (
+    SELECT {gcols},
+           CASE WHEN raw <= {2.5 * HLL_M!r} AND x.v_empty > 0
+                THEN CAST(lc.lc_micro AS DOUBLE) / 1.0e6
+                ELSE ROUND(raw, 6) END AS approx_count
+    FROM {prefix}e x LEFT JOIN lc ON lc.v_empty = x.v_empty
+)"""
+
+
+def _oracle_hll_overlap() -> str:
+    from ..operators.frequency import hll_lc_micro_table
+
+    h = "MD5('hll|' || token)"
+    lc_rows = ", ".join(f"({v}, {m})" for v, m in hll_lc_micro_table())
+    return rf"""
+WITH lc(v_empty, lc_micro) AS (VALUES {lc_rows}),
+tok AS (
+    SELECT d.source AS g, LOWER(t.tok) AS token
+    FROM documents d,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS t(tok)
+    WHERE d.source IS NOT NULL
+),
+k AS (
+    SELECT g, {_hll_digit(h, 1)} * 16 + {_hll_digit(h, 2)} AS bucket,
+           {_hll_w_sql(h)} AS w
+    FROM tok
+),
+regs AS (
+    SELECT g, bucket,
+           MAX(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - LENGTH(BIN(w)) END) AS rho_max
+    FROM k GROUP BY g, bucket
+),
+{_hll_est_ctes('g', 'regs', 'g')},
+pairs AS (
+    SELECT a.g AS g_a, b.g AS g_b
+    FROM (SELECT DISTINCT g FROM regs) a
+    JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+),
+ur AS (
+    SELECT g_a, g_b, bucket, MAX(rho_max) AS rho_max FROM (
+        SELECT p.g_a, p.g_b, r.bucket, r.rho_max
+        FROM pairs p JOIN regs r ON r.g = p.g_a
+        UNION ALL
+        SELECT p.g_a, p.g_b, r.bucket, r.rho_max
+        FROM pairs p JOIN regs r ON r.g = p.g_b
+    ) GROUP BY 1, 2, 3
+),
+{_hll_est_ctes('u', 'ur', 'g_a, g_b')}
+SELECT u.g_a, u.g_b,
+       ea.approx_count AS est_a,
+       eb.approx_count AS est_b,
+       u.approx_count AS est_union,
+       (ea.approx_count + eb.approx_count) - u.approx_count
+           AS est_intersection
+FROM uest u
+JOIN gest ea ON ea.g = u.g_a
+JOIN gest eb ON eb.g = u.g_b
+"""
+
+
+@q("source_token_overlap_hll", _oracle_hll_overlap())
+def source_token_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-TOKEN overlap between sources via HLL
+    register algebra (operators/frequency.py:hll_group_overlap):
+    registers are max-mergeable, so each pair's union sketch is the
+    bucket-wise MAX of its members' registers — |A|, |B|, |A∪B| from
+    the same 256-register relation, |A∩B| by inclusion–exclusion, no
+    second corpus scan. The cardinality complement of
+    `source_overlap_minhash` (which estimates Jaccard from
+    signature-component matches). The oracle replays registers, the
+    exact-integer harmonic sums, the linear-counting table, and the
+    pair-union MAX digit for digit — the hll_distinct_users machinery
+    generalized to sketch UNION."""
+    from pyspark.sql import functions as F
+
+    from ..operators.frequency import hll_group_overlap
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("source").isNotNull()).select(
+        "source", F.explode(F.transform(tokens("text"), F.lower)).alias("token")
+    )
+    return hll_group_overlap(tok, "source", "token")

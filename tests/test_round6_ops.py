@@ -888,3 +888,31 @@ def test_embedding_outlier_gate_drops_far_tail(spark):
     assert out[0]["pctl_permille"] == 0 and out[0]["keep"]
     kept = sum(1 for r in out.values() if r["keep"])
     assert kept < len(out)  # the gate actually bites
+
+
+def test_hll_group_overlap_union_algebra(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_group_overlap,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append(("g1", f"tok{i}"))         # g1: tok0..199
+        rows.append(("g2", f"tok{i}"))         # g2 identical to g1
+        rows.append(("g3", f"other{i}"))       # g3 disjoint
+    df = spark.createDataFrame(rows, "source string, token string")
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in hll_group_overlap(df, "source", "token").collect()
+    }
+    same = out[("g1", "g2")]
+    # identical sets: union sketch == each member's sketch exactly
+    assert same["est_union"] == same["est_a"] == same["est_b"]
+    assert abs(same["est_intersection"] - same["est_a"]) < 1e-6
+    disj = out[("g1", "g3")]
+    # union of disjoint sets: sketch-union >= each side, intersection
+    # estimate small relative to either set (HLL error band)
+    assert disj["est_union"] >= max(disj["est_a"], disj["est_b"])
+    assert abs(disj["est_intersection"]) < 0.5 * min(
+        disj["est_a"], disj["est_b"]
+    )
