@@ -247,6 +247,17 @@ def main() -> None:
         "source_overlap_minhash": "the |groups|-row size relation × "
             "its broadcast twin (group-pair spine) — bounded metadata "
             "(sources², ~190 pairs), never shingles or documents",
+        "ks_drift_by_source": "the distinct-value spine × broadcast "
+            "|groups|-row totals × broadcast 1-row grand total — all "
+            "aggregates, bounded by groups × distinct values, never "
+            "input rows",
+        "source_token_overlap_hll": "the distinct-group list × its "
+            "broadcast twin (pair spine over the register relation) — "
+            "bounded metadata (sources², ~190 pairs); registers and "
+            "union sketches are ≤ pairs × 256 rows",
+        "embedding_outlier_gate": "the |cells|-row broadcast centroid "
+            "relation and the ≤m-row linear-counting-free percentile "
+            "joins — all bounded by the codebook, never vectors",
         }
         if s["bad"]:
             if name in intended_nlj:
