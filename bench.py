@@ -153,6 +153,7 @@ HEADLINE = [
     "ngram_novelty_scores",
     "embedding_outlier_gate",
     "source_token_overlap_hll",
+    "tfidf_cosine_pairs_docs",
 ]
 
 

@@ -1646,3 +1646,107 @@ def ngram_novelty(
             F.expr("(1000 * (n_grams - n_seen)) DIV n_grams"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_permille: int = 600,
+    max_df: int | None = None,
+    max_df_permille: int = 100,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document-pair similarity — the
+    bag-of-words complement of embedding cosine (dense) and shingle
+    Jaccard (set): candidate pairs come from a POSTING join (docs
+    sharing at least one surviving term within a block), and the
+    cosine numerator is an exact BIGINT dot product of scaled integer
+    weights, so candidate generation and ranking are partition-proof.
+
+    Weights: ``w(d,t) = tf · round(ln(n_docs/df) · 1e3)`` — the
+    tfidf_top_terms integer-idf proxy at 1e3 scale, which keeps
+    ``Σ w²`` safely inside BIGINT (idf ≤ ~28·10³, tf ≤ docs' token
+    counts). Tokens in more than ``max_df_permille``/1000 of the
+    corpus (or, if given, more than the absolute ``max_df``) are
+    dropped from the VECTORS — dot and norms alike: principled
+    df-based stop-wording that must scale WITH the corpus (an
+    absolute cap silently empties the vocabulary as n_docs grows —
+    measured: 72 pairs at 500 docs became 0 at 5000 under a fixed
+    cap). Returns ``(id_a, id_b, dot, cos_sim)`` for pairs with
+    cosine ≥ threshold_permille/1000.
+
+    Scale: one corpus scan into (doc, token) tf; df and n_docs are
+    aggregates over it; the pair join is token-and-block keyed; norms
+    join back by doc id. The posting join's fan-out is O(Σ df²) over
+    the surviving vocabulary — stop-wording tames the Zipf head, and
+    a web-scale deployment bounds the residual the way the dedup
+    family does (rarest-first prefix filtering,
+    dedup.py:containment_pairs); this operator pins the weighted-
+    cosine semantics those accelerations must preserve."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"),
+    )
+    tf = tok.groupBy("_id", "_blk", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    else:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.lit(1000) * F.col("df")
+                <= F.lit(max_df_permille) * F.col("n_docs")
+            )
+            .select("token", "df")
+        )
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "_blk",
+            "token",
+            F.expr(
+                "tf * CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / df) * 1e3)"
+                " AS BIGINT)"
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy("_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("n2")
+    )
+    a = w.select(
+        F.col("_blk"), F.col("token"), F.col("_id").alias("id_a"),
+        F.col("wt").alias("wa"),
+    )
+    b = w.select(
+        F.col("_blk"), F.col("token"), F.col("_id").alias("id_b"),
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        a.join(b, ["_blk", "token"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        dots.join(norms.select(F.col("_id").alias("id_a"),
+                               F.col("n2").alias("_na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"),
+                           F.col("n2").alias("_nb")), "id_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold_permille / 1000.0)
+        .select("id_a", "id_b", "dot", "cos_sim")
+    )

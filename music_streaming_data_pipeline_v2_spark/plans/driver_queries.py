@@ -3317,6 +3317,7 @@ _CHECK_FIRST = [
     "ngram_novelty_scores",
     "embedding_outlier_gate",
     "source_token_overlap_hll",
+    "tfidf_cosine_pairs_docs",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,13 +3326,12 @@ _CHECK_FIRST = [
     #       full-replay oracle siblings ann_ivf_oracle/ann_lsh_oracle
     #       are r4/r5-green) + simhash_oracle
     "bi_nation_volume",
-    "bigram_collocations",
     "click_purchase_funnel",
     "daily_kpis",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     brand_basket_pairs,
+    #     bigram_collocations, brand_basket_pairs,
     #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,

@@ -916,3 +916,53 @@ def test_hll_group_overlap_union_algebra(spark):
     assert abs(disj["est_intersection"]) < 0.5 * min(
         disj["est_a"], disj["est_b"]
     )
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "apple banana cherry"),
+            (2, "x", "apple banana cherry"),   # identical to 1 -> cos 1
+            (3, "x", "dog elephant fox"),      # disjoint from 1/2
+            (4, "y", "apple banana cherry"),   # same text, other block
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in tfidf_cosine_pairs(
+            docs, threshold_permille=0, max_df=64
+        ).collect()
+    }
+    assert abs(out[(1, 2)]["cos_sim"] - 1.0) < 1e-12  # identical vectors
+    assert (1, 3) not in out  # no shared term -> no candidate at all
+    assert (1, 4) not in out and (2, 4) not in out  # cross-block blocked
+
+
+def test_tfidf_cosine_df_cap_drops_stopwords_consistently(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    # 'the' appears in every doc; with max_df=2 it leaves the
+    # vocabulary entirely, so docs sharing ONLY 'the' form no pair
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "the apple pie"),
+            (2, "x", "the apple tart"),
+            (3, "x", "the zebra"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in tfidf_cosine_pairs(
+            docs, threshold_permille=0, max_df=2
+        ).collect()
+    }
+    assert (1, 2) in out      # still share 'apple' (df=2)
+    assert (1, 3) not in out  # only 'the' (df=3 > cap) in common
