@@ -154,6 +154,7 @@ HEADLINE = [
     "embedding_outlier_gate",
     "source_token_overlap_hll",
     "tfidf_cosine_pairs_docs",
+    "session_attribution_first_touch",
 ]
 
 

@@ -160,3 +160,74 @@ def ewma_by_entity(
         .sortWithinPartitions(entity_col, ts_col, order_col)
         .mapInPandas(kernel, schema=schema)
     )
+
+
+def session_attribution(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch session attribution: sessionize each user's events
+    (gaps-and-islands, < ``gap_minutes`` between neighbors — the same
+    session definition user_sessions and session_window_native pin),
+    attribute every ``target_type`` event to its session's FIRST
+    event type, and report per initiating type how many sessions it
+    opened and how much target value those sessions produced — the
+    classic "which entry point converts" analytics question.
+
+    Returns ``(first_type, n_sessions, n_targets, target_value)``
+    with the money sum DECIMAL-exact (order-free) per the engine's
+    money-column rule. Ordering inside a session is deterministic:
+    (ts, order_col) — equal timestamps cannot flip the first touch
+    across engines or partitionings.
+
+    Scale: ONE user-keyed shuffle drives both windows (islands lag +
+    running sum + first_value share the (user, ts, order) sort); the
+    final aggregate is map-side-combinable over |event types| groups.
+    No self-join, no session materialization."""
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(user_col, ts_col, type_col, order_col, value_col)
+    wo = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # microsecond-exact gap test (sessions.py:sessionize rule — a
+    # seconds cast truncates sub-second parts and can flip the island
+    # break vs the oracle's epoch_us interval compare)
+    mu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = mu - F.lag(mu).over(wo)
+    brk = F.when(
+        gap.isNull() | (gap > gap_minutes * 60_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sid = F.sum(brk).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy(user_col, "sid").orderBy(ts_col, order_col)
+    labeled = (
+        base.withColumn("sid", sid)
+        .withColumn(
+            "first_type",
+            F.first(type_col).over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    is_t = F.col(type_col) == target_type
+    return (
+        labeled.groupBy("first_type")
+        .agg(
+            F.count_distinct(user_col, "sid").alias("n_sessions"),
+            F.count(F.when(is_t, F.lit(1))).cast("long").alias("n_targets"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_t, F.col(value_col).cast("decimal(18,2)"))
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double").alias("target_value"),
+        )
+    )

@@ -3318,6 +3318,7 @@ _CHECK_FIRST = [
     "embedding_outlier_gate",
     "source_token_overlap_hll",
     "tfidf_cosine_pairs_docs",
+    "session_attribution_first_touch",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3325,13 +3326,12 @@ _CHECK_FIRST = [
     #       rows-only ann_ivf_topk/ann_lsh_topk are skipped — their
     #       full-replay oracle siblings ann_ivf_oracle/ann_lsh_oracle
     #       are r4/r5-green) + simhash_oracle
-    "bi_nation_volume",
     "click_purchase_funnel",
     "daily_kpis",
     "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
-    #     bigram_collocations, brand_basket_pairs,
+    #     bi_nation_volume, bigram_collocations, brand_basket_pairs,
     #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,

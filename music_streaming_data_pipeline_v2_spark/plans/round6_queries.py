@@ -1912,3 +1912,67 @@ def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         docs, threshold_permille=_TC_THRESH, max_df_permille=_TC_MAXDF_PM
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch session attribution — which entry event type opens the
+# sessions that convert (the classic web-analytics attribution query,
+# built on the engine's pinned session definition).
+# ---------------------------------------------------------------------------
+
+_ORACLE_ATTRIBUTION = """
+WITH e AS (
+    SELECT user_id, ts, event_type, event_id, value
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+m AS (
+    SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                   THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS sid
+    FROM m
+),
+f AS (
+    SELECT *, FIRST_VALUE(event_type) OVER (
+        PARTITION BY user_id, sid ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS first_type
+    FROM s
+)
+SELECT first_type,
+       CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS BIGINT) AS n_targets,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2)) END),
+                     CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS target_value
+FROM f
+GROUP BY first_type
+"""
+
+
+@q("session_attribution_first_touch", _ORACLE_ATTRIBUTION)
+def session_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution over 30-min gap sessions
+    (operators/funnel.py:session_attribution): every purchase is
+    attributed to the event type that OPENED its session, answering
+    "which entry point converts". Session definition is the pinned
+    user_sessions/session_window semantics with a deterministic
+    (ts, event_id) tie order so equal timestamps cannot flip the
+    first touch; the money sum is DECIMAL-exact. One user-keyed
+    shuffle drives all three windows; the final aggregate is
+    |event types| rows."""
+    from ..operators.funnel import session_attribution
+
+    events = load_events(spark, sf_dir)
+    return session_attribution(events, gap_minutes=30)

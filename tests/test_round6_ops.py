@@ -966,3 +966,38 @@ def test_tfidf_cosine_df_cap_drops_stopwords_consistently(spark):
     }
     assert (1, 2) in out      # still share 'apple' (df=2)
     assert (1, 3) not in out  # only 'the' (df=3 > cap) in common
+
+
+def test_session_attribution_first_touch_semantics(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.funnel import (
+        session_attribution,
+    )
+
+    # user 1: [view, click, purchase(5)] in one session, then a >30min
+    # gap, then [click, purchase(7)] — purchases attribute to view and
+    # click respectively; user 2: [purchase(9)] alone -> self-attributed
+    rows = [
+        (1, 1, 1000, "view", 0.0),
+        (2, 1, 1060, "click", 0.0),
+        (3, 1, 1120, "purchase", 5.0),
+        (4, 1, 1120 + 1801, "click", 0.0),
+        (5, 1, 1120 + 1862, "purchase", 7.0),
+        (6, 2, 1000, "purchase", 9.0),
+    ]
+    events = spark.createDataFrame(
+        [(eid, uid, ts, et, v) for eid, uid, ts, et, v in rows],
+        "event_id long, user_id long, _ts long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "user_id",
+        "CAST(timestamp_seconds(_ts) AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    out = {
+        r["first_type"]: r
+        for r in session_attribution(events, gap_minutes=30).collect()
+    }
+    assert out["view"]["n_targets"] == 1 and out["view"]["target_value"] == 5.0
+    assert out["click"]["n_targets"] == 1 and out["click"]["target_value"] == 7.0
+    assert out["purchase"]["n_sessions"] == 1
+    assert out["purchase"]["target_value"] == 9.0
+    assert out["view"]["n_sessions"] == 1 and out["click"]["n_sessions"] == 1
