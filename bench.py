@@ -155,6 +155,8 @@ HEADLINE = [
     "source_token_overlap_hll",
     "tfidf_cosine_pairs_docs",
     "session_attribution_first_touch",
+    "lang_confusion_matrix",
+    "key_skew_audit_users",
 ]
 
 

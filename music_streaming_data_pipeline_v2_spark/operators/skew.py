@@ -116,3 +116,47 @@ def write_bucketed(
         n_buckets,
         sort_by=[sort_col] if sort_col else None,
     )
+
+
+def key_skew_audit(
+    df: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """Top-``k`` heaviest keys with exact integer skew statistics —
+    the measurement that decides whether a join/aggregate on this key
+    needs the salting operators above (or AQE's skew split) BEFORE the
+    shuffle runs at 100 TB: ``share_permille`` = the key's share of
+    all rows, ``skew_permille`` = 1000 × n / (total / n_keys), i.e.
+    how many "fair shares" the key holds (1000 = perfectly uniform).
+
+    Returns ``(key_col, n_rows, share_permille, skew_permille, rank)``.
+
+    Scale: one input scan into the per-key count relation; total and
+    key-count are aggregates OVER it (1-row broadcast); the top-k cut
+    is orderBy().limit() — TakeOrderedAndProject per-partition heaps,
+    never a full sort (the dsir_gumbel_topk rule)."""
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").cast("long").alias("_n_keys"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(k)
+        .crossJoin(F.broadcast(stats))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc(key_col))
+    return (
+        top.withColumn(
+            "share_permille", F.expr("(1000 * n_rows) DIV _total")
+        )
+        .withColumn(
+            "skew_permille",
+            F.expr("(1000 * n_rows * _n_keys) DIV _total"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(key_col, "n_rows", "share_permille", "skew_permille", "rank")
+    )

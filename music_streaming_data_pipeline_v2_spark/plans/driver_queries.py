@@ -3319,19 +3319,24 @@ _CHECK_FIRST = [
     "source_token_overlap_hll",
     "tfidf_cosine_pairs_docs",
     "session_attribution_first_touch",
+    "lang_confusion_matrix",
+    "key_skew_audit_users",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
-    # -- 3. stalest re-checks (r3-green, alphabetical, oracled-only:
-    #       rows-only ann_ivf_topk/ann_lsh_topk are skipped — their
-    #       full-replay oracle siblings ann_ivf_oracle/ann_lsh_oracle
-    #       are r4/r5-green) + simhash_oracle
-    "click_purchase_funnel",
+    # -- 3. stalest re-checks: the round-6 final-batch additions
+    #       consumed most of this section's slots one displaced r3
+    #       fill at a time (new queries outrank re-checks — an
+    #       unchecked query is worse than an r3-green one that pytest
+    #       parity re-proves every run); what remains is the flagship
+    #       plus simhash_oracle (VERDICT r5 #5's fresh-row ask).
+    #       minhash_lsh_oracle (r4-green, less stale than the pool)
+    #       was displaced by the last addition.
     "daily_kpis",
-    "minhash_lsh_oracle",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
     #     bi_nation_volume, bigram_collocations, brand_basket_pairs,
+    #     click_purchase_funnel, minhash_lsh_oracle (r4),
     #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
     #     cumulative_unique_buyers, dataset_split_counts,
     #     dim_merge_upsert, disjunctive_part_revenue,

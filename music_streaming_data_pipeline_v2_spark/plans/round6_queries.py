@@ -1976,3 +1976,110 @@ def session_attribution_first_touch(
 
     events = load_events(spark, sf_dir)
     return session_attribution(events, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the labeled-vs-detected agreement
+# audit over the oracled stopword-marker detector.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_lang_confusion() -> str:
+    from .driver_queries import _MARKER_SQL
+
+    h = {
+        lg: (
+            rf"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)),"
+            rf" '\s+'), x -> LIST_CONTAINS({_MARKER_SQL[lg]}, x)))"
+        )
+        for lg in ("de", "en", "es", "fr")
+    }
+    return f"""
+WITH scored AS (
+    SELECT lang, {h['de']} AS h_de, {h['en']} AS h_en,
+           {h['es']} AS h_es, {h['fr']} AS h_fr
+    FROM documents
+),
+d AS (
+    SELECT lang, CASE
+        WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        WHEN h_es >= h_fr THEN 'es'
+        ELSE 'fr' END AS detected_lang
+    FROM scored
+)
+SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       lang = detected_lang AS agree
+FROM d
+GROUP BY lang, detected_lang
+"""
+
+
+@q("lang_confusion_matrix", _oracle_lang_confusion())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-detected language confusion matrix over the
+    stopword-marker detector (operators/text.py:detect_language —
+    the same arithmetic lang_detect_counts oracles): per (label,
+    detection) document counts plus the agreement flag — the audit
+    that tells a curation pipeline WHERE its language router
+    disagrees with upstream labels (e.g. every zh document lands in
+    'und' here because the marker lists carry no zh stopwords —
+    visible as a matrix row, invisible in marginal counts). Map-only
+    detector scan + one grouped count."""
+    from pyspark.sql import functions as F
+
+    from ..operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _text.detect_language(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("agree", F.col("lang") == F.col("detected_lang"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit — the pre-shuffle measurement that decides whether a
+# key needs salting/AQE-skew-split before a 100 TB join runs.
+# ---------------------------------------------------------------------------
+
+_SKEW_K = 10
+
+_ORACLE_SKEW = f"""
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+),
+stats AS (
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM counts
+)
+SELECT user_id, n_rows,
+       CAST((1000 * n_rows) // total AS BIGINT) AS share_permille,
+       CAST((1000 * n_rows * n_keys) // total AS BIGINT) AS skew_permille,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id ASC)
+            AS INT) AS rank
+FROM counts CROSS JOIN stats
+ORDER BY n_rows DESC, user_id ASC
+LIMIT {_SKEW_K}
+"""
+
+
+@q("key_skew_audit_users", _ORACLE_SKEW)
+def key_skew_audit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user keys in the events stream with exact
+    integer skew statistics (operators/skew.py:key_skew_audit):
+    share_permille (fraction of all rows) and skew_permille (how many
+    uniform fair-shares the key holds — 1000 = perfectly balanced).
+    The measurement behind the engine's salting decisions
+    (salted_aggregate / salted_join / AQE skew split): run it on the
+    join key BEFORE the 100 TB shuffle. One scan; the top-k cut is
+    TakeOrderedAndProject, never a full sort."""
+    from ..operators.skew import key_skew_audit
+
+    events = load_events(spark, sf_dir)
+    return key_skew_audit(events, "user_id", k=_SKEW_K)

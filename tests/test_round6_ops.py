@@ -1001,3 +1001,20 @@ def test_session_attribution_first_touch_semantics(spark):
     assert out["purchase"]["n_sessions"] == 1
     assert out["purchase"]["target_value"] == 9.0
     assert out["view"]["n_sessions"] == 1 and out["click"]["n_sessions"] == 1
+
+
+def test_key_skew_audit_statistics(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.skew import (
+        key_skew_audit,
+    )
+
+    # key 'hot' holds 80 of 100 rows over 21 keys
+    rows = [(i, "hot") for i in range(80)]
+    rows += [(100 + i, f"k{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, k string")
+    out = {r["k"]: r for r in key_skew_audit(df, "k", k=3).collect()}
+    hot = out["hot"]
+    assert hot["rank"] == 1
+    assert hot["share_permille"] == 800          # 80/100
+    assert hot["skew_permille"] == 800 * 21      # 80 / (100/21) fair shares
+    assert all(r["n_rows"] == 1 for k, r in out.items() if k != "hot")
