@@ -258,6 +258,13 @@ def main() -> None:
         "embedding_outlier_gate": "the |cells|-row broadcast centroid "
             "relation and the ≤m-row linear-counting-free percentile "
             "joins — all bounded by the codebook, never vectors",
+        "tfidf_cosine_pairs_docs": "the broadcast 1-row n_docs "
+            "relation cross-joined onto the vocabulary (idf inputs "
+            "and the permille df cap) — constant-size regardless of "
+            "corpus",
+        "key_skew_audit_users": "the broadcast 1-row (total, n_keys) "
+            "stats relation cross-joined onto the top-k cut — "
+            "constant-size regardless of input",
         }
         if s["bad"]:
             if name in intended_nlj:
