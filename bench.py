@@ -157,6 +157,7 @@ HEADLINE = [
     "session_attribution_first_touch",
     "lang_confusion_matrix",
     "key_skew_audit_users",
+    "eb_shrunk_bad_rates",
 ]
 
 

@@ -172,6 +172,20 @@ def ks_drift(
         )
         .agg(F.count("*").cast("long").alias("c_g"))
     )
+    return ks_from_counts(cnts).withColumnRenamed("g", group_col)
+
+
+def ks_from_counts(cnts: DataFrame) -> DataFrame:
+    """The KS arithmetic over a ``(g, v, c_g)`` count relation — the
+    shared core of ``ks_drift`` (counts built from rows) and the
+    ingest-state readout (psi_ingest.query_ks — counts summed from the
+    SAME additive cells PSI stores, so one state serves two drift
+    statistics). ``v`` must be ORDERABLE in its true value order: KS
+    is a CDF statistic, so integer bins stored as strings must be cast
+    back before calling (lexicographic "10" < "2" would corrupt the
+    CDF — the readout does this cast; PSI itself never cared)."""
+    from pyspark.sql import Window
+
     allv = cnts.groupBy("v").agg(F.sum("c_g").alias("c_all"))
     groups = cnts.groupBy("g").agg(F.sum("c_g").alias("n_g"))
     total = cnts.agg(F.sum("c_g").alias("n_total"))
@@ -202,7 +216,7 @@ def ks_drift(
         scored.groupBy("g", "n_g", "n_rest")
         .agg(F.max("_num").alias("ks_num"))
         .select(
-            F.col("g").alias(group_col),
+            "g",
             "n_g",
             "n_rest",
             "ks_num",

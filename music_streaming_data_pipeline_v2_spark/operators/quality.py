@@ -505,3 +505,57 @@ def score_percentiles(
         .cast("long")
         .alias("pctl_permille"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    prior_strength: int = 50,
+) -> DataFrame:
+    """Per-group flagged-row rate with empirical-Bayes shrinkage
+    toward the global rate — the small-source fix for quality routing:
+    a 20-doc source with one blocklist hit is NOT a 5%-bad source, and
+    hard-thresholding raw rates would whipsaw small sources in and out
+    of the pipeline. Classic pseudo-count posterior mean:
+    ``shrunk = (bad_g + m·p_global) / (n_g + m)`` with ``m =
+    prior_strength`` phantom docs at the global rate — large sources
+    keep their own rate, small ones pull to the prior.
+
+    Exact integer arithmetic end to end:
+    ``shrunk_permille = 1000·(bad_g·n_tot + m·bad_tot)
+    DIV ((n_g + m)·n_tot)`` — no floats, so the driver hash is
+    partition-proof. (Overflow bound: exact while ``bad_g·n_tot``
+    stays inside BIGINT — fine to ~3e9 rows on each axis; past that,
+    divide the global counts down first or widen to DOUBLE.)
+
+    Returns ``(group_col, n_rows, n_flagged, raw_permille,
+    shrunk_permille)``. Scale: one input scan into the per-group
+    (count, flag-sum) relation; the global totals are a 1-row
+    broadcast over it."""
+    per = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("n_flagged"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("_n_tot"),
+        F.sum("n_flagged").alias("_bad_tot"),
+    )
+    m = int(prior_strength)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "raw_permille", F.expr("(1000 * n_flagged) DIV n_rows")
+        )
+        .withColumn(
+            "shrunk_permille",
+            F.expr(
+                f"(1000 * (n_flagged * _n_tot + {m} * _bad_tot))"
+                f" DIV ((n_rows + {m}) * _n_tot)"
+            ),
+        )
+        .select(
+            group_col, "n_rows", "n_flagged",
+            "raw_permille", "shrunk_permille",
+        )
+    )

@@ -3321,6 +3321,7 @@ _CHECK_FIRST = [
     "session_attribution_first_touch",
     "lang_confusion_matrix",
     "key_skew_audit_users",
+    "eb_shrunk_bad_rates",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",
@@ -3332,9 +3333,10 @@ _CHECK_FIRST = [
     #       plus simhash_oracle (VERDICT r5 #5's fresh-row ask).
     #       minhash_lsh_oracle (r4-green, less stale than the pool)
     #       was displaced by the last addition.
-    "daily_kpis",
     "simhash_oracle",
     # -- (r3-green queries deferred to the r7 rotation pool:
+    #     daily_kpis (re-proven by entry() smoke + pytest parity every
+    #     run — the one window fill safe to displace last),
     #     bi_nation_volume, bigram_collocations, brand_basket_pairs,
     #     click_purchase_funnel, minhash_lsh_oracle (r4),
     #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,

@@ -2083,3 +2083,65 @@ def key_skew_audit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir)
     return key_skew_audit(events, "user_id", k=_SKEW_K)
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrunk source badness rates — the small-source fix
+# for quality routing, over the blocklist flag.
+# ---------------------------------------------------------------------------
+
+_EB_M = 50
+
+
+def _oracle_eb_rates() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST))
+    return rf"""
+WITH flagged AS (
+    SELECT source,
+           CAST(GREATEST(LEN(LIST_INTERSECT(
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text),
+                                                  '[ \t\n\r\f]+'),
+                               x -> x <> ''),
+                   t -> LOWER(t))),
+               [{terms}])), 0) > 0 AS BIGINT) AS bad
+    FROM documents
+    WHERE source IS NOT NULL
+),
+per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bad) AS BIGINT) AS n_flagged
+    FROM flagged GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS n_tot,
+           CAST(SUM(n_flagged) AS BIGINT) AS bad_tot
+    FROM per
+)
+SELECT source, n_rows, n_flagged,
+       CAST((1000 * n_flagged) // n_rows AS BIGINT) AS raw_permille,
+       CAST((1000 * (n_flagged * n_tot + {_EB_M} * bad_tot))
+            // ((n_rows + {_EB_M}) * n_tot) AS BIGINT) AS shrunk_permille
+FROM per CROSS JOIN tot
+"""
+
+
+@q("eb_shrunk_bad_rates", _oracle_eb_rates())
+def eb_shrunk_bad_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source blocklist-hit rates with empirical-Bayes shrinkage
+    toward the global rate (operators/quality.py:eb_shrunk_rates,
+    prior strength 50 phantom docs) — the small-source stabilizer for
+    quality routing: raw and shrunk permille side by side, both exact
+    integer arithmetic, so the driver hash re-proves the posterior-
+    mean arithmetic every round. One corpus scan (the blocklist flag
+    is the map-only C4 gate); totals broadcast from the per-source
+    relation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import blocklist_gate, eb_shrunk_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = blocklist_gate(
+        docs.filter(F.col("source").isNotNull()), _BLOCKLIST
+    ).withColumn("bad", F.col("n_blocked_terms") > 0)
+    return eb_shrunk_rates(flagged, "source", "bad", prior_strength=_EB_M)

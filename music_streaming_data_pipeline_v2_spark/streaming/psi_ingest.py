@@ -123,3 +123,37 @@ def query_psi(
     )
     merged = state.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
     return psi_from_cells(merged, smoothing)
+
+
+def query_ks(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Binned two-sample KS per group over everything drained so far —
+    the SAME additive cell state query_psi reads, handed to the SAME
+    ks_from_counts core the batch operator uses: one state, two drift
+    statistics (PSI's weighted-divergence view and KS's worst-CDF-gap
+    view), neither re-reading raw text. Returns
+    ``(grp, n_g, n_rest, ks_num, ks_permille)``.
+
+    Bins are stored as strings (PSI is order-blind); KS is a CDF
+    statistic, so the readout casts them back to BIGINT — callers
+    whose bin_sql is non-numeric must provide an orderable bin
+    encoding to use this readout (lexicographic "10" < "2" would
+    corrupt the CDF)."""
+    from ..operators.drift import ks_from_counts
+
+    from .state import read_state_or_empty
+
+    state = read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "cells"),
+        "grp string, bin string, cnt long",
+    )
+    cnts = (
+        state.groupBy("grp", "bin")
+        .agg(F.sum("cnt").alias("c_g"))
+        .select(
+            F.col("grp").alias("g"),
+            F.col("bin").cast("bigint").alias("v"),
+            "c_g",
+        )
+    )
+    return ks_from_counts(cnts).withColumnRenamed("g", "grp")

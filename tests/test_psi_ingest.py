@@ -100,3 +100,33 @@ def test_query_before_any_drain_is_empty_not_crash(spark, tmp_path):
     out = query_psi(spark, str(tmp_path / "nowhere"))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["grp", "n_rows", "psi"]
+
+
+def test_incremental_ks_matches_batch_binned(spark, tmp_path):
+    # the SAME cells serve the KS readout: query_ks over drained state
+    # == batch ks_drift on the binned value over all drained docs
+    from music_streaming_data_pipeline_v2_spark.operators.drift import (
+        ks_drift,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.psi_ingest import (
+        query_ks,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_psi(spark, str(inp), str(work))
+    _write_wave(inp / "w2.jsonl", DOCS_W2)
+    run_incremental_psi(spark, str(inp), str(work))
+
+    rows = DOCS_W1 + DOCS_W2
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).selectExpr("source", f"CAST({DEFAULT_BIN_SQL} AS BIGINT) AS b")
+    batch = ks_drift(df, "source", "b")
+    got = sorted(tuple(r) for r in query_ks(spark, str(work)).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # and the statistic is non-trivial on this data (c is length-shifted)
+    assert any(r[-1] > 0 for r in got)

@@ -1018,3 +1018,34 @@ def test_key_skew_audit_statistics(spark):
     assert hot["share_permille"] == 800          # 80/100
     assert hot["skew_permille"] == 800 * 21      # 80 / (100/21) fair shares
     assert all(r["n_rows"] == 1 for k, r in out.items() if k != "hot")
+
+
+def test_eb_shrunk_rates_pull_small_sources_to_prior(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        eb_shrunk_rates,
+    )
+
+    # big: 1000 rows, 100 bad (10%); small: 10 rows, 5 bad (50%)
+    rows = [(i, "big", i < 100) for i in range(1000)]
+    rows += [(10_000 + i, "small", i < 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, source string, bad boolean")
+    out = {
+        r["source"]: r
+        for r in eb_shrunk_rates(
+            df, "source", "bad", prior_strength=50
+        ).collect()
+    }
+    big, small = out["big"], out["small"]
+    assert big["raw_permille"] == 100
+    assert small["raw_permille"] == 500
+    # global rate = 105/1010 ≈ 104‰; shrinkage moves each toward it,
+    # small much harder than big
+    assert abs(big["shrunk_permille"] - big["raw_permille"]) <= 1
+    assert small["shrunk_permille"] < 200  # 50 phantom docs dominate 10
+    # exact expected values: big (100*1010+50*105)//(1050*1010)*1000
+    assert big["shrunk_permille"] == (
+        1000 * (100 * 1010 + 50 * 105) // ((1000 + 50) * 1010)
+    )
+    assert small["shrunk_permille"] == (
+        1000 * (5 * 1010 + 50 * 105) // ((10 + 50) * 1010)
+    )
