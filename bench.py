@@ -158,6 +158,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "key_skew_audit_users",
     "eb_shrunk_bad_rates",
+    "pmi_collocations",
 ]
 
 

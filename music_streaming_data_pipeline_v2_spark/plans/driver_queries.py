@@ -3286,7 +3286,10 @@ _CHECK_FIRST = [
     "type_share_of_day",
     "union_dedup",
     "user_sessions",
-    "approx_distinct_users",      # rows-only (HLL sketch)
+    # approx_distinct_users (rows-only, HLL++) displaced to the r7
+    # pool by the final registration: an UNCHECKED oracled query
+    # outranks a stale rows-only re-check whose replayable sibling
+    # (hll_distinct_users, below) is already in this window.
     "minhash_lsh_pairs_docs",     # rows-only; oracled sibling below
     "simhash_pairs_docs",         # rows-only; oracled sibling below
     "minhash_drop_stats",         # rows-only; first-ever driver row
@@ -3322,6 +3325,7 @@ _CHECK_FIRST = [
     "lang_confusion_matrix",
     "key_skew_audit_users",
     "eb_shrunk_bad_rates",
+    "pmi_collocations",
     "heavy_hitter_tokens",
     "cm_token_counts",
     "textrank_keywords",

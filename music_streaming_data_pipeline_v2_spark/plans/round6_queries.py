@@ -2145,3 +2145,113 @@ def eb_shrunk_bad_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source").isNotNull()), _BLOCKLIST
     ).withColumn("bad", F.col("n_blocked_terms") > 0)
     return eb_shrunk_rates(flagged, "source", "bad", prior_strength=_EB_M)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — the information-theoretic complement of the
+# frequency-ranked bigram_collocations: which word pairs co-occur far
+# beyond chance, per language.
+# ---------------------------------------------------------------------------
+
+_PMI_K, _PMI_MIN = 5, 3
+
+_ORACLE_PMI = rf"""
+WITH tok AS (
+    SELECT d.lang, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS t
+    FROM documents d
+    WHERE LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) >= 2
+),
+bg AS (
+    SELECT lang, t[i] AS w1, t[i + 1] AS w2
+    FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
+),
+c12 AS (
+    SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+    FROM bg GROUP BY 1, 2, 3
+),
+c1 AS (SELECT lang, w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1, 2),
+c2 AS (SELECT lang, w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c12 GROUP BY 1, 2),
+nn AS (SELECT lang, CAST(SUM(n12) AS BIGINT) AS n FROM c12 GROUP BY 1),
+scored AS (
+    SELECT c12.lang, w1, w2, n12,
+           CAST(ROUND(LN((CAST(n AS DOUBLE) * CAST(n12 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS pmi_micro
+    FROM c12
+    JOIN c1 USING (lang, w1)
+    JOIN c2 USING (lang, w2)
+    JOIN nn USING (lang)
+    WHERE n12 >= {_PMI_MIN}
+)
+SELECT lang, w1, w2, n12, pmi_micro,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+       ) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {_PMI_K}
+"""
+
+
+@q("pmi_collocations", _ORACLE_PMI)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 PMI collocations per language — pairs that co-occur
+    beyond chance (``PMI = ln(N·c12 / (c1·c2))``, the
+    information-theoretic complement of frequency-ranked
+    bigram_collocations: 'of the' tops frequency, glued names top
+    PMI). Unigram margins come from the bigram relation itself (left/
+    right sums), so one corpus scan feeds everything; ranking is by
+    the micro-scaled integer PMI (the tfidf integer-ln proxy) with
+    (w1, w2) tie order, and the ``n12 ≥ {min}`` gate kills the
+    hapax-pair PMI explosion. All relations vocab-bounded after the
+    explode."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", F.transform(_tokens("text"), F.lower).alias("t")
+    ).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bg = base.select(
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("lang", "_p.w1", "_p.w2")
+    c12 = bg.groupBy("lang", "w1", "w2").agg(
+        F.count("*").cast("long").alias("n12")
+    )
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("n12").alias("n1"))
+    c2 = c12.groupBy("lang", "w2").agg(F.sum("n12").alias("n2"))
+    nn = c12.groupBy("lang").agg(F.sum("n12").alias("n"))
+    scored = (
+        c12.filter(F.col("n12") >= _PMI_MIN)
+        .join(c1, ["lang", "w1"])
+        .join(c2, ["lang", "w2"])
+        .join(F.broadcast(nn), "lang")
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                "CAST(ROUND(LN((CAST(n AS DOUBLE) * CAST(n12 AS DOUBLE))"
+                " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _PMI_K)
+        .select("lang", "w1", "w2", "n12", "pmi_micro", "rk")
+    )
