@@ -265,6 +265,9 @@ def main() -> None:
         "key_skew_audit_users": "the broadcast 1-row (total, n_keys) "
             "stats relation cross-joined onto the top-k cut — "
             "constant-size regardless of input",
+        "eb_shrunk_bad_rates": "the broadcast 1-row global-totals "
+            "relation cross-joined onto the |sources|-row rate "
+            "relation — constant-size regardless of corpus",
         }
         if s["bad"]:
             if name in intended_nlj:
