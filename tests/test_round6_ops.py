@@ -1049,3 +1049,57 @@ def test_eb_shrunk_rates_pull_small_sources_to_prior(spark):
     assert small["shrunk_permille"] == (
         1000 * (5 * 1010 + 50 * 105) // ((10 + 50) * 1010)
     )
+
+
+def test_chi2_keyness_matches_independent_python_reference(spark):
+    # the oracle proves Spark ≡ DuckDB, but both interpolate the SAME
+    # chi2_milli_sql string — a shared-design bug (wrong formula) would
+    # hash-match. This fuzz recomputes chi-square per surviving term
+    # with an independent pure-Python contingency implementation.
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        chi2_keyness,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for did in range(120):
+        g = rng.choice(["A", "B", "C"])
+        bias = {"A": vocab[:6], "B": vocab[3:9], "C": vocab[6:]}[g]
+        toks = [rng.choice(bias if rng.random() < 0.7 else vocab)
+                for _ in range(rng.randint(3, 12))]
+        rows.append((did, g, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = chi2_keyness(docs, group_col="lang", k=12, min_count=5).collect()
+    assert out
+
+    # independent reference: counts from the same rows, formula from
+    # first principles (N * (ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)))
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _, g, text in rows:
+        for t in text.lower().split():
+            cnt[(g, t)] += 1
+    tok_tot = Counter()
+    grp_tot = Counter()
+    for (g, t), c in cnt.items():
+        tok_tot[t] += c
+        grp_tot[g] += c
+    n = sum(cnt.values())
+    for r in out:
+        a = cnt[(r["lang"], r["token"])]
+        b = tok_tot[r["token"]] - a
+        c = grp_tot[r["lang"]] - a
+        d = n - a - b - c
+        assert a == r["n_in_group"]
+        assert float(a) * n > float(a + b) * (a + c)  # overrepresented
+        chi2 = (
+            float(n) * (float(a) * d - float(b) * c) ** 2
+            / (float(a + b) * (c + d) * (a + c) * (b + d))
+        )
+        # the engine reports round(chi2 * 1000); allow 1 milli of
+        # FP-association slack between the reference and the engine
+        assert abs(r["chi2_milli"] - round(chi2 * 1000)) <= 1
