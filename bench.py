@@ -159,6 +159,10 @@ HEADLINE = [
     "key_skew_audit_users",
     "eb_shrunk_bad_rates",
     "pmi_collocations",
+    "rendezvous_shards",
+    "rendezvous_stability",
+    "per_domain_cap_sample",
+    "phrase_blocklist_docs",
 ]
 
 

@@ -559,3 +559,48 @@ def eb_shrunk_rates(
             "raw_permille", "shrunk_permille",
         )
     )
+
+
+def phrase_blocklist_gate(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-token companion to ``blocklist_gate``: C4's actual list
+    contains PHRASES ("bad word" entries with spaces) that whole-token
+    membership cannot express and raw substring matching gets wrong at
+    word boundaries. Matching here is whole-token-boundary phrase
+    containment: the text is lowercased, whitespace-normalized to
+    single spaces and space-padded, and each phrase matches iff
+    `` phrase `` occurs — so "rat race" matches neither "grat race"
+    nor "rat racer".
+
+    Scale: the phrase list is a literal array; the gate is one
+    map-only ``size(filter(...))`` over it — regex normalization plus
+    N ``contains`` probes per row, zero shuffles/joins, fully codegen,
+    same profile as the token gate. Returns the input columns plus
+    ``n_blocked_phrases`` and ``keep``.
+    """
+    if not phrases:
+        raise ValueError("phrases must be a non-empty list")
+    lowered = sorted({" ".join(p.lower().split()) for p in phrases})
+    if any(not p for p in lowered):
+        raise ValueError("phrases must contain non-whitespace text")
+    norm = F.concat(
+        F.lit(" "),
+        # explicit whitespace class, not \s: Java regex \s includes
+        # \x0B where RE2's (DuckDB's) does not — the oracle_shared._W
+        # convention for cross-engine tokenization
+        F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+", " "
+        ),
+        F.lit(" "),
+    )
+    lits = F.array(*[F.lit(f" {p} ") for p in lowered])
+    hits = F.size(F.filter(lits, lambda p: F.contains(norm, p)))
+    n = F.when(F.col(text_col).isNull(), F.lit(0).cast("long")).otherwise(
+        hits.cast("long")
+    )
+    return df.withColumn("n_blocked_phrases", n).withColumn(
+        "keep", F.col("n_blocked_phrases") == 0
+    )

@@ -636,3 +636,89 @@ def unimax_plan(
         alloc.cast("long").alias("alloc_tokens"),
         "capped",
     )
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "c|",
+    bucket_hex_digits: int = 4,
+) -> DataFrame:
+    """Per-group quota: keep AT MOST ``cap`` rows per ``group_col``,
+    chosen deterministically by content hash — the RefinedWeb-style
+    per-domain cap (Penedo et al. 2023 §3.1 limit documents per
+    registrable domain so link-farms and mirror hosts cannot dominate
+    the corpus). Membership is a pure function of (id, group, corpus
+    composition): re-runs and engines agree, and growing OTHER groups
+    never changes this group's survivors.
+
+    Semantics (what the oracle pins): keep the ``cap`` smallest rows
+    per group by ``(md5(salt||id), id)`` — exactly
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5, id) <= cap``.
+
+    Scale design — NO group-sized rank window. A hot domain at 100 TB
+    can hold 10⁹ documents; ranking it in one window partition is the
+    single-reducer trap. Instead the hash's leading
+    ``bucket_hex_digits`` hex chars (lowercase hex: lexicographic ==
+    numeric order, and a prefix ordering of the full digest) bucket
+    each group into ≤ 16^digits cells:
+
+    1. per-(group, bucket) counts — shuffle bounded by groups × cells,
+       not rows;
+    2. cumulative counts over the bounded cell relation find each
+       group's THRESHOLD bucket t (first bucket where cum ≥ cap) and
+       the remainder r = cap − cum(<t);
+    3. rows below t keep outright (map-side after a broadcast-sized
+       threshold join); rows beyond t drop outright; ONLY the
+       threshold bucket — in expectation group_size/16^digits rows —
+       pays a rank window for its r smallest.
+
+    Groups smaller than ``cap`` have no threshold bucket and keep
+    everything. ``id_col`` must be non-null and unique (it is the tie
+    break making the selection total).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if not 1 <= bucket_hex_digits <= 8:
+        raise ValueError("bucket_hex_digits must be in [1, 8]")
+    from pyspark.sql import Window
+
+    cols = df.columns
+    d = df.withColumn(
+        "_h", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    ).withColumn("_b", F.substring("_h", 1, int(bucket_hex_digits)))
+
+    cells = d.groupBy(group_col, "_b").agg(F.count("*").alias("_n"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("_cum", F.sum("_n").over(w_cum))
+    # threshold bucket: first cell where the running count reaches cap;
+    # remainder = cap - (running count strictly before it)
+    thr = (
+        cum.filter(F.col("_cum") >= cap)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(group_col).orderBy("_b")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(group_col).alias("_tg"),
+            F.col("_b").alias("_tb"),
+            (F.lit(cap) - (F.col("_cum") - F.col("_n"))).alias("_r"),
+        )
+    )
+    j = d.join(
+        F.broadcast(thr), d[group_col].eqNullSafe(thr["_tg"]), "left"
+    )
+    below = j.filter(F.col("_tb").isNull() | (F.col("_b") < F.col("_tb")))
+    at = j.filter(F.col("_b") == F.col("_tb"))
+    w_at = Window.partitionBy(group_col).orderBy("_h", id_col)
+    at_kept = at.withColumn("_arn", F.row_number().over(w_at)).filter(
+        F.col("_arn") <= F.col("_r")
+    )
+    return below.select(*cols).unionByName(at_kept.select(*cols))

@@ -3238,6 +3238,7 @@ from . import round3_queries  # noqa: E402,F401
 from . import round4_queries  # noqa: E402,F401
 from . import round5_queries  # noqa: E402,F401
 from . import round6_queries  # noqa: E402,F401
+from . import round6b_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50

@@ -1,0 +1,182 @@
+"""Round-6 continuation batch: corpus-distribution primitives.
+
+Three operator families a 100 TB training-data pipeline needs that the
+registry did not yet cover:
+
+- **Worker sharding** (``operators/sharding.py``): rendezvous/HRW
+  assignment of documents to N training workers — map-only,
+  coordination-free, and minimally disruptive under worker-count
+  changes (the property ``rendezvous_stability`` pins with an exact
+  integer permille).
+- **Per-domain quotas** (``sampling.group_cap_sample``): RefinedWeb's
+  cap-per-registrable-domain, implemented WITHOUT a group-sized rank
+  window (bucket-threshold two phases; the oracle is the naive window,
+  so every driver row re-proves the two-phase ≡ window equivalence).
+- **Phrase blocklists** (``quality.phrase_blocklist_gate``): the
+  multi-token half of the C4 §2.2 gate (whole-token single terms were
+  round 6's ``blocklist_gate_docs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .driver_queries import q
+
+# ---------------------------------------------------------------------------
+# Rendezvous sharding
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_N_SHARDS_AFTER = 9
+
+#: DuckDB replay of rendezvous_shard: shard cross-join, argmax by
+#: (md5 weight, shard) via ROW_NUMBER DESC — the relational form of the
+#: map-only struct-array argmax.
+_HRW_CTE = """
+s{n} AS (SELECT UNNEST(RANGE({n})) AS shard),
+a{n} AS (
+    SELECT d.doc_id, s{n}.shard,
+           MD5('hrw|' || CAST(s{n}.shard AS VARCHAR) || '|'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+    FROM documents d CROSS JOIN s{n}
+),
+w{n} AS (
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY h DESC, shard DESC
+           ) AS rn
+    FROM a{n}
+)
+"""
+
+_ORACLE_RENDEZVOUS = f"""
+WITH {_HRW_CTE.format(n=_N_SHARDS)}
+SELECT shard, COUNT(*) AS n_docs
+FROM w{_N_SHARDS} WHERE rn = 1
+GROUP BY shard
+"""
+
+
+@q("rendezvous_shards", _ORACLE_RENDEZVOUS)
+def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard document counts under rendezvous (HRW) assignment to
+    8 workers (operators/sharding.py). The Spark side is one map-only
+    struct-array argmax per row — no shuffle before the final count —
+    while the oracle replays the argmax relationally, so the hash
+    match proves the two forms agree weight for weight."""
+    from ..operators.sharding import rendezvous_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        rendezvous_assign(docs, "doc_id", _N_SHARDS)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_ORACLE_STABILITY = f"""
+WITH {_HRW_CTE.format(n=_N_SHARDS)},
+{_HRW_CTE.format(n=_N_SHARDS_AFTER)},
+b AS (SELECT doc_id, shard FROM w{_N_SHARDS} WHERE rn = 1),
+c AS (SELECT doc_id, shard FROM w{_N_SHARDS_AFTER} WHERE rn = 1)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN b.shard <> c.shard THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_moved,
+       CAST((1000 * SUM(CASE WHEN b.shard <> c.shard THEN 1 ELSE 0 END))
+           // COUNT(*) AS BIGINT) AS moved_permille
+FROM b JOIN c USING (doc_id)
+"""
+
+
+@q("rendezvous_stability", _ORACLE_STABILITY)
+def rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-disruption audit for the worker resize 8 → 9: exact
+    count (and integer permille) of documents whose HRW shard changes.
+    Rendezvous moves ~1/9 ≈ 111‰ (only ids whose NEW worker's weight
+    wins); modulo hashing would move ~8/9 of the corpus. One scan, two
+    map-only assignment expressions, one global aggregate."""
+    from ..operators.sharding import shard_movement
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_movement(docs, "doc_id", _N_SHARDS, _N_SHARDS_AFTER)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap
+# ---------------------------------------------------------------------------
+
+_CAP = 15
+
+_ORACLE_DOMAIN_CAP = f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5('c|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {_CAP}
+"""
+
+
+@q("per_domain_cap_sample", _ORACLE_DOMAIN_CAP)
+def per_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb per-domain quota: at most 15 documents per source,
+    selected by content hash (sampling.group_cap_sample). The Spark
+    plan never rank-windows a whole group — hash-prefix cells, a
+    broadcast threshold join, and a window over ONLY each group's
+    threshold cell (bucket_hex_digits=1 → 16 cells, so the partial
+    cell is non-trivially exercised at every sf). The oracle is the
+    naive per-group ROW_NUMBER, making each driver row an equivalence
+    proof of the two-phase plan."""
+    from ..operators.sampling import group_cap_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_cap_sample(
+        docs, "source", "doc_id", _CAP, bucket_hex_digits=1
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Phrase blocklist
+# ---------------------------------------------------------------------------
+
+_PHRASES = ["fast table", "table table", "slow fast", "value fast"]
+
+_PHRASE_LIST = "[" + ", ".join(f"' {p} '" for p in _PHRASES) + "]"
+
+_ORACLE_PHRASE_GATE = f"""
+SELECT doc_id, n_blocked_phrases, n_blocked_phrases = 0 AS keep
+FROM (
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN 0
+                ELSE LEN(LIST_FILTER(
+                    {_PHRASE_LIST},
+                    p -> CONTAINS(
+                        ' ' || REGEXP_REPLACE(
+                            LOWER(TRIM(text)), '[ \\t\\n\\r\\f]+', ' ', 'g'
+                        ) || ' ',
+                        p
+                    )
+                )) END AS n_blocked_phrases
+    FROM documents
+)
+"""
+
+
+@q("phrase_blocklist_docs", _ORACLE_PHRASE_GATE)
+def phrase_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token C4 blocklist gate: distinct blocked PHRASES per
+    document under whole-token-boundary matching
+    (quality.phrase_blocklist_gate) — map-only literal-array probes,
+    zero shuffles, the same linear-scan profile as the single-term
+    gate it completes."""
+    from ..operators.quality import phrase_blocklist_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_blocklist_gate(docs, _PHRASES).select(
+        "doc_id", "n_blocked_phrases", "keep"
+    )
