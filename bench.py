@@ -163,6 +163,7 @@ HEADLINE = [
     "rendezvous_stability",
     "per_domain_cap_sample",
     "phrase_blocklist_docs",
+    "python_datasource_agg",
 ]
 
 

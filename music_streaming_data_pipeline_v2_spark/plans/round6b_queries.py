@@ -180,3 +180,61 @@ def phrase_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_blocklist_gate(docs, _PHRASES).select(
         "doc_id", "n_blocked_phrases", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource connector (Spark 4 custom-source surface)
+# ---------------------------------------------------------------------------
+
+_DS_N, _DS_LO, _DS_HI = 4_000, 500, 3_500
+
+_ORACLE_PYDS = f"""
+WITH g AS (SELECT UNNEST(RANGE({_DS_LO}, {_DS_HI})) AS id),
+r AS (
+    SELECT id,
+           (STRPOS('0123456789abcdef',
+                   SUBSTRING(MD5('ds|' || CAST(id AS VARCHAR)), 1, 1)) - 1)
+               * 16
+         + (STRPOS('0123456789abcdef',
+                   SUBSTRING(MD5('ds|' || CAST(id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket,
+           (id * 2654435761 + 40503) % 1000003 AS value
+    FROM g
+)
+SELECT ['en', 'de', 'fr', 'es', 'zh'][(bucket % 5) + 1] AS lang,
+       COUNT(*) AS n_rows,
+       CAST(SUM(value) AS BIGINT) AS sum_value
+FROM r GROUP BY 1
+"""
+
+
+@q("python_datasource_agg", _ORACLE_PYDS)
+def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the custom Python DataSource (io/pydatasource.py — the
+    Spark 4 `pyspark.sql.datasource` connector surface) under a range
+    predicate that the source's ``pushFilters`` consumes: the pruned
+    ids are never GENERATED (true pushdown, the executed plan's only
+    residual filter is isnotnull). The generator's fields are md5 +
+    multiply-mod integer arithmetic, so the DuckDB oracle replays the
+    connector's whole output from ``generate_series`` — connector,
+    pushdown window, and aggregate all pinned by one hash match.
+    ``sf_dir`` is unused: the source IS the data."""
+    from pyspark.sql import functions as F
+
+    from ..io.pydatasource import register_synthetic
+
+    register_synthetic(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", _DS_N)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= _DS_LO) & (F.col("id") < _DS_HI))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value").cast("long").alias("sum_value"),
+        )
+    )
