@@ -265,3 +265,45 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_partitioned_audited(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    null_check_cols: list[str] | None = None,
+) -> dict:
+    """``write_partitioned`` plus a write-audit manifest computed in
+    the SAME job via ``df.observe`` — rows written, per-column null
+    counts, and min/max of every partition column, collected as
+    accumulator-style metrics while the write runs. The classic
+    anti-pattern this replaces is ``df.count(); df.write...`` (or
+    worse, write-then-read-back-and-count): at 100 TB each of those is
+    a full extra scan; ``observe`` rides the write's own pass for
+    free and, unlike ``df.cache(); count; write``, holds no memory.
+
+    This is the AUDIT half of write-audit-publish: the returned dict
+    is the manifest a publish step checks (row count matches the
+    upstream contract, no nulls in key columns, partition bounds sane)
+    before atomically exposing the output.
+
+    Returns ``{"n_rows": ..., "null_<col>": ..., "min_<p>": ...,
+    "max_<p>": ...}``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_check_cols or []:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    for p in partition_by or []:
+        metrics.append(F.min(p).alias(f"min_{p}"))
+        metrics.append(F.max(p).alias(f"max_{p}"))
+    obs = Observation()
+    observed = df.observe(obs, *metrics)
+    write_partitioned(observed, path, partition_by, mode, fmt)
+    return dict(obs.get)
