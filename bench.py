@@ -164,6 +164,7 @@ HEADLINE = [
     "per_domain_cap_sample",
     "phrase_blocklist_docs",
     "python_datasource_agg",
+    "epoch_shuffle_positions",
 ]
 
 

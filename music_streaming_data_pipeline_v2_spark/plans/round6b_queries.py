@@ -238,3 +238,35 @@ def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("long").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense global sequence ids (epoch-shuffle positions)
+# ---------------------------------------------------------------------------
+
+_ORACLE_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY MD5('e|1|' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS seq
+FROM documents
+"""
+
+
+@q("epoch_shuffle_positions", _ORACLE_EPOCH_SHUFFLE)
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized global shuffle order for training epoch 1: every
+    document's dense position 0..n-1 under the 'e|1|' content-hash
+    coin (operators/ids.py:dense_row_numbers). The oracle is the
+    single-partition ROW_NUMBER the operator exists to avoid — the
+    Spark plan's only row-count-sized stages are a range exchange and
+    an Arrow offset+arange kernel, with the one global window running
+    over the #partitions-row offsets relation."""
+    from ..operators.ids import dense_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_coin", F.md5(F.concat(F.lit("e|1|"), F.col("doc_id").cast("string")))
+    )
+    return dense_row_numbers(
+        docs, ["_coin", "doc_id"], num_partitions=8
+    ).select("doc_id", "seq")

@@ -189,3 +189,52 @@ def test_phrase_gate_rejects_empty(spark, docs):
         phrase_blocklist_gate(docs, [])
     with pytest.raises(ValueError):
         phrase_blocklist_gate(docs, ["  "])
+
+
+# ---------------------------------------------------------------------------
+# dense_row_numbers
+# ---------------------------------------------------------------------------
+
+
+def test_dense_ids_match_global_window(spark, docs):
+    from music_streaming_data_pipeline_v2_spark.operators.ids import (
+        dense_row_numbers,
+    )
+
+    out = dense_row_numbers(
+        docs, ["n_chars", "doc_id"], num_partitions=8
+    ).select("doc_id", "seq")
+    ref = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1).alias(
+            "seq"
+        ),
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+
+
+def test_dense_ids_start_and_density(spark, docs):
+    from music_streaming_data_pipeline_v2_spark.operators.ids import (
+        dense_row_numbers,
+    )
+
+    n = docs.count()
+    out = dense_row_numbers(
+        docs, ["doc_id"], seq_col="pos", start=100, num_partitions=4
+    )
+    stats = out.agg(
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("d"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["d"]) == (100, 100 + n - 1, n)
+
+
+def test_dense_ids_rejects_empty_order(spark, docs):
+    from music_streaming_data_pipeline_v2_spark.operators.ids import (
+        dense_row_numbers,
+    )
+
+    with pytest.raises(ValueError):
+        dense_row_numbers(docs, [])
