@@ -3290,10 +3290,14 @@ _CHECK_FIRST = [
     # approx_distinct_users (rows-only, HLL++) displaced to the r7
     # pool by the final registration: an UNCHECKED oracled query
     # outranks a stale rows-only re-check whose replayable sibling
-    # (hll_distinct_users, below) is already in this window.
-    "minhash_lsh_pairs_docs",     # rows-only; oracled sibling below
-    "simhash_pairs_docs",         # rows-only; oracled sibling below
-    "minhash_drop_stats",         # rows-only; first-ever driver row
+    # (hll_distinct_users, below) is already in this window. The same
+    # rule displaced minhash_lsh_pairs_docs / simhash_pairs_docs /
+    # minhash_drop_stats when the session-2 continuation batch added
+    # six never-checked oracled queries (below) — each displaced
+    # rows-only entry has an oracled sibling either in this window
+    # (simhash_oracle, minhash_drop_stats_oracle) or already
+    # driver-proven (minhash_lsh_oracle, r4), and pytest still
+    # executes every rows-only entry per run.
     # -- 2. new this round / implementation changed this round
     "curation_recipe_e2e",
     "hll_distinct_users",
@@ -3327,9 +3331,17 @@ _CHECK_FIRST = [
     "key_skew_audit_users",
     "eb_shrunk_bad_rates",
     "pmi_collocations",
-    "heavy_hitter_tokens",
-    "cm_token_counts",
-    "textrank_keywords",
+    # heavy_hitter_tokens / cm_token_counts / textrank_keywords
+    # (implementation-changed this round, but already driver-proven
+    # r4/r5 green and re-proven by pytest oracle parity + plan
+    # contracts every run) ceded their re-check slots to the
+    # continuation batch's never-checked oracled queries:
+    "rendezvous_shards",
+    "rendezvous_stability",
+    "per_domain_cap_sample",
+    "phrase_blocklist_docs",
+    "python_datasource_agg",
+    "epoch_shuffle_positions",
     # -- 3. stalest re-checks: the round-6 final-batch additions
     #       consumed most of this section's slots one displaced r3
     #       fill at a time (new queries outrank re-checks — an

@@ -264,7 +264,10 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the #partitions-row offsets relation."""
     from ..operators.ids import dense_row_numbers
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    # explicit projection BEFORE the kernel boundary: mapInPandas is a
+    # pruning barrier, so an un-projected input would drag `text`
+    # through the range shuffle and the Arrow kernel
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
         "_coin", F.md5(F.concat(F.lit("e|1|"), F.col("doc_id").cast("string")))
     )
     return dense_row_numbers(
