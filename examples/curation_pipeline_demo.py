@@ -112,6 +112,15 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
 
+    # 0. per-domain cap (RefinedWeb order: the quota comes FIRST so a
+    # link-farm source cannot dominate every later stage's statistics)
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        group_cap_sample,
+    )
+
+    docs = group_cap_sample(docs, "source", "doc_id", cap=20)
+    n0_cap = docs.count()
+
     # 1. quality gate — rule features AND the unigram-LM score (CCNet
     # direction: a reference-corpus LM ranks crawl text); the demo
     # keeps rule-passing docs, records the LM score distribution
@@ -123,6 +132,18 @@ def main() -> None:
 
     # 1b. PII audit (report; masking is pii_redact on the same patterns)
     n_pii = pii_scan(good).filter("has_pii").count()
+
+    # 1b'. phrase blocklist audit (C4 §2.2 multi-token entries; the
+    # single-term gate runs inside quality_score's rule family)
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        phrase_blocklist_gate,
+    )
+
+    n_phrase = (
+        phrase_blocklist_gate(good, ["slow fast", "table table"])
+        .filter(~F.col("keep"))
+        .count()
+    )
 
     # 1c. template audit: per-source boilerplate 4-grams
     n_templates = template_ngrams(good, n=4, min_doc_frac=0.2).count()
@@ -275,7 +296,8 @@ def main() -> None:
     )
 
     print(f"corpus:        {n0} docs")
-    print(f"quality gate:  {n1} kept")
+    print(f"domain cap:    {n0_cap} kept (<=20/source)")
+    print(f"quality gate:  {n1} kept; {n_phrase} phrase-blocklist hits")
     print(f"exact dedup:   {n2} kept")
     print(f"near-dup:      {n3} kept")
     print(f"semantic:      {n3b} kept")
@@ -356,6 +378,35 @@ def main() -> None:
     wm = wordpiece_merges(train_docs, k=4)[0].orderBy("step").collect()
     fmt = lambda rows: " ".join(f"{r.lhs}+{r.rhs}" for r in rows)  # noqa: E731
     print(f"tokenizer:     BPE merges [{fmt(bm)}] | WordPiece [{fmt(wm)}]")
+
+    # 13. ship it: dense epoch-1 shuffle positions for the train split
+    # (two-phase zipWithIndex — no single-reducer window) and
+    # rendezvous shard assignment to 8 training workers, with the
+    # 8→9 resize-disruption audit
+    from music_streaming_data_pipeline_v2_spark.operators.ids import (
+        dense_row_numbers,
+    )
+    from music_streaming_data_pipeline_v2_spark.operators.sharding import (
+        rendezvous_assign,
+        shard_movement,
+    )
+
+    coined = train_docs.withColumn(
+        "_coin",
+        F.md5(F.concat(F.lit("e|1|"), F.col("doc_id").cast("string"))),
+    )
+    ordered = dense_row_numbers(coined, ["_coin", "doc_id"], num_partitions=8)
+    sharded = rendezvous_assign(ordered, "doc_id", 8)
+    shard_sizes = sorted(
+        (r["shard"], r["count"])
+        for r in sharded.groupBy("shard").count().collect()
+    )
+    mv = shard_movement(train_docs, "doc_id", 8, 9).first()
+    print(
+        f"dataloader:    epoch-1 order over {ordered.count()} train docs; "
+        f"shard sizes {[c for _, c in shard_sizes]}; "
+        f"8->9 resize moves {mv['moved_permille']} permille"
+    )
 
 
 if __name__ == "__main__":

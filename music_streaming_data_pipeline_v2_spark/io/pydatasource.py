@@ -193,3 +193,110 @@ def register_synthetic(spark) -> None:
     reach ``pushFilters`` instead of running as post-scan filters."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(make_synthetic_source())
+
+
+def make_jsonl_sink():
+    """Build (by value) the write side of the connector surface: a
+    JSONL directory sink with WRITE-AUDIT-PUBLISH commit semantics —
+    ``df.write.format("jsonl_manifest").option("path", d).save()``.
+
+    Tasks stage ``_staging/part-<pid>.jsonl`` and return a commit
+    message carrying (filename, rows, bytes); ONLY the driver-side
+    ``commit`` publishes: staged files move into the directory and a
+    ``_MANIFEST.json`` records every published file with its row count
+    (the audit a downstream reader checks — a torn or speculative
+    duplicate task's file is never listed, so it is never read).
+    ``abort`` removes the staging directory, leaving any previous
+    publish intact. This is the two-phase-commit shape every
+    production sink needs (and what parquet's _SUCCESS-only protocol
+    approximates without per-file audit counts).
+    """
+    import dataclasses
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclasses.dataclass
+    class _Staged(WriterCommitMessage):
+        filename: str
+        n_rows: int
+        n_bytes: int
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_manifest requires option 'path'")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            # task-attempt-unique staging name: speculative/retried
+            # attempts stage DIFFERENT files and only the committed
+            # attempt's message reaches commit()
+            name = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            tmp = os.path.join(staging, name)
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return _Staged(name, n, os.path.getsize(tmp))
+
+        def commit(self, messages):
+            import json
+            import os
+            import shutil
+
+            staging = os.path.join(self.path, "_staging")
+            manifest = {"files": [], "n_rows": 0, "n_bytes": 0}
+            for m in messages:
+                if m is None:
+                    continue
+                src = os.path.join(staging, m.filename)
+                dst = os.path.join(self.path, m.filename)
+                shutil.move(src, dst)
+                manifest["files"].append(
+                    {"name": m.filename, "n_rows": m.n_rows,
+                     "n_bytes": m.n_bytes}
+                )
+                manifest["n_rows"] += m.n_rows
+                manifest["n_bytes"] += m.n_bytes
+            shutil.rmtree(staging, ignore_errors=True)
+            with open(
+                os.path.join(self.path, "_MANIFEST.json"), "w"
+            ) as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.path, "_staging"), ignore_errors=True
+            )
+
+    class JsonlManifestSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_manifest"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options, overwrite)
+
+    return JsonlManifestSink
+
+
+def register_jsonl_sink(spark) -> None:
+    """Register the manifest-committed JSONL sink on this session."""
+    spark.dataSource.register(make_jsonl_sink())

@@ -124,3 +124,77 @@ def test_stream_replay_deterministic():
     # final batch clamps at n
     _, off = r.read({"next": 90})
     assert off == {"next": 100}
+
+
+# ---------------------------------------------------------------------------
+# jsonl_manifest sink (write-audit-publish)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_sink_manifest_publish(spark, tmp_path):
+    import json
+    import os
+
+    from music_streaming_data_pipeline_v2_spark.io.pydatasource import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(57)], "id long, name string"
+    ).repartition(4)
+    df.write.format("jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_rows"] == 57
+    assert len(manifest["files"]) == 4
+    assert sum(f["n_rows"] for f in manifest["files"]) == 57
+    # staging fully promoted; only manifest-listed files remain
+    names = sorted(os.listdir(out))
+    assert "_staging" not in names
+    listed = {f["name"] for f in manifest["files"]}
+    assert listed == {n for n in names if n.endswith(".jsonl")}
+    # rows round-trip through the published files
+    rows = []
+    for n in listed:
+        with open(os.path.join(out, n)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted((r["id"], r["name"]) for r in rows) == [
+        (i, f"d{i}") for i in range(57)
+    ]
+
+
+def test_jsonl_sink_requires_path(spark):
+    import pytest as _pytest
+
+    from music_streaming_data_pipeline_v2_spark.io.pydatasource import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    df = spark.range(3)
+    with _pytest.raises(Exception, match="path"):
+        df.write.format("jsonl_manifest").mode("append").save()
+
+
+def test_jsonl_sink_abort_leaves_no_staging(spark, tmp_path):
+    import os
+
+    from music_streaming_data_pipeline_v2_spark.io.pydatasource import (
+        make_jsonl_sink,
+    )
+
+    # drive the protocol directly: stage via abort() after a fake
+    # failure — the staging dir disappears, no manifest is written
+    sink_cls = make_jsonl_sink()
+    out = str(tmp_path / "aborted")
+    os.makedirs(os.path.join(out, "_staging"), exist_ok=True)
+    with open(os.path.join(out, "_staging", "part-0-0.jsonl"), "w") as fh:
+        fh.write('{"id": 1}\n')
+    writer = sink_cls({"path": out}).writer(None, False)
+    writer.abort([])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
