@@ -615,3 +615,59 @@ def test_char_entropy_matches_python_reference(spark, texts):
         )
         want[i] = (n, h / 1e9)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# group_cap_sample: bucket-threshold two-phase ≡ naive rank window
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def grouped_ids(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    groups = ["g0", "g1", "g2", None]
+    return [
+        (i, draw(st.sampled_from(groups))) for i in range(n)
+    ]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=grouped_ids(),
+    cap=st.integers(min_value=1, max_value=12),
+    digits=st.integers(min_value=1, max_value=3),
+)
+def test_group_cap_two_phase_equals_window(spark, rows, cap, digits):
+    from pyspark.sql import Window
+
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        group_cap_sample,
+    )
+
+    df = spark.createDataFrame(rows, "id long, grp string")
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(
+        (
+            (r["grp"], r["id"])
+            for r in group_cap_sample(
+                df, "grp", "id", cap, bucket_hex_digits=digits
+            ).collect()
+        ),
+        key=key,
+    )
+    h = F.md5(F.concat(F.lit("c|"), F.col("id").cast("string")))
+    w = Window.partitionBy("grp").orderBy(h, F.col("id"))
+    want = sorted(
+        (
+            (r["grp"], r["id"])
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == want

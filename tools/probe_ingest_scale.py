@@ -96,6 +96,9 @@ def main() -> None:
     from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (
         run_incremental_winnow,
     )
+    from music_streaming_data_pipeline_v2_spark.streaming.cap_ingest import (
+        run_incremental_cap,
+    )
 
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
@@ -141,6 +144,13 @@ def main() -> None:
                     F.col("doc_id").cast("string").alias("key"),
                 ).localCheckpoint(),
                 run_incremental_hll,
+            ),
+            (
+                "cap",
+                docs.select("doc_id", "text", "source").localCheckpoint(),
+                lambda spark, in_dir, work: run_incremental_cap(
+                    spark, in_dir, work, 15
+                ),
             ),
         ]
         for name, df, run in families:
