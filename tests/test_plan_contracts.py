@@ -97,3 +97,73 @@ def test_quantiles_shuffle_value_bounded(spark):
     # never directly above a corpus scan
     assert "HashAggregate" in plan
     assert len(sp) <= 3
+
+
+def test_rendezvous_is_map_only_before_count(spark):
+    # HRW assignment must be one map-side expression: exactly one scan,
+    # no join, and the only exchange is the final 8-row count aggregate
+    plan = _final_plan(spark, "rendezvous_shards")
+    assert plan.count("Scan ") == 1 or plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 2  # partial+final agg
+
+
+def test_phrase_gate_zero_shuffles(spark):
+    plan = _final_plan(spark, "phrase_blocklist_docs")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_group_cap_never_windows_the_corpus(spark):
+    # windows may run over the cell-count relation and the threshold
+    # cell only — every Window node must sit above a prior Filter or
+    # aggregate, and the keep path must be a broadcast join
+    plan = _final_plan(spark, "per_domain_cap_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no Window may consume the raw scan directly: each WindowExec's
+    # subtree must contain an aggregate or filter between it and the
+    # file scan; cheap structural proxy — the plan has at least one
+    # HashAggregate below the first Window occurrence
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:] or "Filter" in plan[first_window:]
+
+
+def test_epoch_ids_window_only_over_offsets(spark):
+    # the global row-number primitive: range partitioning for the data,
+    # one single-partition window ONLY over the per-partition counts
+    # (a #partitions-row relation), never over document rows
+    plan = _final_plan(spark, "epoch_shuffle_positions")
+    assert "Range" in plan or "rangepartitioning" in plan
+    # every Window in the plan must sit above a HashAggregate (the
+    # counts relation) — i.e. an aggregate appears after the window
+    # node in top-down order before any scan-level operator
+    for m in re.finditer(r"\bWindow\b", plan):
+        rest = plan[m.start():]
+        agg = rest.find("HashAggregate")
+        assert agg != -1, "window with no aggregate below it"
+
+
+def test_pydatasource_pushdown_leaves_only_isnotnull(spark):
+    from pyspark.sql import functions as F
+
+    from music_streaming_data_pipeline_v2_spark.io.pydatasource import (
+        register_synthetic,
+    )
+
+    register_synthetic(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000)
+        .load()
+        .filter((F.col("id") >= 100) & (F.col("id") < 200))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = [
+        ln for ln in plan.splitlines() if re.search(r"\bFilter\b", ln)
+    ]
+    # the range predicates were consumed by pushFilters: any residual
+    # Filter may contain only isnotnull
+    for ln in filters:
+        assert "isnotnull" in ln and ">=" not in ln and "<" not in ln, ln
