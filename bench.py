@@ -165,6 +165,8 @@ HEADLINE = [
     "phrase_blocklist_docs",
     "python_datasource_agg",
     "epoch_shuffle_positions",
+    "unigram_vocab_counts",
+    "unigram_token_lengths_docs",
 ]
 
 

@@ -273,3 +273,38 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_row_numbers(
         docs, ["_coin", "doc_id"], num_partitions=8
     ).select("doc_id", "seq")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece model) — rows-only: the Viterbi
+# DP is not SQL-expressible; the exact-integer trainer is instead
+# pinned against an independent brute-force reference
+# (tests/test_unigram.py) and is bit-deterministic by construction.
+# ---------------------------------------------------------------------------
+
+
+@q("unigram_vocab_counts")
+def unigram_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained unigram-LM vocabulary over the documents corpus
+    (operators/unigram.py): (piece, count) after 2 hard-EM iterations,
+    exact integers end to end — the third of the big-three subword
+    trainers (BPE / WordPiece / unigram). Per-iteration cost is one
+    Arrow Viterbi pass over the DISTINCT-WORD relation plus a
+    vocabulary-sized aggregate, never a corpus re-scan."""
+    from ..operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_train(docs, vocab_size=120, iterations=2)
+
+
+@q("unigram_token_lengths_docs")
+def unigram_token_lengths_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-trained unigram
+    vocabulary — the fertility audit for the unigram trainer (the
+    bpe_token_lengths shape: distinct words segment once through the
+    Arrow kernel; ONE corpus scan joins lengths back)."""
+    from ..operators.unigram import unigram_token_lengths, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, vocab_size=120, iterations=2)
+    return unigram_token_lengths(docs, vocab)
