@@ -171,18 +171,37 @@ def unigram_train(
 ) -> DataFrame:
     """Train the unigram vocabulary on ``corpus``; returns the final
     (piece, count) relation (exact integers — the model's probability
-    of a piece is count / Σcounts).
+    of a piece is count / Σcounts). One corpus scan builds the
+    distinct-word relation; everything after runs on it
+    (``unigram_train_from_words``)."""
+    words = _word_freqs(
+        corpus.select(F.lower(F.col(text_col)).alias(text_col)), text_col
+    )
+    return unigram_train_from_words(
+        words, max_piece_len, vocab_size, iterations
+    )
+
+
+def unigram_train_from_words(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    vocab_size: int = 120,
+    iterations: int = 2,
+) -> DataFrame:
+    """The trainer core over a ``(word, freq)`` relation — shared by
+    the batch path and the vocab-ingest retrain path
+    (streaming/vocab_ingest.py:query_unigram_vocab), the
+    ``bpe_merges_from_freqs`` split.
 
     Per iteration: one Arrow pass over the word relation + one
     piece-keyed aggregate + one vocabulary-sized collect. Pieces whose
     Viterbi count falls to zero drop out (the EM pruning step);
     single characters are floored at 1 so coverage never collapses."""
-    words = _word_freqs(corpus.select(F.lower(F.col(text_col)).alias(text_col)), text_col)
     words = words.localCheckpoint()
     seed = unigram_seed_vocab(words, max_piece_len, vocab_size)
     vocab = {r["piece"]: int(r["count"]) for r in seed.collect()}
     singles = {p for p in vocab if len(p) == 1}
-    spark = corpus.sparkSession
+    spark = words.sparkSession
     for _ in range(int(iterations)):
         total = sum(vocab.values())
         counts = words.mapInPandas(

@@ -144,3 +144,27 @@ def query_bpe_merges(
         F.col("_tok").alias("word"), F.col("_cnt").alias("freq")
     )
     return bpe_merges_from_freqs(freqs, k=k)[0]
+
+
+def query_unigram_vocab(
+    spark: SparkSession,
+    work_dir: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 120,
+    iterations: int = 2,
+) -> DataFrame:
+    """Train the unigram-LM vocabulary STRAIGHT FROM the accumulated
+    vocabulary cells — the query_bpe_merges stance for the third
+    trainer: summed occurrence cells ARE the (word, freq) relation
+    ``operators/unigram.py:unigram_train_from_words`` runs on, so a
+    retrain costs EM-iterations × vocabulary-sized jobs no matter how
+    much text ever ingested. Equals batch ``unigram_train`` over the
+    lowercased corpus — tests/test_vocab_ingest.py pins it."""
+    from ..operators.unigram import unigram_train_from_words
+
+    freqs = _merged_cells(spark, work_dir).select(
+        F.col("_tok").alias("word"), F.col("_cnt").alias("freq")
+    )
+    return unigram_train_from_words(
+        freqs, max_piece_len, vocab_size, iterations
+    )

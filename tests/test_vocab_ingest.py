@@ -121,3 +121,31 @@ def test_bpe_from_state_equals_batch_on_lowered_corpus(spark, tmp_path):
         k=4,
     )[0]
     assert _vals(query_bpe_merges(spark, str(work), k=4)) == _vals(batch)
+
+
+def test_unigram_from_state_equals_batch_on_lowered_corpus(spark, tmp_path):
+    """Unigram retrain from accumulated cells ≡ batch unigram_train on
+    the lowercased concatenation of every drained wave — the
+    query_bpe_merges contract for the third trainer."""
+    from music_streaming_data_pipeline_v2_spark.operators.unigram import (
+        unigram_train,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.vocab_ingest import (
+        query_unigram_vocab,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_vocab(spark, str(inp), str(work))
+    _write_wave(inp / "w2.jsonl", DOCS_W2)
+    run_incremental_vocab(spark, str(inp), str(work))
+
+    batch = unigram_train(
+        _df(spark, DOCS_W1 + DOCS_W2), vocab_size=30, iterations=2
+    )
+    got = query_unigram_vocab(
+        spark, str(work), vocab_size=30, iterations=2
+    )
+    assert _vals(got) == _vals(batch)
