@@ -108,6 +108,21 @@ def main() -> None:
     workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_demo"
     spark = get_spark("curation-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    import time as _time
+    _t0 = _time.monotonic()
+    _last = [_t0]
+
+    def _mark(stage: str) -> None:
+        # stage wall-clock to stderr as the run progresses (stdout
+        # keeps the end-of-run report): makes demo slowdowns
+        # attributable without a profiler
+        now = _time.monotonic()
+        print(
+            f"[stage {stage}: {now - _last[0]:.0f}s, "
+            f"total {now - _t0:.0f}s]",
+            file=sys.stderr,
+        )
+        _last[0] = now
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
@@ -120,6 +135,7 @@ def main() -> None:
 
     docs = group_cap_sample(docs, "source", "doc_id", cap=20)
     n0_cap = docs.count()
+    _mark("0-cap")
 
     # 1. quality gate — rule features AND the unigram-LM score (CCNet
     # direction: a reference-corpus LM ranks crawl text); the demo
@@ -127,11 +143,13 @@ def main() -> None:
     scored = quality_score(docs)
     good = scored.filter(F.col("quality_score") >= 0.3).drop("quality_score")
     n1 = good.count()
+    _mark("1-quality")
     lm_scores = unigram_logprob_score(good, good.filter(hash_bucket("doc_id") < 128))
     lm_lo = lm_scores.agg(F.min("avg_logprob")).first()[0]
 
     # 1b. PII audit (report; masking is pii_redact on the same patterns)
     n_pii = pii_scan(good).filter("has_pii").count()
+    _mark("1b-pii")
 
     # 1b'. phrase blocklist audit (C4 §2.2 multi-token entries; the
     # single-term gate runs inside quality_score's rule family)
@@ -165,6 +183,7 @@ def main() -> None:
     keep_exact = exact_dedup(good).select("doc_id")
     good = good.join(keep_exact, "doc_id")
     n2 = good.count()
+    _mark("2-exact")
 
     # 3. near-dup clusters → keep the best-quality doc per cluster
     # (argmax by distinct-token ratio, not min-id), carrying the
@@ -176,6 +195,7 @@ def main() -> None:
         "doc_id",
     )
     n3 = good.count()
+    _mark("3-neardup")
 
     # 3b. semantic dedup over the embedding column (1:1 doc_id↔vec_id
     # in the testdata); kmeans-lite codebook, drop non-representatives
@@ -189,6 +209,7 @@ def main() -> None:
     )
     good = good.join(sem_kept, "doc_id")
     n3b = good.count()
+    _mark("3b-semantic")
 
     # 4. decontamination vs the held-out split (content-hash test
     # slice), train postings cut map-side by the test grams' Bloom
@@ -201,6 +222,7 @@ def main() -> None:
     # drop *eval* docs that leak from train (conservative direction)
     good = good.join(leaked, good.doc_id == leaked.leak_id, "left_anti")
     n4 = good.count()
+    _mark("4-decontam")
 
     # 5. rebalance sources toward uniform, then quality-proportional
     # thinning: keep long documents with probability ∝ token count
@@ -213,6 +235,7 @@ def main() -> None:
         "_w", "doc_id",
     ).drop("_w")
     n5 = good.count()
+    _mark("5-rebalance")
 
     # 5b. target-domain match + language mix: DSIR importance of each
     # survivor against the src0-2 "target domain" (top exemplars via
@@ -224,6 +247,16 @@ def main() -> None:
         good, "lang", "doc_id", alpha=0.3, budget_frac=0.9
     ).drop("rate")
     n5b = good.count()
+    _mark("5b-mix")
+    # localCheckpoint: `good` is now the end of the mutation chain
+    # (cap → gate → exact → near-dup → semantic → decontam →
+    # rebalance → DSIR/temperature mix) and stages 5c-10 fire ~10
+    # separate actions against it — un-checkpointed, EVERY action
+    # re-executes the whole chain including the clustering and DSIR
+    # subtrees (measured: the demo's 6-10 block alone exceeded 10 min
+    # at sf0.001 before this line; the mmr_rerank lineage lesson at
+    # pipeline granularity)
+    good = good.localCheckpoint()
 
     # 5c. data recipe: ONE total budget water-filled into per-source
     # allocations (UniMax, 4-epoch repeat cap), then each allocation
@@ -295,6 +328,7 @@ def main() -> None:
         .first()[0]
     )
 
+    _mark("6-10-audits-splits-probes")
     print(f"corpus:        {n0} docs")
     print(f"domain cap:    {n0_cap} kept (<=20/source)")
     print(f"quality gate:  {n1} kept; {n_phrase} phrase-blocklist hits")
@@ -340,7 +374,16 @@ def main() -> None:
         curation_recipe,
     )
 
-    recipe = curation_recipe(docs, total_budget=6_001, max_epochs=3)
+    # localCheckpoint: the recipe subtree (near-dup clustering →
+    # representatives → gate → split → unimax → epochs) feeds SIX
+    # downstream consumers (summary, three tokenizer trainers, the
+    # dataloader order, the shard audit) — un-checkpointed, every one
+    # re-executes the clustering chain (the mmr_rerank lineage lesson;
+    # measured: demo wall-clock blew past 15 min from the repeats)
+    recipe = curation_recipe(
+        docs, total_budget=6_001, max_epochs=3
+    ).localCheckpoint()
+    _mark("11-recipe-checkpoint")
     summary = (
         recipe.groupBy("split")
         .agg(
@@ -373,11 +416,31 @@ def main() -> None:
 
     train_docs = docs.join(
         recipe.filter(F.col("split") == "train").select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint()  # five consumers below (three trainers + two audits)
+    _mark("11b-recipe-summary")
     bm = bpe_merges(train_docs, k=4)[0].orderBy("step").collect()
     wm = wordpiece_merges(train_docs, k=4)[0].orderBy("step").collect()
     fmt = lambda rows: " ".join(f"{r.lhs}+{r.rhs}" for r in rows)  # noqa: E731
     print(f"tokenizer:     BPE merges [{fmt(bm)}] | WordPiece [{fmt(wm)}]")
+
+    # 12b. the third trainer: unigram-LM (hard-EM Viterbi over the
+    # same train split; operators/unigram.py)
+    from music_streaming_data_pipeline_v2_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    _mark("12-bpe-wordpiece")
+    uv = unigram_train(train_docs, vocab_size=30, iterations=2)
+    top_pieces = (
+        uv.filter(F.length("piece") > 1)
+        .orderBy(F.desc("count"), "piece")
+        .limit(4)
+        .collect()
+    )
+    print(
+        "unigram:       top multi-char pieces "
+        + " ".join(f"{r.piece}:{r['count']}" for r in top_pieces)
+    )
 
     # 13. ship it: dense epoch-1 shuffle positions for the train split
     # (two-phase zipWithIndex — no single-reducer window) and
@@ -391,6 +454,7 @@ def main() -> None:
         shard_movement,
     )
 
+    _mark("12b-unigram")
     coined = train_docs.withColumn(
         "_coin",
         F.md5(F.concat(F.lit("e|1|"), F.col("doc_id").cast("string"))),
@@ -402,6 +466,7 @@ def main() -> None:
         for r in sharded.groupBy("shard").count().collect()
     )
     mv = shard_movement(train_docs, "doc_id", 8, 9).first()
+    _mark("13-dataloader")
     print(
         f"dataloader:    epoch-1 order over {ordered.count()} train docs; "
         f"shard sizes {[c for _, c in shard_sizes]}; "

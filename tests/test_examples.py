@@ -15,7 +15,11 @@ def _run(script: str, *args: str) -> str:
         [sys.executable, str(REPO / "examples" / script), *args],
         capture_output=True,
         text=True,
-        timeout=600,
+        # the curation demo runs ~30 sequential stages after the
+        # session-2 additions (domain cap, phrase gate, shard
+        # assignment, dataloader order, three tokenizer trainers) —
+        # ~11 min solo on this host
+        timeout=900,
         cwd=str(REPO),
     )
     assert out.returncode == 0, out.stderr[-2000:]
