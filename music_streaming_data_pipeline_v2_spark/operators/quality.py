@@ -604,3 +604,97 @@ def phrase_blocklist_gate(
     return df.withColumn("n_blocked_phrases", n).withColumn(
         "keep", F.col("n_blocked_phrases") == 0
     )
+
+
+def phrase_blocklist_join(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``phrase_blocklist_gate`` for PRODUCTION-SIZED lists: the same
+    whole-token-boundary phrase semantics, but the list is a RELATION
+    (column ``phrase``) instead of a plan literal — a UT1-style list
+    holds ~10⁵ entries, where N literal `contains` probes per row stop
+    being map-only-cheap and the plan itself stops compiling.
+
+    Physical strategy (the Bayardo rarest-first argument, applied to
+    phrase anchoring): tokenize once; compute token document
+    frequencies from the corpus postings; each phrase picks its
+    RAREST token as the join anchor (a phrase beginning with "the"
+    would otherwise drag the full stopword posting list through the
+    join); candidates come from the (anchor token) equi-join —
+    fan-out bounded by the anchor posting lengths, which rarest-first
+    makes the SHORT ones — and exact verification compares the
+    token-array slice at the anchored offset against the phrase's
+    token array. Output matches the gate: input columns plus
+    ``n_blocked_phrases`` (distinct phrases hit) and ``keep``.
+
+    Anchor choice affects ONLY the candidate set, never membership —
+    pinned by the gate-equivalence and DuckDB-parity tests
+    (tests/test_round6b_ops.py).
+    """
+    from pyspark.sql import Window
+
+    ws = r"[ \t\n\r\f]+"
+
+    def _toks(c):
+        return F.filter(
+            F.split(F.lower(F.trim(c)), ws), lambda x: x != ""
+        )
+
+    docs = df.select(
+        F.col(id_col).alias("_did"), _toks(F.col(text_col)).alias("_toks")
+    )
+    posting = docs.select(
+        "_did", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    dfreq = posting.groupBy("_tok").agg(
+        F.countDistinct("_did").alias("_df")
+    )
+    p = (
+        phrases.select(_toks(F.col("phrase")).alias("_ptoks"))
+        .filter(F.size("_ptoks") > 0)
+        .distinct()
+    )
+    pe = p.select("_ptoks", F.posexplode("_ptoks").alias("_k", "_tok"))
+    pj = pe.join(dfreq, "_tok", "left").withColumn(
+        "_df", F.coalesce("_df", F.lit(0))
+    )
+    w = Window.partitionBy("_ptoks").orderBy("_df", "_k")
+    anchors = (
+        pj.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_ptoks",
+            F.col("_tok").alias("_anchor"),
+            F.col("_k").alias("_koff"),
+        )
+    )
+    cand = posting.join(
+        F.broadcast(anchors), posting["_tok"] == anchors["_anchor"]
+    )
+    start = F.col("_pos") - F.col("_koff")
+    ver = cand.join(docs, "_did").filter(
+        (start >= 0)
+        & (start + F.size("_ptoks") <= F.size("_toks"))
+        & (
+            F.expr("slice(_toks, _pos - _koff + 1, size(_ptoks))")
+            == F.col("_ptoks")
+        )
+    )
+    hits = (
+        ver.select("_did", "_ptoks")
+        .distinct()
+        .groupBy("_did")
+        .agg(F.count("*").cast("long").alias("n_blocked_phrases"))
+    )
+    return (
+        df.join(hits, df[id_col] == hits["_did"], "left")
+        .drop("_did")
+        .withColumn(
+            "n_blocked_phrases",
+            F.coalesce("n_blocked_phrases", F.lit(0).cast("long")),
+        )
+        .withColumn("keep", F.col("n_blocked_phrases") == 0)
+    )

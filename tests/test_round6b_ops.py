@@ -238,3 +238,106 @@ def test_dense_ids_rejects_empty_order(spark, docs):
 
     with pytest.raises(ValueError):
         dense_row_numbers(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# phrase_blocklist_join (relation-sized lists)
+# ---------------------------------------------------------------------------
+
+
+def _phrases_df(spark, phrases):
+    return spark.createDataFrame([(p,) for p in phrases], "phrase string")
+
+
+def test_phrase_join_equals_literal_gate(spark, docs):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        phrase_blocklist_join,
+    )
+
+    phrases = ["fast table", "table table", "slow fast", "the part data"]
+    a = phrase_blocklist_gate(docs, phrases).select(
+        "doc_id", "n_blocked_phrases", "keep"
+    )
+    b = phrase_blocklist_join(docs, _phrases_df(spark, phrases)).select(
+        "doc_id", "n_blocked_phrases", "keep"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # non-vacuous: some doc matches some phrase
+    assert b.filter(~F.col("keep")).count() > 0
+
+
+def test_phrase_join_duckdb_parity(spark):
+    import duckdb
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta beta gamma"),
+        (3, "the beta  gamma\tdelta"),
+        (4, "betagamma delta"),
+        (5, None),
+        (6, "gamma"),
+    ]
+    phrases = ["beta gamma", "gamma delta", "Beta   Gamma", "epsilon"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        phrase_blocklist_join,
+    )
+
+    got = {
+        r["doc_id"]: r["n_blocked_phrases"]
+        for r in phrase_blocklist_join(
+            df, _phrases_df(spark, phrases)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d(doc_id BIGINT, text VARCHAR); "
+        "CREATE TABLE p(phrase VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.executemany("INSERT INTO p VALUES (?)", [(p,) for p in phrases])
+    want = dict(
+        con.execute(
+            r"""
+            WITH np AS (
+                SELECT DISTINCT ARRAY_TO_STRING(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(phrase)), '[ \t\n\r\f]+'),
+                    x -> x <> ''), ' ') AS ph
+                FROM p
+                WHERE TRIM(phrase) <> ''
+            )
+            SELECT doc_id, CAST(COUNT(CASE WHEN CONTAINS(
+                ' ' || ARRAY_TO_STRING(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\r\f]+'),
+                    x -> x <> ''), ' ') || ' ',
+                ' ' || ph || ' ') THEN 1 END) AS BIGINT)
+            FROM d CROSS JOIN np
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_phrase_join_boundaries(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        phrase_blocklist_join,
+    )
+
+    rows = [
+        (1, "rat race"),            # exact doc == phrase
+        (2, "x rat race"),          # at end
+        (3, "rat race y"),          # at start
+        (4, "rat racer"),           # boundary: no
+        (5, "brat race"),           # boundary: no
+        (6, "rat"),                 # shorter than phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in phrase_blocklist_join(
+            df, _phrases_df(spark, ["rat race"])
+        ).collect()
+    }
+    assert out == {1: False, 2: False, 3: False, 4: True, 5: True, 6: True}
