@@ -556,6 +556,43 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         name = "streaming_incremental_overlap"
         timings[name] = min(elapsed, timings.get(name, elapsed))
 
+        # --- incremental per-domain cap (k-MIN candidate cells),
+        # reusing the same (doc, source) waves; one capped-corpus read
+        # over the merged state per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.cap_ingest import (
+            query_capped,
+            run_incremental_cap,
+        )
+
+        cap_in = os.path.join(work, "cap", "in")
+        os.makedirs(cap_in, exist_ok=True)
+        cwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "cap", "staged", f"w{wnum}")
+            pdocs.filter(key == wnum).repartition(4).write.mode(
+                "overwrite"
+            ).json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "cap", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            cwaves.append(files)
+        wdirc = os.path.join(work, "cap", "work")
+        t0 = time.monotonic()
+        for files in cwaves:
+            for f in files:
+                shutil.move(f, cap_in)
+            run_incremental_cap(spark, cap_in, wdirc, cap=15)
+            query_capped(spark, wdirc, cap=15).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_cap"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
         # --- incremental winnow (MOSS) overlap index over the same
         # doc waves, plus one cross-batch pair read per drain
         from music_streaming_data_pipeline_v2_spark.streaming.winnow_ingest import (
