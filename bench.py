@@ -631,6 +631,9 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
     return timings
 
 
+_LOADAVG_AT_START = [round(x, 2) for x in os.getloadavg()]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -683,6 +686,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # Load stamp from capture START (before the session spun up —
+        # mid/end-of-run loadavg would just measure the bench's own 32
+        # worker threads). Cross-round comparison is meaningless when
+        # either capture started on a loaded host — r6's 1.15x
+        # "regression" was pure host drift — so compare_bench.py
+        # refuses comparisons when either side's 1-min figure > 2.
+        "loadavg": _LOADAVG_AT_START,
     }
     # Durable sidecar FIRST: the driver records only a bounded tail of
     # stdout, and with 80+ queries the single JSON line outgrows that

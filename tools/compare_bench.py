@@ -24,17 +24,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_times(path: str) -> dict[str, float]:
+def load_times(path: str) -> tuple[dict[str, float], float | None]:
+    """Returns (per-query seconds, 1-min loadavg at capture start or
+    None for pre-stamp captures)."""
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data and isinstance(data["queries"], dict):
-        return {k: float(v) for k, v in data["queries"].items()}
+        la = data.get("loadavg")
+        load1 = float(la[0]) if isinstance(la, list) and la else None
+        return {k: float(v) for k, v in data["queries"].items()}, load1
     # driver capture: parse whatever "name": seconds pairs survive in
     # the clipped tail
     tail = data.get("tail", "")
     pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
-    skip = {"metric", "value", "sf"}
-    return {k: float(v) for k, v in pairs if k not in skip}
+    skip = {"metric", "value", "sf", "loadavg"}
+    return {k: float(v) for k, v in pairs if k not in skip}, None
 
 
 def main() -> None:
@@ -51,8 +55,21 @@ def main() -> None:
     )
     if not old_path or not os.path.exists(new_path):
         raise SystemExit("need an old BENCH_r*.json and BENCH_TIMES.json")
-    old = load_times(old_path)
-    new = load_times(new_path)
+    old, old_load = load_times(old_path)
+    new, new_load = load_times(new_path)
+    # A capture that STARTED on a busy host (1-min loadavg > 2) is not
+    # comparable — r6 proved a loaded host shifts every multi-job query
+    # 1.2-1.7x with identical code/plans. --force overrides for
+    # forensic use; unstamped (pre-round-7) captures pass with a note.
+    for label, load in (("old", old_load), ("new", new_load)):
+        if load is None:
+            print(f"note: {label} capture has no loadavg stamp")
+        elif load > 2.0 and "--force" not in sys.argv:
+            raise SystemExit(
+                f"{label} capture started at loadavg {load} (> 2): "
+                "comparison would measure host load, not code. "
+                "Re-capture idle or pass --force."
+            )
     shared = sorted(set(old) & set(new))
     if not shared:
         raise SystemExit("no shared queries between the two captures")
