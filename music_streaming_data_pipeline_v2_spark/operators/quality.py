@@ -611,6 +611,7 @@ def phrase_blocklist_join(
     phrases: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """``phrase_blocklist_gate`` for PRODUCTION-SIZED lists: the same
     whole-token-boundary phrase semantics, but the list is a RELATION
@@ -632,7 +633,18 @@ def phrase_blocklist_join(
 
     Anchor choice affects ONLY the candidate set, never membership —
     pinned by the gate-equivalence and DuckDB-parity tests
-    (tests/test_round6b_ops.py).
+    (tests/test_round6b_ops.py). That invariance is what makes
+    ``dfreq`` pluggable: pass a precomputed ``(_tok, _df)`` relation
+    (e.g. the vocab-ingest state's summed cells,
+    streaming/vocab_ingest.py:query_phrase_dfreq) and the per-call
+    corpus re-aggregation is skipped entirely — the per-batch gate of
+    a streaming pipeline then reads bounded vocabulary state instead
+    of re-scanning postings every invocation. The supplied statistics
+    may even be stale or differently tokenized (engine_safe_tokens vs
+    this operator's whitespace split): a mis-ranked anchor can only
+    enlarge or shrink the candidate fan-out, never change the verified
+    answer. Default ``None`` computes frequencies from ``df`` itself,
+    the batch behavior.
     """
     from pyspark.sql import Window
 
@@ -649,9 +661,12 @@ def phrase_blocklist_join(
     posting = docs.select(
         "_did", F.posexplode("_toks").alias("_pos", "_tok")
     )
-    dfreq = posting.groupBy("_tok").agg(
-        F.countDistinct("_did").alias("_df")
-    )
+    if dfreq is None:
+        dfreq = posting.groupBy("_tok").agg(
+            F.countDistinct("_did").alias("_df")
+        )
+    else:
+        dfreq = dfreq.select("_tok", F.col("_df").cast("long").alias("_df"))
     p = (
         phrases.select(_toks(F.col("phrase")).alias("_ptoks"))
         .filter(F.size("_ptoks") > 0)

@@ -3242,141 +3242,85 @@ from . import round6b_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
-# queries in registration order. Window policy (alternating window, per
-# ADVICE r3; round-6 instance — this round finally retires the whole
-# stale-verification debt, VERDICT r5 task #1):
-#   1. the 14 queries whose most recent driver row is round 2 (11
-#      oracled + 3 rows-only) plus minhash_drop_stats, which has NEVER
-#      produced a driver row — after r6, no registry query's latest
-#      driver row predates r3;
-#   2. queries NEW this round (never driver-checked, outrank
-#      re-checks: curation_recipe_e2e, hll_distinct_users,
-#      dedup_clusters_star, kn_bigram_quality, blocklist_gate_docs,
-#      session_window_native, variant_json_agg) and queries whose
-#      implementation changed this round (heavy_hitter_tokens's
-#      single-scan threshold, cm_token_counts's 8-hex 32-bit bucket
-#      addressing, textrank_keywords's two-phase
-#      TakeOrderedAndProject top-k; late additions
-#      containment_pairs_docs, kfold_leakage_safe, the four
-#      tokenizer-induction/fertility queries, and
-#      quality_percentile_by_source, minhash_drop_stats_oracle,
-#      curated_bpe_merges, curation_funnel_by_lang, and the second
-#      late batch — chi2_keyness_by_lang, the sq8 family (codes /
-#      topk / recall), source_overlap_minhash — each displaced
-#      one alphabetical r3 fill into the r7 pool);
-#   3. the remaining 15 slots take the stalest (r3-green) queries in
-#      alphabetical order — mechanical, so the r7 rotation can take the
-#      complement without judgment calls — except simhash_oracle is
-#      swapped in (VERDICT r5 #5 asks for a fresh hash-green driver row
-#      for the simhash full-replay oracle). The r3-green queries listed
-#      at the end of the window are the r7 rotation pool.
-# tests/test_registry_window.py enforces the invariant behind this:
-# every oracled entry is either already driver-proven or inside the
-# current window. tests/test_oracle_parity.py still checks ALL oracled
-# entries at sf0.001 on every pytest run regardless of position.
+# queries in registration order.
+#
+# WINDOW POLICY (structural, round 7 onward — VERDICT r6 task #2): a
+# query's slot priority is its STALENESS — the window takes the 50
+# queries whose most recent green driver row is oldest, oldest round
+# first, alphabetical within a round (mechanical, so each rotation is
+# the previous ledger's complement without judgment calls). Once the
+# stale backlog exceeds one window (it is 88 entering r7: 45 r3-green
+# + 43 r4-green), NEW oracled registrations are capped at 5 per round
+# and displace only the youngest tail of the window (the newest-round
+# stale entries), never the oldest block. Rationale: with 196 queries
+# and a 50-slot gate, unbounded new registration grows rotation debt
+# without bound — r3-green queries slipped the window in BOTH r5 and
+# r6 because new queries kept outranking re-checks. Per-run pytest
+# oracle parity (tests/test_oracle_parity.py) still re-proves every
+# oracled query at sf0.001 regardless of window position, so windowing
+# is verification freshness, not the only correctness net.
+#
+# Round-7 instance: the 45 r3-green queries (stalest pool, skipped in
+# r5 AND r6) + the 5 alphabetically-first r4-green queries. New
+# registrations this round consume the r4 tail slots per the cap.
+# Ledger source: CORRECTNESS_r01..r06 latest-green union; after r7 the
+# ledger holds zero r3 rows and the r8 window is the remaining 38
+# r4-green + the 12 oldest r5-green entries.
 _CHECK_FIRST = [
-    # -- 1. last driver row r1/r2, plus the one never-checked entry
-    "asof_user_setting",
-    "brand_stats_having",
-    "day_over_day",
-    "embedding_near_dups_exact",
-    "except_entities",
-    "lang_detect_counts",
-    "serving_user_range",
-    "token_stats",
-    "type_share_of_day",
-    "union_dedup",
-    "user_sessions",
-    # approx_distinct_users (rows-only, HLL++) displaced to the r7
-    # pool by the final registration: an UNCHECKED oracled query
-    # outranks a stale rows-only re-check whose replayable sibling
-    # (hll_distinct_users, below) is already in this window. The same
-    # rule displaced minhash_lsh_pairs_docs / simhash_pairs_docs /
-    # minhash_drop_stats when the session-2 continuation batch added
-    # six never-checked oracled queries (below) — each displaced
-    # rows-only entry has an oracled sibling either in this window
-    # (simhash_oracle, minhash_drop_stats_oracle) or already
-    # driver-proven (minhash_lsh_oracle, r4), and pytest still
-    # executes every rows-only entry per run.
-    # -- 2. new this round / implementation changed this round
-    "curation_recipe_e2e",
-    "hll_distinct_users",
-    "dedup_clusters_star",
-    "kn_bigram_quality",
-    "blocklist_gate_docs",
-    "session_window_native",
-    "variant_json_agg",
-    "containment_pairs_docs",
-    "kfold_leakage_safe",
-    "bpe_merge_steps",
-    "bpe_token_lengths",
-    "wordpiece_merge_steps",
-    "quality_percentile_by_source",
-    "bpe_fertility_by_lang",
-    "minhash_drop_stats_oracle",
-    "curated_bpe_merges",
-    "curation_funnel_by_lang",
-    "chi2_keyness_by_lang",
-    "sq8_codes",
-    "sq8_topk_sym",
-    "sq8_recall",
-    "source_overlap_minhash",
-    "ks_drift_by_source",
-    "ngram_novelty_scores",
-    "embedding_outlier_gate",
-    "source_token_overlap_hll",
-    "tfidf_cosine_pairs_docs",
-    "session_attribution_first_touch",
-    "lang_confusion_matrix",
-    "key_skew_audit_users",
-    "eb_shrunk_bad_rates",
-    "pmi_collocations",
-    # heavy_hitter_tokens / cm_token_counts / textrank_keywords
-    # (implementation-changed this round, but already driver-proven
-    # r4/r5 green and re-proven by pytest oracle parity + plan
-    # contracts every run) ceded their re-check slots to the
-    # continuation batch's never-checked oracled queries:
-    "rendezvous_shards",
-    "rendezvous_stability",
-    "per_domain_cap_sample",
-    "phrase_blocklist_docs",
-    "python_datasource_agg",
-    "epoch_shuffle_positions",
-    # -- 3. stalest re-checks: the round-6 final-batch additions
-    #       consumed most of this section's slots one displaced r3
-    #       fill at a time (new queries outrank re-checks — an
-    #       unchecked query is worse than an r3-green one that pytest
-    #       parity re-proves every run); what remains is the flagship
-    #       plus simhash_oracle (VERDICT r5 #5's fresh-row ask).
-    #       minhash_lsh_oracle (r4-green, less stale than the pool)
-    #       was displaced by the last addition.
-    "simhash_oracle",
-    # -- (r3-green queries deferred to the r7 rotation pool:
-    #     daily_kpis (re-proven by entry() smoke + pytest parity every
-    #     run — the one window fill safe to displace last),
-    #     bi_nation_volume, bigram_collocations, brand_basket_pairs,
-    #     click_purchase_funnel, minhash_lsh_oracle (r4),
-    #     cdc_latest_state, click_purchase_funnel_native, corpus_curation,
-    #     cumulative_unique_buyers, dataset_split_counts,
-    #     dim_merge_upsert, disjunctive_part_revenue,
-    #     doc_repetition_filter,
-    #     embedding_quantize_codes,
-    #     ewma_per_user, fuzzy_part_pairs, global_top_spenders,
-    #     idle_rich_customers, incremental_daily_agg,
-    #     interpolated_purchase_series, intersect_entities,
-    #     inverted_index_tokens,
-    #     monthly_retention_cohorts, multi_order_customers_exists,
-    #     music_pipeline_kpis, music_pipeline_top_songs,
-    #     orders_by_nation_block_in,
-    #     pivot_event_type_matrix, promo_revenue_share,
-    #     redacted_docs, rolling_30d_distinct_customers, scd2_user_state,
-    #     small_qty_orders_scalar_subq, source_mix_weights,
-    #     tfidf_top_terms, token_frequencies, top_types_per_day,
-    #     top_users_per_type_day, train_test_contamination,
-    #     user_value_quartiles, value_histogram,
-    #     value_moments_by_type, views_near_clicks, winsorized_means
-    #     + whatever r6 registers or changes. All hold green driver
-    #     rows and per-run pytest oracle parity.)
+    # -- 45 r3-green (stalest; alphabetical) --
+    "bi_nation_volume",
+    "bigram_collocations",
+    "brand_basket_pairs",
+    "cdc_latest_state",
+    "click_purchase_funnel",
+    "click_purchase_funnel_native",
+    "corpus_curation",
+    "cumulative_unique_buyers",
+    "daily_kpis",
+    "dataset_split_counts",
+    "dim_merge_upsert",
+    "disjunctive_part_revenue",
+    "doc_repetition_filter",
+    "embedding_quantize_codes",
+    "ewma_per_user",
+    "fuzzy_part_pairs",
+    "global_top_spenders",
+    "idle_rich_customers",
+    "incremental_daily_agg",
+    "interpolated_purchase_series",
+    "intersect_entities",
+    "inverted_index_tokens",
+    "minhash_lsh_oracle",
+    "monthly_retention_cohorts",
+    "multi_order_customers_exists",
+    "music_pipeline_kpis",
+    "music_pipeline_top_songs",
+    "orders_by_nation_block_in",
+    "pivot_event_type_matrix",
+    "promo_revenue_share",
+    "redacted_docs",
+    "rolling_30d_distinct_customers",
+    "scd2_user_state",
+    "small_qty_orders_scalar_subq",
+    "source_mix_weights",
+    "tfidf_top_terms",
+    "token_frequencies",
+    "top_types_per_day",
+    "top_users_per_type_day",
+    "train_test_contamination",
+    "user_value_quartiles",
+    "value_histogram",
+    "value_moments_by_type",
+    "views_near_clicks",
+    "winsorized_means",
+    # -- 5 oldest r4-green (alphabetical; the new-registration
+    #    displacement tail — a new oracled query this round takes
+    #    the LAST slot first) --
+    "ann_cosine_topk",
+    "ann_lsh_oracle",
+    "ann_lsh_recall",
+    "argmax_order_by_nation",
+    "balanced_source_sample",
 ]
 
 def finalize_registry() -> dict[str, Q]:

