@@ -227,7 +227,18 @@ def unigram_token_lengths(
     """Per-document token count under a trained unigram vocabulary:
     segment the DISTINCT words once (Arrow Viterbi kernel), then one
     corpus scan equi-joins per-word lengths back — the
-    ``bpe_encode_lengths`` shape. Returns (id_col, n_tokens)."""
+    ``bpe_encode_lengths`` shape. Returns
+    ``(id_col, n_tokens, n_unsegmentable)``.
+
+    Cross-vocab safety: a word containing a character absent from the
+    vocabulary has no segmentation (the kernel returns NULL). Such
+    words fall back to their CHAR COUNT — ``bpe_encode_lengths``'s
+    untrained-segmentation upper bound — instead of silently dropping
+    out of the sum, and ``n_unsegmentable`` counts them per document
+    so a vocab/corpus mismatch is loud. Same-corpus vocabularies
+    contain every corpus character (the trainer floors single chars
+    at count 1), so there the fallback never fires and
+    ``n_unsegmentable`` is 0."""
     vd = {r["piece"]: int(r["count"]) for r in vocab.collect()}
     total = sum(vd.values())
     lowered = corpus.select(
@@ -249,5 +260,12 @@ def unigram_token_lengths(
     return (
         exploded.join(lengths, "word", "left")
         .groupBy(id_col)
-        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_tokens"), F.length("word").cast("long"))
+            ).alias("n_tokens"),
+            F.count(F.when(F.col("n_tokens").isNull(), True))
+            .cast("long")
+            .alias("n_unsegmentable"),
+        )
     )

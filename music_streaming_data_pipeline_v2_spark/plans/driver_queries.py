@@ -3239,6 +3239,7 @@ from . import round4_queries  # noqa: E402,F401
 from . import round5_queries  # noqa: E402,F401
 from . import round6_queries  # noqa: E402,F401
 from . import round6b_queries  # noqa: E402,F401
+from . import round7_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
@@ -3320,7 +3321,10 @@ _CHECK_FIRST = [
     "ann_lsh_oracle",
     "ann_lsh_recall",
     "argmax_order_by_nation",
-    "balanced_source_sample",
+    # balanced_source_sample (5th-oldest r4) ceded the round's one
+    # new-registration slot (cap: 5/round) to the encode-oracle
+    # conversion; it rotates into the r8 window with the r4 pool.
+    "unigram_encode_oracle",
 ]
 
 def finalize_registry() -> dict[str, Q]:
