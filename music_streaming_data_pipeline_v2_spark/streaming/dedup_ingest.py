@@ -68,12 +68,15 @@ def run_incremental_dedup(
     schema: T.StructType | None = None,
 ) -> None:
     """Drain ``input_path`` (CSV doc files) through the incremental
-    near-dup index under ``work_dir`` (docs/, index/, pairs/, ckpt/)."""
+    near-dup index under ``work_dir`` (docs/, index/, pairs/, comps/,
+    ckpt/ — comps/ is the per-batch component-labeling snapshot the
+    curation serving path reads instead of re-clustering history)."""
     from ..operators.dedup import hashed_word_shingles, minhash_band_postings
 
     docs_dir = os.path.join(work_dir, "docs")
     index_dir = os.path.join(work_dir, "index")
     pairs_dir = os.path.join(work_dir, "pairs")
+    comps_dir = os.path.join(work_dir, "comps")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
     # State compatibility guard: postings and sketches are only
@@ -220,6 +223,87 @@ def run_incremental_dedup(
         batch.write.mode("overwrite").parquet(os.path.join(docs_dir, part))
         new_post.unpersist()
         batch.unpersist()
+
+        # --- incremental component labels (VERDICT r6 #5) -----------
+        # Maintain the (id, component) labeling as SNAPSHOT state so
+        # serving (curation_ingest.query_curation) reads it instead of
+        # re-running connected components over the full accumulated
+        # pair list every drain. Per-batch CC runs on the CONTRACTED
+        # delta graph only — new pairs with endpoints mapped through
+        # the previous labels — so labeling cost tracks NEW pairs:
+        # component = min member id, the min over merged old minima IS
+        # the global min, and appending untouched rows unchanged
+        # preserves the batch-CC answer exactly
+        # (tests/test_curation_ingest.py pins snapshot ≡ batch CC).
+        # The delta is read back from the just-committed partition —
+        # one tiny pruned read beats re-executing the mining plan —
+        # and inputs (prior snapshot + own partition) are replay-
+        # deterministic, so the overwrite commits identical content.
+        from ..operators.clustering import connected_components
+        from .state import read_latest_snapshot
+
+        delta = (
+            spark.read.schema("id_a long, id_b long, jaccard double")
+            .parquet(os.path.join(pairs_dir, part))
+            .select("id_a", "id_b")
+        )
+        prev_snap = read_latest_snapshot(
+            spark, comps_dir, "id long, component long", batch_id
+        )
+        if prev_snap is None:
+            # bootstrap: no labeling yet (fresh state, or a dir
+            # drained by a pre-comps engine version — self-heals by
+            # paying full CC once); includes this batch's partition
+            all_pairs = read_state(
+                pairs_dir, "id_a long, id_b long, jaccard double", batch_id
+            ).select("id_a", "id_b").unionByName(delta)
+            snapshot = connected_components(
+                all_pairs, src="id_a", dst="id_b"
+            ).select("id", "component")
+            snapshot.write.mode("overwrite").parquet(
+                os.path.join(comps_dir, part)
+            )
+        elif not delta.isEmpty():
+            prev, _ = prev_snap
+            la = prev.select(
+                F.col("id").alias("id_a"), F.col("component").alias("_ca")
+            )
+            lb = prev.select(
+                F.col("id").alias("id_b"), F.col("component").alias("_cb")
+            )
+            mapped = (
+                delta.join(la, "id_a", "left")
+                .join(lb, "id_b", "left")
+                .select(
+                    F.coalesce("_ca", F.col("id_a")).alias("_ma"),
+                    F.coalesce("_cb", F.col("id_b")).alias("_mb"),
+                )
+            )
+            cc = connected_components(mapped, src="_ma", dst="_mb")
+            remap = cc.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_nc"),
+            )
+            # old rows: follow their component's merge (left join —
+            # untouched components pass through); new ids (not yet
+            # labeled; they mapped to themselves, so cc labels them)
+            updated = prev.join(remap, "component", "left").select(
+                "id",
+                F.coalesce("_nc", F.col("component")).alias("component"),
+            )
+            new_rows = (
+                delta.select(F.col("id_a").alias("id"))
+                .unionByName(delta.select(F.col("id_b").alias("id")))
+                .distinct()
+                .join(prev.select("id"), "id", "left_anti")
+                .join(cc, "id")
+                .select("id", "component")
+            )
+            updated.unionByName(new_rows).write.mode("overwrite").parquet(
+                os.path.join(comps_dir, part)
+            )
+        # no new pairs → labeling unchanged; the previous snapshot
+        # stays the latest and serving keeps reading it
 
     (
         stream.writeStream.foreachBatch(process_batch)

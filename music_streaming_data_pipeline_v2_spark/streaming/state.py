@@ -54,3 +54,40 @@ def read_state_or_empty(
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < F.lit(before_batch))
     return df.drop("batch_id")
+
+
+def read_latest_snapshot(
+    spark: SparkSession,
+    state_dir: str,
+    schema: str | T.StructType,
+    before_batch: int | None = None,
+) -> tuple[DataFrame, int] | None:
+    """Snapshot-style state: unlike the additive relations
+    ``read_state_or_empty`` serves (cells, pairs, postings — whose
+    partitions SUM), a snapshot partition REPLACES its predecessors
+    (component labelings: a new pair can merge two old components, so
+    labels are not additive). Returns ``(frame, batch_id)`` for the
+    newest committed partition strictly before ``before_batch``
+    (``None`` = newest overall, the query-time view), or ``None`` when
+    no snapshot exists — callers bootstrap from the additive state.
+
+    The max-batch probe reads only the partition column (file listing
+    + partition values, no data pages), then the snapshot read is
+    partition-pruned to exactly one directory — so query cost tracks
+    the CURRENT labeling size, never the batch count."""
+    try:
+        df = spark.read.schema(_with_batch_id(schema)).parquet(state_dir)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < F.lit(before_batch))
+    row = df.agg(F.max("batch_id").alias("_b")).first()
+    if row is None or row["_b"] is None:
+        return None
+    latest = int(row["_b"])
+    return (
+        df.filter(F.col("batch_id") == F.lit(latest)).drop("batch_id"),
+        latest,
+    )

@@ -97,3 +97,58 @@ def test_incremental_curation_replay_noop(spark, tmp_path):
     before = _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE))
     run_incremental_dedup(spark, str(inp), work, **MINER)
     assert _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE)) == before
+
+
+def test_incremental_components_merge_across_waves(spark, tmp_path):
+    """The labeling snapshot survives the hard case: a later wave's
+    pair BRIDGES two components built in earlier waves, so both old
+    labels must remap (CC over the contracted delta graph, never the
+    full pair list — dedup_ingest's VERDICT r6 #5 maintenance)."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        read_latest_snapshot,
+        read_state_or_empty,
+    )
+
+    # single-row bands: candidate recall 1-(1-J)^16 ≈ 1 at J≥0.3,
+    # so the bridge pair is mined deterministically
+    miner = dict(
+        jaccard_threshold=0.25, num_hashes=16, bands=16, shingle_k=2
+    )
+    t_a = "alpha beta gamma delta epsilon zeta"
+    t_b = "one two three four five six seven"
+    wave1 = [
+        (1, "en", t_a),
+        (2, "en", t_a + " eta"),
+        (5, "en", t_b),
+        (6, "en", t_b + " eight"),
+    ]
+    # half-and-half text: near-dup of BOTH groups at the 0.3 threshold
+    wave2 = [(20, "en", "alpha beta gamma delta one two three four")]
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", wave1)
+    run_incremental_dedup(spark, str(inp), work, **miner)
+    snap1, _ = read_latest_snapshot(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    lab1 = dict(_vals(snap1))
+    assert lab1[1] == lab1[2] == 1 and lab1[5] == lab1[6] == 5
+
+    _write_wave(inp / "w2.csv", wave2)
+    run_incremental_dedup(spark, str(inp), work, **miner)
+    snap2, _ = read_latest_snapshot(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    lab2 = dict(_vals(snap2))
+    # the bridge collapses everything to the global min id — and the
+    # snapshot must equal full CC over the accumulated pair list
+    assert lab2[1] == lab2[2] == lab2[5] == lab2[6] == lab2[20] == 1
+    pairs = read_state_or_empty(
+        spark, f"{work}/pairs", "id_a long, id_b long, jaccard double"
+    )
+    full = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("id"), "component"
+    )
+    assert sorted(lab2.items()) == _vals(full)
