@@ -20,14 +20,21 @@ def write_partitioned(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Write a result table, optionally partitioned.
 
     With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by the
     session factory) an overwrite touches only the partitions present in
     ``df`` — re-running one day replaces one day, not the table.
+    ``options`` are per-write DataFrameWriter options — the streaming
+    pipeline passes ``partitionOverwriteMode`` HERE rather than mutating
+    the session conf (a conf mutation would silently change overwrite
+    semantics for every later write in the caller's session).
     """
     writer = df.write.mode(mode).format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
@@ -274,6 +281,7 @@ def write_partitioned_audited(
     mode: str = "overwrite",
     fmt: str = "parquet",
     null_check_cols: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> dict:
     """``write_partitioned`` plus a write-audit manifest computed in
     the SAME job via ``df.observe`` — rows written, per-column null
@@ -305,5 +313,5 @@ def write_partitioned_audited(
         metrics.append(F.max(p).alias(f"max_{p}"))
     obs = Observation()
     observed = df.observe(obs, *metrics)
-    write_partitioned(observed, path, partition_by, mode, fmt)
+    write_partitioned(observed, path, partition_by, mode, fmt, options)
     return dict(obs.get)

@@ -149,13 +149,19 @@ def test_write_partitioned_audited_single_pass_manifest(spark, tmp_path):
         "id long, name string, date string",
     )
     out = str(tmp_path / "audited")
-    # job-count probe: the audit must NOT add a second scan/action
+    # job-count probe: the audit must NOT add a second scan/action —
+    # run the audited write under its own job group so the delta is
+    # exactly this call's jobs (ADVICE r6: the old 'after >= before'
+    # form could never fail)
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    manifest = write_partitioned_audited(
-        df, out, partition_by=["date"], null_check_cols=["name", "id"]
-    )
+    sc.setJobGroup("audited_write_probe", "single-pass audit check")
+    try:
+        manifest = write_partitioned_audited(
+            df, out, partition_by=["date"], null_check_cols=["name", "id"]
+        )
+    finally:
+        sc.setJobGroup(None, None)
     assert manifest["n_rows"] == 4
     assert manifest["null_name"] == 2
     assert manifest["null_id"] == 0
@@ -170,10 +176,9 @@ def test_write_partitioned_audited_single_pass_manifest(spark, tmp_path):
         for r in back.select(F.col("date").cast("string")).distinct().collect()
     }
     assert got_dates == {"2024-01-01", "2024-01-02", "2024-01-03"}
-    # exactly one job ran for write+audit (dynamic-overwrite commit may
-    # add zero-task bookkeeping jobs on some codepaths; the invariant
-    # is NO second full-scan action, so allow write-side jobs but
-    # verify the metrics were observed, not recomputed, by checking no
-    # aggregate query job followed the write job group growth
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after >= before  # sanity: at least the write ran
+    # single-pass invariant, now falsifiable: the audited write runs
+    # the write job (+ at most one commit bookkeeping job on some
+    # codepaths), never a separate aggregate action over the input —
+    # re-adding a df.count()-style audit would push this past 2
+    probe_jobs = tracker.getJobIdsForGroup("audited_write_probe") or []
+    assert 1 <= len(probe_jobs) <= 2, probe_jobs

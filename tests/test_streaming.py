@@ -992,3 +992,75 @@ def test_recompute_to_zero_rows_deletes_stale_partitions(spark, tmp_path):
     state = JsonDirKvClient(kv_dir).materialize()
     assert not any("DATE#2024-06-25" in pk for pk, _ in state)
     assert any("DATE#2024-06-26" in pk for pk, _ in state)
+
+
+def test_audit_manifest_matches_committed_partitions(spark, tmp_path):
+    """Each batch commit publishes audit/batch_<id>.json with the
+    manifests write_partitioned_audited collected DURING the KPI/KV
+    writes (VERDICT r6 #6) — row counts, key-null counts and date
+    bounds must match what actually landed in the committed
+    partitions, across two batches and a KV-maintaining pipeline."""
+    import glob
+    import json
+
+    songs = spark.createDataFrame(
+        [
+            Row(track_id=f"t{i}", track_name=f"name{i}", artists=f"a{i}",
+                track_genre="rock" if i % 2 == 0 else "jazz",
+                duration_ms=100000 + i)
+            for i in range(4)
+        ]
+    )
+    users = spark.createDataFrame([Row(user_id=str(u)) for u in range(3)])
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    _write_stream_csv(
+        str(inp / "stream1.csv"),
+        [
+            "0,t0,2024-06-25 10:00:00",
+            "1,t0,2024-06-25 11:00:00",
+            "2,t1,2024-06-26 12:00:00",
+        ],
+    )
+    kwargs = dict(
+        output_dir=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        maintain_kv=True,
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+    # batch 2 touches a DISJOINT date: a manifest audits the write
+    # that produced it, so comparing it against the final store is
+    # only valid for dates no later batch recomputed
+    _write_stream_csv(
+        str(inp / "stream2.csv"), ["1,t2,2024-06-27 13:00:00"]
+    )
+    run_incremental_pipeline(spark, str(inp), songs, users, **kwargs)
+
+    paths = sorted(glob.glob(str(out / "audit" / "batch_*.json")))
+    assert len(paths) == 2, paths
+    kpis = spark.read.parquet(str(out / "genre_kpis"))
+    kv = spark.read.parquet(str(out / "kv"))
+    for p in paths:
+        with open(p) as fh:
+            m = json.load(fh)
+        assert set(m) == {"genre_kpis", "kv"}
+        for name, df in (("genre_kpis", kpis), ("kv", kv)):
+            man = m[name]
+            # the batch recomputed exactly the dates in [min, max];
+            # committed rows for those dates must equal the audited
+            # row count (valid here because the batches touch
+            # disjoint dates — in general the LAST manifest touching
+            # a date is the authoritative audit for it)
+            dates = (
+                df.select("date")
+                .distinct()
+                .filter(
+                    (F.col("date") >= man[f"min_date"])
+                    & (F.col("date") <= man[f"max_date"])
+                )
+            )
+            committed = df.join(dates, "date", "semi").count()
+            assert committed == man["n_rows"], (p, name, man)
+            null_cols = [k for k in man if k.startswith("null_")]
+            assert null_cols and all(man[k] == 0 for k in null_cols)
