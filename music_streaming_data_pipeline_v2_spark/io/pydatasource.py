@@ -273,6 +273,17 @@ def make_jsonl_sink():
                 manifest["n_rows"] += m.n_rows
                 manifest["n_bytes"] += m.n_bytes
             shutil.rmtree(staging, ignore_errors=True)
+            if self.overwrite:
+                # honor mode('overwrite') for directory-listing
+                # readers too, not just manifest-driven ones: a
+                # replaced _MANIFEST.json alone leaves the previous
+                # write's .jsonl parts on disk, and a plain listing
+                # then serves a mix of stale and new files. Remove
+                # every published part the new manifest doesn't list.
+                keep = {f["name"] for f in manifest["files"]}
+                for name in os.listdir(self.path):
+                    if name.endswith(".jsonl") and name not in keep:
+                        os.remove(os.path.join(self.path, name))
             with open(
                 os.path.join(self.path, "_MANIFEST.json"), "w"
             ) as fh:

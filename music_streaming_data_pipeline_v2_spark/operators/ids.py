@@ -14,28 +14,37 @@ globally dense, and RDD ``zipWithIndex`` leaves the DataFrame world.
 1. range-repartition + sort within partitions on the order key —
    partition i holds a contiguous, internally-sorted key range;
 2. per-partition counts → exclusive prefix-sum offsets — a
-   #partitions-sized relation (the only single-partition window runs
-   over THAT, never over rows);
-3. broadcast the offsets back (map-side, order-preserving) and add the
-   local position with one Arrow ``mapInPandas`` kernel that does
-   ``offset + arange`` per batch — vectorized, no per-row Python, no
-   second shuffle. (The JVM-pure alternative — a window partitioned by
+   #partitions-sized relation, collected to the driver (bounded:
+   one row per partition) and prefix-summed there;
+3. add the local position with one Arrow ``mapInPandas`` kernel that
+   looks its partition's offset up BY ``_pid`` in the collected dict
+   and does ``offset + arange`` per batch — vectorized, no per-row
+   Python, no second shuffle, and no join whose physical strategy the
+   correctness could silently depend on (an earlier broadcast-join
+   form relied on the join preserving partition alignment and
+   intra-partition order — true for broadcast hash joins, but a
+   optimizer strategy change would have corrupted positions with no
+   guard; keying the kernel by ``_pid`` makes alignment structural).
+   (The JVM-pure alternative — a window partitioned by
    ``spark_partition_id()`` — re-shuffles the full corpus a second
    time just to regroup rows it already holds; the kernel costs one
    Arrow pass instead.)
 
-The input is persisted between the count pass and the numbering pass:
-``repartitionByRange`` samples its boundaries, so an unpinned plan
-could place boundary-adjacent rows differently across the two
-subtrees. (Final ids are boundary-invariant given a TOTAL order key,
-but the offsets must describe the same physical layout the kernel
-walks.) At 100 TB use DISK_ONLY persist or derive boundaries from an
-exact value-count histogram (aggregates.histogram_quantiles) instead.
+The ranged layout is pinned with an eager ``localCheckpoint`` between
+the count pass and the numbering pass: ``repartitionByRange`` samples
+its boundaries, so an unpinned plan could place boundary-adjacent rows
+differently across the two subtrees. (Final ids are
+boundary-invariant given a TOTAL order key, but the offsets must
+describe the same physical layout the kernel walks.) Checkpoint
+blocks free with the DataFrame instead of pinning a CacheManager
+entry across calls — the trainers' discipline. At 100 TB prefer
+reliable ``checkpoint()`` or derive boundaries from an exact
+value-count histogram (aggregates.histogram_quantiles) instead.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dense_row_numbers"]
@@ -58,22 +67,23 @@ def dense_row_numbers(
         raise ValueError("order_cols must be non-empty")
     oc = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # eager checkpoint: pins the sampled range layout so the count
+    # pass and the numbering pass walk the SAME physical placement,
+    # and frees with the DataFrame (no persist leak across calls)
     ranged = (
         df.repartitionByRange(parts, *oc)
         .sortWithinPartitions(*oc)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
-    w = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.lit(int(start))
-    ).select("_pid", "_off")
-    # broadcast hash join: map-side, preserves the sorted intra-partition
-    # row order the kernel's running position depends on
-    joined = ranged.join(F.broadcast(offsets), "_pid")
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    # exclusive prefix sum over the (bounded) #partitions-sized counts,
+    # driver-side — no window, no join
+    offsets: dict[int, int] = {}
+    acc = int(start)
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["_n"])
 
     # fresh StructType — StructType.add MUTATES in place, and
     # DataFrame.schema returns the df's cached schema object
@@ -84,18 +94,21 @@ def dense_row_numbers(
     )
 
     def number_partition(batches):
-        # self-contained kernel (multimodal.py pickle-by-value rule)
+        # self-contained kernel (multimodal.py pickle-by-value rule);
+        # offsets ship in the closure, keyed by _pid — alignment is
+        # structural, not a property of a join's physical strategy
         import numpy as np
 
         pos = 0
         for pdf in batches:
             n = len(pdf)
-            res = pdf.drop(columns=["_pid", "_off"])
+            res = pdf.drop(columns=["_pid"])
             if n:
-                res[seq_col] = pdf["_off"].to_numpy() + pos + np.arange(n)
+                off = offsets[int(pdf["_pid"].iloc[0])]
+                res[seq_col] = off + pos + np.arange(n)
                 pos += n
             else:
                 res[seq_col] = np.array([], dtype="int64")
             yield res
 
-    return joined.mapInPandas(number_partition, schema=out_schema)
+    return ranged.mapInPandas(number_partition, schema=out_schema)

@@ -670,10 +670,18 @@ def group_cap_sample(
     2. cumulative counts over the bounded cell relation find each
        group's THRESHOLD bucket t (first bucket where cum ≥ cap) and
        the remainder r = cap − cum(<t);
-    3. rows below t keep outright (map-side after a broadcast-sized
-       threshold join); rows beyond t drop outright; ONLY the
-       threshold bucket — in expectation group_size/16^digits rows —
-       pays a rank window for its r smallest.
+    3. rows below t keep outright (map-side after the threshold
+       join); rows beyond t drop outright; ONLY the threshold bucket
+       — in expectation group_size/16^digits rows — pays a rank
+       window for its r smallest.
+
+    The threshold relation holds one row per OVER-CAP group. Its join
+    strategy is deliberately left to the optimizer (no ``broadcast``
+    hint): with the ~10⁷-10⁸ registrable domains this operator
+    targets, a forced broadcast could exceed the driver/executor
+    broadcast limits and fail outright, while AQE broadcasts it for
+    free whenever the over-cap set is actually small (the common
+    case — most domains sit under the cap).
 
     Groups smaller than ``cap`` have no threshold bucket and keep
     everything. ``id_col`` must be non-null and unique (it is the tie
@@ -712,9 +720,7 @@ def group_cap_sample(
             (F.lit(cap) - (F.col("_cum") - F.col("_n"))).alias("_r"),
         )
     )
-    j = d.join(
-        F.broadcast(thr), d[group_col].eqNullSafe(thr["_tg"]), "left"
-    )
+    j = d.join(thr, d[group_col].eqNullSafe(thr["_tg"]), "left")
     below = j.filter(F.col("_tb").isNull() | (F.col("_b") < F.col("_tb")))
     at = j.filter(F.col("_b") == F.col("_tb"))
     w_at = Window.partitionBy(group_col).orderBy("_h", id_col)

@@ -198,3 +198,43 @@ def test_jsonl_sink_abort_leaves_no_staging(spark, tmp_path):
     writer.abort([])
     assert not os.path.exists(os.path.join(out, "_staging"))
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_jsonl_sink_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must leave a directory a PLAIN listing reader
+    can trust (ADVICE r6): parts from the replaced write are removed,
+    so listing == manifest == new data, never a stale/new mix."""
+    import json
+    import os
+
+    from music_streaming_data_pipeline_v2_spark.io.pydatasource import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    first = spark.createDataFrame(
+        [(i, "old") for i in range(40)], "id long, name string"
+    ).repartition(5)
+    first.write.format("jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+    assert len([n for n in os.listdir(out) if n.endswith(".jsonl")]) == 5
+
+    second = spark.createDataFrame(
+        [(i, "new") for i in range(7)], "id long, name string"
+    ).repartition(2)
+    second.write.format("jsonl_manifest").option("path", out).mode(
+        "overwrite"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_rows"] == 7
+    names = {n for n in os.listdir(out) if n.endswith(".jsonl")}
+    assert names == {f["name"] for f in manifest["files"]}
+    rows = []
+    for n in names:
+        with open(os.path.join(out, n)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(7))
+    assert {r["name"] for r in rows} == {"new"}
