@@ -167,6 +167,11 @@ HEADLINE = [
     "epoch_shuffle_positions",
     "unigram_vocab_counts",
     "unigram_token_lengths_docs",
+    # round 7
+    "unigram_encode_oracle",
+    "contamination_spans_docs",
+    "quantile_normalized_lengths",
+    "compression_ratio_docs",
 ]
 
 

@@ -713,3 +713,128 @@ def phrase_blocklist_join(
         )
         .withColumn("keep", F.col("n_blocked_phrases") == 0)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Empirical-CDF score calibration: ``out_col`` = fraction of the
+    (group's) rows with score ≤ this row's score — exactly
+    ``CUME_DIST() OVER (PARTITION BY group ORDER BY score)``, the
+    rank-based normalization that makes quality scores comparable
+    across sources with different score distributions before a global
+    keep-threshold is applied (per-source absolute thresholds
+    systematically over-prune terse sources).
+
+    Built WITHOUT a group-sized rank window (the NTILE/PCT_RANK
+    two-phase playbook): per-(group, value) counts — shuffle bounded
+    by groups × distinct scores — a cumulative window over that
+    bounded VALUE relation, then one equi-join back onto the rows.
+    The only division is one IEEE divide of exactly-aggregated
+    integers (≤-count / group size), bit-identical to the window
+    engines compute CUME_DIST with. For continuous scores whose
+    distinct-value relation is not ≪ rows, pre-bucket the score (the
+    histogram-quantiles discipline); for discrete pipeline metrics
+    (token counts, rule hits, integer quality scores) the value
+    relation is bounded by construction.
+
+    Null scores follow SQL window semantics: NULLS sort FIRST in the
+    ascending CUME_DIST order, so null-score rows get the smallest
+    percentile block (they count into every row's ≤-set).
+    """
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    vals = df.groupBy(*keys, score_col).agg(F.count("*").alias("_c"))
+    # NULLS FIRST matches the window's default ascending order
+    w_cum = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(score_col).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*[F.col(k) for k in keys]).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the CDF relation descends from df — rename its join columns so
+    # the join-back is unambiguous (self-join lineage)
+    cdf = vals.select(
+        *[F.col(k).alias(f"_qn_{k}") for k in keys],
+        F.col(score_col).alias("_qn_score"),
+        (
+            F.sum("_c").over(w_cum).cast("double")
+            / F.sum("_c").over(w_all).cast("double")
+        ).alias(out_col),
+    )
+    cond = df[score_col].eqNullSafe(cdf["_qn_score"])
+    for k in keys:
+        cond = cond & df[k].eqNullSafe(cdf[f"_qn_{k}"])
+    return df.join(cdf, cond).select(
+        *[df[c] for c in df.columns], cdf[out_col]
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap
+    boilerplate/repetition signal (template farms and keyword-stuffed
+    spam compress far better than natural prose; used alongside the
+    Gopher repetition rules in production web-corpus filters).
+    Returns ``(id_col, n_raw_bytes, n_compressed_bytes, ratio)`` with
+    ``ratio = compressed/raw`` (smaller = more repetitive); NULL text
+    → NULL metrics, empty text → ratio NULL (0-byte raw).
+
+    Runs as an Arrow ``mapInPandas`` kernel (DEFLATE is not
+    SQL-expressible, so this operator is pytest-pinned rather than
+    DuckDB-oracled: zlib at a FIXED level is deterministic for a given
+    input across runs and partitionings — the kernel is the same
+    single-pass map-only shape as the multimodal byte-feature
+    kernels). Scale: map-only, no shuffle; cost ∝ bytes scanned.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_raw_bytes", T.LongType()),
+            T.StructField("n_compressed_bytes", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+    lvl = int(level)
+
+    def kernel(batches):
+        # self-contained (pickle-by-value rule)
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    raws.append(None)
+                    comps.append(None)
+                    ratios.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, lvl))
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(c / len(b) if b else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": pd.array(raws, dtype="Int64"),
+                    "n_compressed_bytes": pd.array(comps, dtype="Int64"),
+                    "ratio": pd.array(ratios, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -1750,3 +1750,78 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold_permille / 1000.0)
         .select("id_a", "id_b", "dot", "cos_sim")
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination report — the windowed refinement of
+    ``ngram_contamination`` (GPT-3 appendix C / Lee et al. 2022 both
+    REMOVE the contaminated window, not the whole document, so a
+    pipeline needs WHERE the leakage sits, not just that it exists):
+    for each test document, the maximal contiguous token spans covered
+    by train-matching ``n``-grams.
+
+    Two matched gram starts p1 < p2 cover one contiguous region iff
+    p2 − p1 ≤ n (their [p, p+n−1] token intervals overlap or touch),
+    so spans are gaps-and-islands over matched start positions with
+    break-gap > n; a span's covered length is last − first + n.
+    Returns ``(id_col, n_spans, longest_span, covered_tokens)`` for
+    contaminated test docs only (clean docs absent — the
+    ngram_contamination roster convention).
+
+    Scale shape: distinct train grams join the test (start, gram) rows
+    gram-keyed (never doc×doc); the islands window runs over MATCHED
+    test positions only — leakage rows, a vanishing fraction of the
+    corpus — partitioned per doc. Nothing windows the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+
+    def starts(df: DataFrame) -> DataFrame:
+        # dense surviving-token positions + complete grams, one
+        # doc-keyed window (the word_ngram_rows posexplode+lead form,
+        # keeping the start position)
+        w = Window.partitionBy("_id").orderBy("_raw")
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(toks).alias("_raw", "_t"),
+        ).filter(F.col("_t") != "")
+        gram = F.concat_ws(
+            " ", F.col("_t"), *[F.lead("_t", i).over(w) for i in range(1, n)]
+        )
+        return base.select(
+            "_id",
+            (F.row_number().over(w) - 1).alias("_pos"),
+            gram.alias("gram"),
+            F.lead("_t", n - 1).over(w).alias("_probe"),
+        ).filter(F.col("_probe").isNotNull())
+
+    tg = starts(train).select("gram").distinct()
+    m = (
+        starts(test)
+        .join(tg, "gram", "semi")
+        .select(F.col("_id").alias(id_col), "_pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    brk = (
+        F.col("_pos") - F.lag("_pos").over(wd) > F.lit(n)
+    ).cast("int")
+    isl = F.sum(F.coalesce(brk, F.lit(0))).over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        m.withColumn("_isl", isl)
+        .groupBy(id_col, "_isl")
+        .agg((F.max("_pos") - F.min("_pos") + n).alias("_span"))
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.max("_span").cast("long").alias("longest_span"),
+        F.sum("_span").cast("long").alias("covered_tokens"),
+    )

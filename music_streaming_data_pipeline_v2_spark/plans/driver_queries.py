@@ -3319,12 +3319,13 @@ _CHECK_FIRST = [
     #    the LAST slot first) --
     "ann_cosine_topk",
     "ann_lsh_oracle",
-    "ann_lsh_recall",
-    "argmax_order_by_nation",
-    # balanced_source_sample (5th-oldest r4) ceded the round's one
-    # new-registration slot (cap: 5/round) to the encode-oracle
-    # conversion; it rotates into the r8 window with the r4 pool.
+    # argmax_order_by_nation / ann_lsh_recall / balanced_source_sample
+    # (the 3 youngest tail slots) ceded to this round's new oracled
+    # registrations (3 of the 5-per-round cap used); they rotate into
+    # the r8 window with the r4 pool.
     "unigram_encode_oracle",
+    "contamination_spans_docs",
+    "quantile_normalized_lengths",
 ]
 
 def finalize_registry() -> dict[str, Q]:

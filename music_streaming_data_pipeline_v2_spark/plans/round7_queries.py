@@ -134,3 +134,122 @@ def unigram_encode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = spark.createDataFrame(_PINNED_VOCAB, "piece string, count long")
     return unigram_token_lengths(docs, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination, CDF score calibration, compressibility
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from .oracle_shared import _BUCKET, _W  # noqa: E402
+
+_SPAN_N = 5
+
+_SQL_CONTAM_SPANS = f"""
+WITH b AS (
+  SELECT doc_id, text, {_BUCKET} AS bkt FROM documents
+),
+tok AS (SELECT doc_id, bkt, {_W} AS toks FROM b),
+ge AS (
+  SELECT doc_id, bkt,
+         UNNEST(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LEN(toks) - {_SPAN_N - 2}, 1)),
+             i -> {{'pos': CAST(i AS BIGINT),
+                    'gram': ARRAY_TO_STRING(toks[i : i + {_SPAN_N - 1}], ' ')}}
+         )) AS pg
+  FROM tok
+),
+g AS (SELECT doc_id, bkt, pg.pos AS pos, pg.gram AS gram FROM ge),
+tg AS (SELECT DISTINCT gram FROM g WHERE bkt < 204),
+m AS (
+  SELECT DISTINCT doc_id, pos FROM g
+  WHERE bkt >= 230 AND gram IN (SELECT gram FROM tg)
+),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev <= {_SPAN_N}
+                  THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+sp AS (
+  SELECT doc_id, island, MAX(pos) - MIN(pos) + {_SPAN_N} AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span,
+       CAST(SUM(span_tokens) AS BIGINT) AS covered_tokens
+FROM sp GROUP BY doc_id
+"""
+
+
+@q("contamination_spans_docs", _SQL_CONTAM_SPANS)
+def contamination_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination over the standard train/test hash
+    split (operators/text.py:contamination_spans): per contaminated
+    test doc, the count / longest / total of maximal token spans
+    covered by train-matching 5-grams — the windowed refinement the
+    GPT-3-appendix remove-the-window policy needs. The oracle replays
+    gram starts, the matched-position islands (break gap > n), and the
+    last−first+n span algebra; start positions are 0-based on the
+    Spark side and 1-based in DuckDB, which cancels in every output
+    (only position DIFFERENCES survive)."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return contamination_spans(
+        docs.filter(b < 204), docs.filter(b >= 230), n=_SPAN_N
+    )
+
+
+_SQL_QUANTILE_NORM = """
+SELECT doc_id, source, n_chars,
+       CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+FROM documents
+"""
+
+
+@q("quantile_normalized_lengths", _SQL_QUANTILE_NORM)
+def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source empirical-CDF calibration of the document-length
+    score (operators/quality.py:quantile_normalize) — rank-based
+    normalization that makes scores comparable across sources before a
+    global keep-threshold. The oracle is the group-sized CUME_DIST
+    window the operator deliberately avoids (the per_domain_cap_sample
+    accelerator-≡-window pattern): every driver row re-proves that the
+    bounded value-relation two-phase — counts per (source, value),
+    cumulative over values, join back — equals the window exactly,
+    including the single int/int IEEE division."""
+    from ..operators.quality import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars",
+        group_col="source",
+        out_col="pct",
+    )
+
+
+@q("compression_ratio_docs")
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document
+    (operators/quality.py:compression_ratio) — the Gopher-adjacent
+    boilerplate signal production web filters run next to the
+    repetition rules. Rows-only BY NATURE: DEFLATE is not
+    SQL-expressible; determinism (fixed level, partitioning-invariant)
+    and reference values are pytest-pinned instead
+    (tests/test_round7_ops.py), the unigram-trainer precedent."""
+    from ..operators.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs)

@@ -1,0 +1,162 @@
+"""Round-7 operators: span-level decontamination islands, CDF score
+calibration (two-phase ≡ CUME_DIST), zlib compressibility pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators.quality import (
+    compression_ratio,
+    quantile_normalize,
+)
+from music_streaming_data_pipeline_v2_spark.operators.text import (
+    contamination_spans,
+)
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# contamination_spans
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_spans_islands(spark):
+    """Hand-checkable island algebra at n=2: overlapping and touching
+    gram intervals merge, a gap > n splits, span = last−first+n."""
+    # train knows the bigrams of "a b", "b c", "x y"
+    train = spark.createDataFrame(
+        [(100, "a b c"), (101, "x y")], "doc_id long, text string"
+    )
+    # test doc 1 tokens: a b c q q x y z x y
+    #   matched bigram starts (0-based): "a b"@0, "b c"@1, "x y"@5, "x y"@8
+    #   islands at n=2: {0,1} (gap 1), {5} vs 8 → gap 3 > 2 splits
+    #   spans: [0..2] len 3, [5..6] len 2, [8..9] len 2
+    test = spark.createDataFrame(
+        [(1, "a b c q q x y z x y"), (2, "q q q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_spans(train, test, n=2).collect()}
+    assert set(out) == {1}  # doc 2 clean → absent
+    assert out[1]["n_spans"] == 3
+    assert out[1]["longest_span"] == 3
+    assert out[1]["covered_tokens"] == 7
+
+    # touching intervals (gap exactly n) merge into ONE span
+    train2 = spark.createDataFrame(
+        [(200, "a b"), (201, "c d")], "doc_id long, text string"
+    )
+    test2 = spark.createDataFrame(
+        [(3, "a b c d")], "doc_id long, text string"
+    )
+    r = contamination_spans(train2, test2, n=2).first()
+    assert (r["n_spans"], r["longest_span"], r["covered_tokens"]) == (1, 4, 4)
+
+
+def test_contamination_spans_whole_doc_covered(spark):
+    """A test doc fully contained in train is one doc-length span."""
+    train = spark.createDataFrame(
+        [(10, "u v w x y z")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(1, "u v w x y z")], "doc_id long, text string"
+    )
+    r = contamination_spans(train, test, n=3).first()
+    assert (r["n_spans"], r["longest_span"], r["covered_tokens"]) == (1, 6, 6)
+
+
+def test_contamination_spans_partitioning_invariant(spark):
+    train = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100 + i, f"tok{3*i} tok{3*i+1} tok{3*i+2} zz{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    a = _vals(contamination_spans(train, test, n=3))
+    b = _vals(contamination_spans(train.repartition(7), test.repartition(3), n=3))
+    assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_equals_cume_dist(spark):
+    """The two-phase value-relation form ≡ the group-sized CUME_DIST
+    window it avoids — ties, negative scores, and a null score (NULLS
+    FIRST in ascending order) all included."""
+    rows = [
+        (1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "a", None),
+        (5, "b", -5), (6, "b", 0), (7, "b", 0), (8, "b", 7), (9, "b", 7),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score int")
+    got = _vals(
+        quantile_normalize(df, "score", group_col="grp").select(
+            "id", "pct"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("score").asc_nulls_first())
+    want = _vals(df.select("id", F.cume_dist().over(w).alias("pct")))
+    assert got == want
+
+
+def test_quantile_normalize_ungrouped_and_row_preserving(spark):
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id long, score int"
+    )
+    out = quantile_normalize(df, "score")
+    assert out.count() == 40
+    by_score = {
+        r["score"]: r["pct"]
+        for r in out.select("score", "pct").distinct().collect()
+    }
+    # score s has 10 rows each; cume_dist(s) = 10*(s+1)/40
+    for s in range(4):
+        assert by_score[s] == pytest.approx(10 * (s + 1) / 40, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_pins_and_invariance(spark):
+    """zlib at a fixed level is deterministic: pin reference values
+    computed independently with the stdlib here in the test, check
+    null/empty handling, and partitioning invariance — the rows-only
+    registry entry's substitute for a DuckDB oracle."""
+    import zlib
+
+    texts = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for did, t in texts:
+        if t is None:
+            assert out[did]["n_raw_bytes"] is None
+            assert out[did]["ratio"] is None
+            continue
+        b = t.encode()
+        assert out[did]["n_raw_bytes"] == len(b)
+        assert out[did]["n_compressed_bytes"] == len(zlib.compress(b, 6))
+        if b:
+            assert out[did]["ratio"] == len(zlib.compress(b, 6)) / len(b)
+        else:
+            assert out[did]["ratio"] is None
+    # repetitive text compresses materially better than prose
+    assert out[0]["ratio"] < out[1]["ratio"]
+    a = _vals(compression_ratio(df))
+    b2 = _vals(compression_ratio(df.repartition(5)))
+    assert a == b2
