@@ -172,6 +172,7 @@ HEADLINE = [
     "contamination_spans_docs",
     "quantile_normalized_lengths",
     "compression_ratio_docs",
+    "clipped_precision_pairs",
 ]
 
 

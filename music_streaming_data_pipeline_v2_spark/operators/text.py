@@ -1825,3 +1825,119 @@ def contamination_spans(
         F.max("_span").cast("long").alias("longest_span"),
         F.sum("_span").cast("long").alias("covered_tokens"),
     )
+
+
+def ngram_clipped_precision(
+    pairs: DataFrame,
+    n: int = 2,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """BLEU-style clipped n-gram precision per (candidate, reference)
+    text pair (Papineni et al. 2002 §2.1) — the pairwise overlap score
+    a generated-data pipeline uses to filter distilled samples against
+    their references (too-high = verbatim copy, too-low = off-target)
+    and an eval harness uses for cheap quality tracking.
+
+    For every order i ≤ ``n``: ``matched_i`` = Σ over distinct grams
+    of min(candidate count, reference count) — the clipping that stops
+    a candidate repeating one reference gram from scoring; ``total_i``
+    = candidate gram occurrences; ``p_i`` = matched/total (NULL when
+    the candidate has no order-i grams). Plus both token lengths (the
+    inputs of any brevity penalty — the exp() itself is left to the
+    caller: cross-engine IEEE exp diverges by ulps, the HLL-ln
+    lesson, so the CONTRACT surface stays integer-exact + single
+    divisions). Multiset counting is exact integer throughout.
+
+    Shape: both sides explode to (pair, order, gram) counts — the
+    shuffle is (pair, gram)-keyed, never pair×pair; the clip is one
+    inner join of the two count relations; per-pair rollup is a
+    bounded conditional aggregate. Pairs stream independently — at
+    100 TB this parallelizes per pair with no global state."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    def gram_counts(col: str, out: str) -> DataFrame:
+        toks = F.split(F.trim(F.col(col)), ENGINE_SAFE_WS)
+        w = Window.partitionBy("_pid").orderBy("_raw")
+        base = pairs.select(
+            F.col(pair_col).alias("_pid"),
+            F.posexplode(toks).alias("_raw", "_t"),
+        ).filter(F.col("_t") != "")
+        rows = []
+        for order in range(1, n + 1):
+            gram = F.concat_ws(
+                " ",
+                F.col("_t"),
+                *[F.lead("_t", i).over(w) for i in range(1, order)],
+            )
+            probe = (
+                F.lead("_t", order - 1).over(w) if order > 1 else F.col("_t")
+            )
+            rows.append(
+                base.select(
+                    "_pid",
+                    F.lit(order).alias("_ord"),
+                    gram.alias("gram"),
+                    probe.alias("_probe"),
+                ).filter(F.col("_probe").isNotNull())
+            )
+        out_df = rows[0]
+        for r in rows[1:]:
+            out_df = out_df.unionByName(r)
+        return out_df.groupBy("_pid", "_ord", "gram").agg(
+            F.count("*").alias(out)
+        )
+
+    c = gram_counts(cand_col, "_cc")
+    r = gram_counts(ref_col, "_rc")
+    matched = (
+        c.join(r, ["_pid", "_ord", "gram"])
+        .groupBy("_pid", "_ord")
+        .agg(F.sum(F.least("_cc", "_rc")).alias("_m"))
+    )
+    totals = c.groupBy("_pid", "_ord").agg(F.sum("_cc").alias("_tot"))
+    per_ord = totals.join(matched, ["_pid", "_ord"], "left").withColumn(
+        "_m", F.coalesce("_m", F.lit(0))
+    )
+    aggs = []
+    for order in range(1, n + 1):
+        is_o = F.col("_ord") == order
+        m = F.sum(F.when(is_o, F.col("_m")))
+        t = F.sum(F.when(is_o, F.col("_tot")))
+        aggs += [
+            F.coalesce(m, F.lit(0)).cast("long").alias(f"matched_{order}"),
+            F.coalesce(t, F.lit(0)).cast("long").alias(f"total_{order}"),
+        ]
+    rolled = per_ord.groupBy("_pid").agg(*aggs)
+    def _tok_len(col: str) -> F.Column:
+        # size(NULL array) is -1 in Spark — NULL text counts 0 tokens
+        sz = F.size(
+            F.filter(
+                F.split(F.trim(F.col(col)), ENGINE_SAFE_WS),
+                lambda t: t != "",
+            )
+        )
+        return F.greatest(sz, F.lit(0)).cast("long")
+
+    lens = pairs.select(
+        F.col(pair_col).alias("_pid"),
+        _tok_len(cand_col).alias("len_cand"),
+        _tok_len(ref_col).alias("len_ref"),
+    )
+    out = lens.join(rolled, "_pid", "left")
+    for order in range(1, n + 1):
+        m, t = f"matched_{order}", f"total_{order}"
+        out = (
+            out.withColumn(m, F.coalesce(F.col(m), F.lit(0)))
+            .withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+            .withColumn(
+                f"p_{order}",
+                F.when(
+                    F.col(t) > 0, F.col(m).cast("double") / F.col(t)
+                ),
+            )
+        )
+    return out.withColumnRenamed("_pid", pair_col)

@@ -3318,14 +3318,14 @@ _CHECK_FIRST = [
     #    displacement tail — a new oracled query this round takes
     #    the LAST slot first) --
     "ann_cosine_topk",
-    "ann_lsh_oracle",
-    # argmax_order_by_nation / ann_lsh_recall / balanced_source_sample
-    # (the 3 youngest tail slots) ceded to this round's new oracled
-    # registrations (3 of the 5-per-round cap used); they rotate into
-    # the r8 window with the r4 pool.
+    # ann_lsh_oracle / argmax_order_by_nation / ann_lsh_recall /
+    # balanced_source_sample (the 4 youngest tail slots) ceded to this
+    # round's new oracled registrations (4 of the 5-per-round cap
+    # used); they rotate into the r8 window with the r4 pool.
     "unigram_encode_oracle",
     "contamination_spans_docs",
     "quantile_normalized_lengths",
+    "clipped_precision_pairs",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -253,3 +253,93 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs)
+
+
+_SQL_CLIPPED_PRECISION = f"""
+WITH p AS (
+  SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+  FROM documents c JOIN documents r
+    ON r.doc_id = c.doc_id + 1 AND r.lang = c.lang
+),
+tok AS (
+  SELECT pair_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(cand), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS ct,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(ref), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS rt
+  FROM p
+),
+cg AS (
+  SELECT pair_id, o AS ord, UNNEST(
+    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ct) - o + 2, 1)),
+                   i -> ARRAY_TO_STRING(ct[i : i + o - 1], ' '))) AS gram
+  FROM tok, (VALUES (1), (2)) os(o)
+),
+rg AS (
+  SELECT pair_id, o AS ord, UNNEST(
+    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(rt) - o + 2, 1)),
+                   i -> ARRAY_TO_STRING(rt[i : i + o - 1], ' '))) AS gram
+  FROM tok, (VALUES (1), (2)) os(o)
+),
+cc AS (SELECT pair_id, ord, gram, COUNT(*) AS n FROM cg GROUP BY 1, 2, 3),
+rc AS (SELECT pair_id, ord, gram, COUNT(*) AS n FROM rg GROUP BY 1, 2, 3),
+m AS (
+  SELECT cc.pair_id, cc.ord, SUM(LEAST(cc.n, rc.n)) AS mt
+  FROM cc JOIN rc USING (pair_id, ord, gram)
+  GROUP BY 1, 2
+),
+t AS (SELECT pair_id, ord, SUM(n) AS tot FROM cc GROUP BY 1, 2),
+per AS (
+  SELECT t.pair_id, t.ord, t.tot, COALESCE(m.mt, 0) AS mt
+  FROM t LEFT JOIN m USING (pair_id, ord)
+),
+rolled AS (
+  SELECT pair_id,
+    CAST(COALESCE(SUM(CASE WHEN ord = 1 THEN mt END), 0) AS BIGINT) AS matched_1,
+    CAST(COALESCE(SUM(CASE WHEN ord = 1 THEN tot END), 0) AS BIGINT) AS total_1,
+    CAST(COALESCE(SUM(CASE WHEN ord = 2 THEN mt END), 0) AS BIGINT) AS matched_2,
+    CAST(COALESCE(SUM(CASE WHEN ord = 2 THEN tot END), 0) AS BIGINT) AS total_2
+  FROM per GROUP BY pair_id
+)
+SELECT tok.pair_id,
+       CAST(LEN(tok.ct) AS BIGINT) AS len_cand,
+       CAST(LEN(tok.rt) AS BIGINT) AS len_ref,
+       COALESCE(r.matched_1, 0) AS matched_1,
+       COALESCE(r.total_1, 0) AS total_1,
+       CASE WHEN COALESCE(r.total_1, 0) > 0
+            THEN CAST(r.matched_1 AS DOUBLE) / r.total_1 END AS p_1,
+       COALESCE(r.matched_2, 0) AS matched_2,
+       COALESCE(r.total_2, 0) AS total_2,
+       CASE WHEN COALESCE(r.total_2, 0) > 0
+            THEN CAST(r.matched_2 AS DOUBLE) / r.total_2 END AS p_2
+FROM tok LEFT JOIN rolled r USING (pair_id)
+"""
+
+
+@q("clipped_precision_pairs", _SQL_CLIPPED_PRECISION)
+def clipped_precision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped 1/2-gram precision
+    (operators/text.py:ngram_clipped_precision) over consecutive
+    same-lang document pairs (cand = doc i, ref = doc i+1 — a
+    deterministic pairing that stands in for the generated↔reference
+    pairs a distillation filter scores). Exact-integer multiset
+    clipping, single-division precisions, token lengths for the
+    caller's brevity penalty; the oracle replays gram multisets,
+    LEAST-clipping and the per-order rollup."""
+    from ..operators.text import ngram_clipped_precision
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("lang").alias("_cl"),
+        F.col("text").alias("cand"),
+    )
+    r = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("lang").alias("_rl"),
+        F.col("text").alias("ref"),
+    )
+    pairs = c.join(r, "pair_id").filter(
+        F.col("_cl").eqNullSafe(F.col("_rl"))
+    ).select("pair_id", "cand", "ref")
+    return ngram_clipped_precision(pairs, n=2)

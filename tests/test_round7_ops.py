@@ -160,3 +160,54 @@ def test_compression_ratio_pins_and_invariance(spark):
     a = _vals(compression_ratio(df))
     b2 = _vals(compression_ratio(df.repartition(5)))
     assert a == b2
+
+
+# ---------------------------------------------------------------------------
+# ngram_clipped_precision
+# ---------------------------------------------------------------------------
+
+
+def test_clipped_precision_hand_checked(spark):
+    """BLEU §2.1's own clipping example plus a bigram case: 'the the
+    the the the the the' vs 'the cat is on the mat' → p1 = 2/7 (count
+    clipped at the reference's 2), p2 = 0/6."""
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        ngram_clipped_precision,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the", "the cat is on the mat"),
+            (2, "a b c", "a b c"),
+            (3, "x", "y z"),
+        ],
+        "pair_id long, cand string, ref string",
+    )
+    out = {r["pair_id"]: r for r in ngram_clipped_precision(pairs, n=2).collect()}
+    r1 = out[1]
+    assert (r1["matched_1"], r1["total_1"]) == (2, 7)
+    assert r1["p_1"] == 2 / 7
+    assert (r1["matched_2"], r1["total_2"], r1["p_2"]) == (0, 6, 0.0)
+    assert (r1["len_cand"], r1["len_ref"]) == (7, 6)
+    r2 = out[2]  # identical → perfect precision at both orders
+    assert (r2["p_1"], r2["p_2"]) == (1.0, 1.0)
+    r3 = out[3]  # single token: no bigrams → p_2 NULL, p_1 = 0
+    assert (r3["matched_1"], r3["total_1"], r3["p_1"]) == (0, 1, 0.0)
+    assert (r3["matched_2"], r3["total_2"], r3["p_2"]) == (0, 0, None)
+
+
+def test_clipped_precision_partitioning_invariant(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        ngram_clipped_precision,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (i, f"w{i} w{i+1} w{i} shared tail", f"w{i} shared tail w{9-i}")
+            for i in range(10)
+        ],
+        "pair_id long, cand string, ref string",
+    )
+    a = _vals(ngram_clipped_precision(pairs, n=2))
+    b = _vals(ngram_clipped_precision(pairs.repartition(7), n=2))
+    assert a == b and a
