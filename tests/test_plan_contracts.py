@@ -129,19 +129,19 @@ def test_group_cap_never_windows_the_corpus(spark):
     assert "HashAggregate" in plan[first_window:] or "Filter" in plan[first_window:]
 
 
-def test_epoch_ids_window_only_over_offsets(spark):
-    # the global row-number primitive: range partitioning for the data,
-    # one single-partition window ONLY over the per-partition counts
-    # (a #partitions-row relation), never over document rows
+def test_epoch_ids_no_window_no_exchange(spark):
+    # the global row-number primitive, post-ADVICE-r6 shape: the range
+    # shuffle + sort materialize once into an eager localCheckpoint
+    # (whose job also feeds the driver-side #partitions-row prefix
+    # sum), and the FINAL plan is purely the checkpointed layout
+    # through the offset+arange Arrow kernel — NO WindowExec anywhere
+    # (the single-partition ROW_NUMBER trap is structurally absent,
+    # not merely bounded) and no further Exchange
     plan = _final_plan(spark, "epoch_shuffle_positions")
-    assert "Range" in plan or "rangepartitioning" in plan
-    # every Window in the plan must sit above a HashAggregate (the
-    # counts relation) — i.e. an aggregate appears after the window
-    # node in top-down order before any scan-level operator
-    for m in re.finditer(r"\bWindow\b", plan):
-        rest = plan[m.start():]
-        agg = rest.find("HashAggregate")
-        assert agg != -1, "window with no aggregate below it"
+    assert "MapInPandas" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
 
 
 def test_pydatasource_pushdown_leaves_only_isnotnull(spark):
@@ -167,3 +167,18 @@ def test_pydatasource_pushdown_leaves_only_isnotnull(spark):
     # Filter may contain only isnotnull
     for ln in filters:
         assert "isnotnull" in ln and ">=" not in ln and "<" not in ln, ln
+
+
+def test_quantile_normalize_windows_only_value_relation(spark):
+    # CDF calibration must never rank document rows: both windows
+    # (cumulative ≤-count and group total) run over the per-(group,
+    # value) aggregate — every WindowExec has a HashAggregate below
+    # it, and the join back to rows is the map-side broadcast at this
+    # scale (AQE may legitimately shuffle it when the value relation
+    # outgrows broadcast)
+    plan = _final_plan(spark, "quantile_normalized_lengths")
+    assert "Window" in plan
+    for m in re.finditer(r"\bWindow\b", plan):
+        assert plan[m.start():].find("HashAggregate") != -1, (
+            "a window consumes unaggregated rows"
+        )
