@@ -91,3 +91,45 @@ def read_latest_snapshot(
         df.filter(F.col("batch_id") == F.lit(latest)).drop("batch_id"),
         latest,
     )
+
+
+def prune_snapshots(
+    spark: SparkSession, state_dir: str, keep_latest: int = 1
+) -> list[int]:
+    """Maintenance for snapshot-style state (``read_latest_snapshot``
+    relations, e.g. dedup_ingest's ``comps/``): only the newest
+    partition is ever read, so older snapshots are pure storage
+    garbage — at 100 TB a labeling ∝ corpus pairs re-written per drain
+    accumulates fast. Deletes all but the ``keep_latest`` newest
+    ``batch_id=`` partitions through the Hadoop FileSystem API (any
+    scheme the session can write — the pipeline-cleanup convention,
+    never a driver-local rmtree). Returns the deleted batch ids.
+
+    Safe under at-least-once replay: a replayed batch N reads the
+    newest snapshot < N; pruning keeps the newest, and a replay of the
+    CURRENT batch never reads its own partition — so prune only
+    between drains (not mid-stream), which is also when a maintenance
+    job would run. Never deletes the newest ``keep_latest`` (≥ 1
+    enforced)."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm_path.getFileSystem(hconf)
+    if not fs.exists(jvm_path):
+        return []
+    batches = []
+    for st in fs.listStatus(jvm_path):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                batches.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    doomed = sorted(batches)[:-keep_latest]
+    for b in doomed:
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            state_dir, f"batch_id={b}"
+        )
+        fs.delete(p, True)
+    return doomed

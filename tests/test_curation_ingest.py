@@ -152,3 +152,36 @@ def test_incremental_components_merge_across_waves(spark, tmp_path):
         F.col("id").alias("id"), "component"
     )
     assert sorted(lab2.items()) == _vals(full)
+
+
+def test_prune_snapshots_keeps_serving_intact(spark, tmp_path):
+    """Old comps/ snapshots are garbage (only the newest is read):
+    pruning removes them, serving answers are unchanged, and a
+    subsequent drain keeps working from the kept snapshot."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        prune_snapshots,
+        read_latest_snapshot,
+    )
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", WAVE1)
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    _write_wave(inp / "w2.csv", WAVE2)
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+
+    before = _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE))
+    snap_before, bid = read_latest_snapshot(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    labels_before = _vals(snap_before)
+    deleted = prune_snapshots(spark, f"{work}/comps")
+    assert deleted and all(b < bid for b in deleted)
+    snap_after, bid2 = read_latest_snapshot(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    assert bid2 == bid and _vals(snap_after) == labels_before
+    assert _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE)) == before
+    # pruning again is a no-op
+    assert prune_snapshots(spark, f"{work}/comps") == []
