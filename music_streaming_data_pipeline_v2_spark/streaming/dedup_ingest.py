@@ -66,11 +66,20 @@ def run_incremental_dedup(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     schema: T.StructType | None = None,
+    maintain_components: bool = True,
 ) -> None:
     """Drain ``input_path`` (CSV doc files) through the incremental
     near-dup index under ``work_dir`` (docs/, index/, pairs/, comps/,
     ckpt/ — comps/ is the per-batch component-labeling snapshot the
-    curation serving path reads instead of re-clustering history)."""
+    curation serving path reads instead of re-clustering history).
+
+    ``maintain_components=False`` skips the labeling snapshot — for
+    pipelines that only consume the PAIR list (dedup-audit readouts),
+    the delta-CC + snapshot write per drain is pure overhead (a few
+    jobs per drain, material on high-job-latency hosts). Serving
+    paths that read components (curation_ingest.query_curation) fall
+    back to full CC over the pairs when comps/ is absent — correct,
+    just not O(new-pairs) per query."""
     from ..operators.dedup import hashed_word_shingles, minhash_band_postings
 
     docs_dir = os.path.join(work_dir, "docs")
@@ -224,6 +233,8 @@ def run_incremental_dedup(
         new_post.unpersist()
         batch.unpersist()
 
+        if not maintain_components:
+            return
         # --- incremental component labels (VERDICT r6 #5) -----------
         # Maintain the (id, component) labeling as SNAPSHOT state so
         # serving (curation_ingest.query_curation) reads it instead of

@@ -71,26 +71,34 @@ def read_latest_snapshot(
     (``None`` = newest overall, the query-time view), or ``None`` when
     no snapshot exists — callers bootstrap from the additive state.
 
-    The max-batch probe reads only the partition column (file listing
-    + partition values, no data pages), then the snapshot read is
-    partition-pruned to exactly one directory — so query cost tracks
-    the CURRENT labeling size, never the batch count."""
-    try:
-        df = spark.read.schema(_with_batch_id(schema)).parquet(state_dir)
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
+    The max-batch probe is a Hadoop FileSystem directory listing (any
+    scheme the session can reach — the prune_snapshots convention; a
+    Spark max(batch_id) aggregate here costs a whole job per drain,
+    measured material on high-job-latency hosts), then the snapshot
+    read targets exactly one partition directory — so query cost
+    tracks the CURRENT labeling size, never the batch count."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm_path.getFileSystem(hconf)
+    if not fs.exists(jvm_path):
         return None
-    if before_batch is not None:
-        df = df.filter(F.col("batch_id") < F.lit(before_batch))
-    row = df.agg(F.max("batch_id").alias("_b")).first()
-    if row is None or row["_b"] is None:
+    batches = []
+    for st in fs.listStatus(jvm_path):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if before_batch is None or b < before_batch:
+                batches.append(b)
+    if not batches:
         return None
-    latest = int(row["_b"])
-    return (
-        df.filter(F.col("batch_id") == F.lit(latest)).drop("batch_id"),
-        latest,
+    latest = max(batches)
+    df = spark.read.schema(schema).parquet(
+        f"{state_dir}/batch_id={latest}"
     )
+    return df, latest
 
 
 def prune_snapshots(

@@ -185,3 +185,21 @@ def test_prune_snapshots_keeps_serving_intact(spark, tmp_path):
     assert _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE)) == before
     # pruning again is a no-op
     assert prune_snapshots(spark, f"{work}/comps") == []
+
+
+def test_maintain_components_false_falls_back(spark, tmp_path):
+    """Without label maintenance no comps/ state exists, and serving
+    falls back to full CC over the pair list — same answers."""
+    import os
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", WAVE1 + WAVE2)
+    run_incremental_dedup(
+        spark, str(inp), work, maintain_components=False, **MINER
+    )
+    assert not os.path.isdir(os.path.join(work, "comps"))
+    assert _vals(
+        query_curation(spark, work, BUDGET, EPOCHS, **GATE)
+    ) == _vals(_batch_twin(spark, WAVE1 + WAVE2))
