@@ -173,6 +173,7 @@ HEADLINE = [
     "quantile_normalized_lengths",
     "compression_ratio_docs",
     "clipped_precision_pairs",
+    "half_life_popularity",
 ]
 
 

@@ -257,3 +257,68 @@ def grouped_histogram_quantiles(
         .groupBy(spine["_by"].alias(by), "q_permille")
         .agg(F.min("value").alias("value"))
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    as_of: str,
+    half_life_days: int = 7,
+    cap_periods: int = 8,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Half-life-decayed value sum per group — the freshness-weighted
+    popularity a serving layer ranks by (recent plays count full,
+    last-half-life plays count half, ...), computable at QUERY time
+    from plain history with no decay state to maintain.
+
+    Exactness (the repo's no-transcendentals oracle rule): the decay
+    factor is 2^-(age_days // half_life) — a POWER OF TWO, so instead
+    of floating exp() the weighted sum accumulates
+    ``value_centi × 2^(cap − k)`` as exact BIGINTs (aggregation-order
+    free) and pays exactly ONE terminal cast+division by the constant
+    ``2^cap × value_scale``, bit-identical across engines. Events
+    older than ``cap_periods`` half-lives (weight < 2^-cap — below
+    noise for any ranking use) and future timestamps contribute 0,
+    making the clamp part of the defined semantics, not a silent
+    truncation. Returns group cols + ``n_events`` (in-window rows) +
+    ``decayed_value``.
+
+    Scale: one map-side weight expression + one hash aggregate —
+    identical profile to a plain grouped sum; no window, no state.
+    """
+    if half_life_days < 1 or cap_periods < 1 or cap_periods > 62:
+        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 62")
+    age = F.datediff(F.lit(as_of).cast("date"), F.to_date(F.col(ts_col)))
+    k = F.floor(age.cast("double") / float(half_life_days)).cast("int")
+    vc = F.round(F.col(value_col) * value_scale).cast("long")
+    staged = df.withColumn("_k", k).withColumn("_vc", vc)
+    in_window = (
+        (F.col("_k") >= 0)
+        & (F.col("_k") <= cap_periods)
+        & F.col(value_col).isNotNull()
+    )
+    num = F.when(
+        in_window,
+        F.col("_vc")
+        * F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), {int(cap_periods)} - _k)"),
+    ).otherwise(F.lit(0).cast("long"))
+    denom = float((1 << cap_periods) * value_scale)
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(in_window, 1).otherwise(0))
+            .cast("long")
+            .alias("n_events"),
+            F.sum(num).alias("_num"),
+        )
+        .select(
+            *group_cols,
+            "n_events",
+            (F.col("_num").cast("double") / F.lit(denom)).alias(
+                "decayed_value"
+            ),
+        )
+    )

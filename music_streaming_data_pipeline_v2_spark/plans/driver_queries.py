@@ -3317,15 +3317,16 @@ _CHECK_FIRST = [
     # -- 5 oldest r4-green (alphabetical; the new-registration
     #    displacement tail — a new oracled query this round takes
     #    the LAST slot first) --
-    "ann_cosine_topk",
-    # ann_lsh_oracle / argmax_order_by_nation / ann_lsh_recall /
-    # balanced_source_sample (the 4 youngest tail slots) ceded to this
-    # round's new oracled registrations (4 of the 5-per-round cap
-    # used); they rotate into the r8 window with the r4 pool.
+    # ann_cosine_topk / ann_lsh_oracle / argmax_order_by_nation /
+    # ann_lsh_recall / balanced_source_sample (the 5 youngest tail
+    # slots) ceded to this round's new oracled registrations (the full
+    # 5-per-round cap); they rotate into the r8 window with the r4
+    # pool (42 r4-stale + 8 oldest r5 = the r8 window).
     "unigram_encode_oracle",
     "contamination_spans_docs",
     "quantile_normalized_lengths",
     "clipped_precision_pairs",
+    "half_life_popularity",
 ]
 
 def finalize_registry() -> dict[str, Q]:

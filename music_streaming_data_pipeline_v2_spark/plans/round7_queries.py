@@ -343,3 +343,56 @@ def clipped_precision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cl").eqNullSafe(F.col("_rl"))
     ).select("pair_id", "cand", "ref")
     return ngram_clipped_precision(pairs, n=2)
+
+
+_HL_AS_OF, _HL_DAYS, _HL_CAP = "2024-02-01", 7, 8
+
+_SQL_HALF_LIFE = f"""
+WITH w AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(DATE_DIFF('day', CAST(ts AS DATE),
+                                   DATE '{_HL_AS_OF}') AS DOUBLE)
+                    / {_HL_DAYS}.0) AS INTEGER) AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         value
+  FROM events
+),
+t AS (
+  SELECT event_type,
+         CASE WHEN k >= 0 AND k <= {_HL_CAP} AND value IS NOT NULL
+              THEN 1 ELSE 0 END AS inw,
+         CASE WHEN k >= 0 AND k <= {_HL_CAP} AND value IS NOT NULL
+              THEN vc * (CAST(1 AS BIGINT) << ({_HL_CAP} - k))
+              ELSE CAST(0 AS BIGINT) END AS num
+  FROM w
+)
+SELECT event_type,
+       CAST(SUM(inw) AS BIGINT) AS n_events,
+       CAST(SUM(num) AS DOUBLE) / {(1 << _HL_CAP) * 100}.0 AS decayed_value
+FROM t GROUP BY event_type
+"""
+
+
+@q("half_life_popularity", _SQL_HALF_LIFE)
+def half_life_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed event-value popularity per type
+    (operators/aggregates.py:decayed_sum, as-of 2024-02-01, 7-day
+    half-life): the freshness-weighted score a serving layer ranks
+    by, computed at query time from plain history. The decay factor
+    is a POWER OF TWO, so the weighted sum is an exact BIGINT
+    aggregate (order-free) with one terminal division — no exp()/ln()
+    anywhere, per the repo's no-transcendentals oracle rule; the
+    DuckDB twin replays the identical integer arithmetic."""
+    from ..operators.aggregates import decayed_sum
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    return decayed_sum(
+        events,
+        ["event_type"],
+        "ts",
+        "value",
+        _HL_AS_OF,
+        half_life_days=_HL_DAYS,
+        cap_periods=_HL_CAP,
+    )

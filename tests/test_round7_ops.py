@@ -211,3 +211,56 @@ def test_clipped_precision_partitioning_invariant(spark):
     a = _vals(ngram_clipped_precision(pairs, n=2))
     b = _vals(ngram_clipped_precision(pairs.repartition(7), n=2))
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# decayed_sum
+# ---------------------------------------------------------------------------
+
+
+def test_decayed_sum_exact_weights_and_clamps(spark):
+    """Power-of-two decay, hand-checkable: ages 0/7/14 days at a 7-day
+    half-life weight 1, 1/2, 1/4; future timestamps and events past
+    the cap contribute 0 (but still appear in the group); NULL values
+    skipped."""
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        decayed_sum,
+    )
+
+    rows = [
+        (1, "play", "2024-02-01 10:00:00", 8.0),   # age 0  → w 1
+        (2, "play", "2024-01-25 10:00:00", 8.0),   # age 7  → w 1/2
+        (3, "play", "2024-01-18 10:00:00", 8.0),   # age 14 → w 1/4
+        (4, "play", "2024-02-05 10:00:00", 100.0), # future → 0
+        (5, "play", "2020-01-01 10:00:00", 100.0), # past cap → 0
+        (6, "play", "2024-02-01 11:00:00", None),  # NULL value
+        (7, "skip", "2024-01-25 09:00:00", 2.0),   # other group, w 1/2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_type"]: r
+        for r in decayed_sum(
+            df,
+            ["event_type"],
+            "ts",
+            "value",
+            "2024-02-02",
+            half_life_days=7,
+            cap_periods=8,
+        ).collect()
+    }
+    # ages vs 2024-02-02: 1, 8, 15 days → k = 0, 1, 2
+    assert out["play"]["n_events"] == 3
+    assert out["play"]["decayed_value"] == 8.0 + 4.0 + 2.0
+    assert out["skip"]["decayed_value"] == 1.0
+    a = _vals(
+        decayed_sum(df, ["event_type"], "ts", "value", "2024-02-02")
+    )
+    b = _vals(
+        decayed_sum(
+            df.repartition(5), ["event_type"], "ts", "value", "2024-02-02"
+        )
+    )
+    assert a == b
