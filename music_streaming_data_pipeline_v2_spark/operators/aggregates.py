@@ -322,3 +322,73 @@ def decayed_sum(
             ),
         )
     )
+
+
+def value_day_cells(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-(group, day) additive cells ``(…, _day, _n, _vc)`` — row
+    count and exact centi-scaled value sum. The dated counterpart of
+    vocab/PSI cells: under append-only ingest each event lands in
+    exactly one batch, so per-batch cells SUM exactly across batches,
+    and any as-of/day-weighted readout (``decayed_from_cells``)
+    recomputes from groups × days state instead of re-scanning
+    history. NULL values are excluded at the cell (they carry no
+    weighted value and must not count as in-window events)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.round(F.col(value_col) * value_scale).cast("long"))
+            .alias("_vc"),
+        )
+    )
+
+
+def decayed_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    as_of: str,
+    half_life_days: int = 7,
+    cap_periods: int = 8,
+    value_scale: int = 100,
+) -> DataFrame:
+    """``decayed_sum`` served from ``value_day_cells`` state: the
+    decay weight 2^-(age//hl) is a function of the DAY alone, so
+    weighting summed cells equals weighting rows exactly (integer
+    distributivity — no approximation; pinned ≡ decayed_sum by
+    tests/test_round7_ops.py). Readout cost is groups × days cells,
+    never events."""
+    if half_life_days < 1 or cap_periods < 1 or cap_periods > 62:
+        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 62")
+    age = F.datediff(F.lit(as_of).cast("date"), F.col("_day"))
+    k = F.floor(age.cast("double") / float(half_life_days)).cast("int")
+    staged = cells.withColumn("_k", k)
+    in_window = (F.col("_k") >= 0) & (F.col("_k") <= cap_periods)
+    num = F.when(
+        in_window,
+        F.col("_vc")
+        * F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), {int(cap_periods)} - _k)"),
+    ).otherwise(F.lit(0).cast("long"))
+    denom = float((1 << cap_periods) * value_scale)
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(in_window, F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("n_events"),
+            F.sum(num).alias("_num"),
+        )
+        .select(
+            *group_cols,
+            "n_events",
+            (F.col("_num").cast("double") / F.lit(denom)).alias(
+                "decayed_value"
+            ),
+        )
+    )

@@ -264,3 +264,46 @@ def test_decayed_sum_exact_weights_and_clamps(spark):
         )
     )
     assert a == b
+
+
+def test_decayed_from_cells_equals_rows(spark):
+    """Dated additive cells serve the decayed readout exactly: split
+    the events into two disjoint 'batches', sum their cells, and the
+    cell-served decayed values equal the row-level decayed_sum —
+    including groups whose n_events differs from their row count via
+    out-of-window days, with a NULL-value row excluded in both."""
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        decayed_from_cells,
+        decayed_sum,
+        value_day_cells,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            f"t{i % 3}",
+            f"2024-01-{1 + rng.randrange(30):02d} "
+            f"{rng.randrange(24):02d}:00:00",
+            None if i % 17 == 0 else round(rng.uniform(0.01, 400.0), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = _vals(
+        decayed_sum(df, ["event_type"], "ts", "value", "2024-01-20")
+    )
+    b1 = df.filter(F.col("event_id") % 2 == 0)
+    b2 = df.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        value_day_cells(b1, ["event_type"], "ts", "value")
+        .unionByName(value_day_cells(b2, ["event_type"], "ts", "value"))
+        .groupBy("event_type", "_day")
+        .agg(F.sum("_n").alias("_n"), F.sum("_vc").alias("_vc"))
+    )
+    got = _vals(decayed_from_cells(merged, ["event_type"], "2024-01-20"))
+    assert got == want
