@@ -99,6 +99,13 @@ def main() -> None:
     from music_streaming_data_pipeline_v2_spark.streaming.cap_ingest import (
         run_incremental_cap,
     )
+    from music_streaming_data_pipeline_v2_spark.streaming.decontam_ingest import (
+        init_decontam_state,
+        run_incremental_decontam,
+    )
+    from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+        hash_bucket,
+    )
 
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
@@ -151,6 +158,32 @@ def main() -> None:
                 lambda spark, in_dir, work: run_incremental_cap(
                     spark, in_dir, work, 15
                 ),
+            ),
+            (
+                # the eval-set firewall: train side = the hash-split
+                # train bucket streaming in; pinned eval grams
+                # initialized on first drain. Claim: per-drain cost
+                # tracks the BATCH (join vs a FIXED gram set) —
+                # state growth is irrelevant by construction.
+                "decontam",
+                docs.select("doc_id", "text", "source")
+                .filter(hash_bucket("doc_id") < 204)
+                .localCheckpoint(),
+                lambda spark, in_dir, work: (
+                    None
+                    if os.path.exists(
+                        os.path.join(work, "state_meta.json")
+                    )
+                    else init_decontam_state(
+                        spark,
+                        work,
+                        docs.select("doc_id", "text", "source").filter(
+                            hash_bucket("doc_id") >= 230
+                        ),
+                        n=5,
+                    ),
+                    run_incremental_decontam(spark, in_dir, work),
+                )[-1],
             ),
         ]
         for name, df, run in families:
