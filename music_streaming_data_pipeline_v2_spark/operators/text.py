@@ -1802,7 +1802,13 @@ def contamination_spans(
             F.lead("_t", n - 1).over(w).alias("_probe"),
         ).filter(F.col("_probe").isNotNull())
 
-    tg = starts(train).select("gram").distinct()
+    # train side needs only its DISTINCT gram inventory — the plain
+    # postings builder (no row_number pass over train tokens)
+    tg = (
+        word_ngram_postings(train, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
     m = (
         starts(test)
         .join(tg, "gram", "semi")
