@@ -288,9 +288,17 @@ def decayed_sum(
 
     Scale: one map-side weight expression + one hash aggregate —
     identical profile to a plain grouped sum; no window, no state.
+
+    Overflow bound: a row's weighted term is ``value×scale × 2^cap``
+    and must stay under 2⁶³ (ANSI mode would otherwise throw
+    ARITHMETIC_OVERFLOW at runtime; non-ANSI would wrap silently).
+    ``cap_periods`` is therefore capped at 40 — weights below 2⁻⁴⁰
+    are beyond double resolution for any ranking use anyway — which
+    leaves ~2²² (≈ 4.1M centi-units, value ≈ 41k at the default
+    scale) of per-row headroom and 2⁶² of total-sum headroom.
     """
-    if half_life_days < 1 or cap_periods < 1 or cap_periods > 62:
-        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 62")
+    if half_life_days < 1 or not 1 <= cap_periods <= 40:
+        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 40")
     age = F.datediff(F.lit(as_of).cast("date"), F.to_date(F.col(ts_col)))
     k = F.floor(age.cast("double") / float(half_life_days)).cast("int")
     vc = F.round(F.col(value_col) * value_scale).cast("long")
@@ -363,9 +371,12 @@ def decayed_from_cells(
     weighting summed cells equals weighting rows exactly (integer
     distributivity — no approximation; pinned ≡ decayed_sum by
     tests/test_round7_ops.py). Readout cost is groups × days cells,
-    never events."""
-    if half_life_days < 1 or cap_periods < 1 or cap_periods > 62:
-        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 62")
+    never events. Same cap-40 overflow bound as ``decayed_sum`` —
+    and stricter in spirit here, since a CELL's summed ``_vc`` is the
+    multiplicand (a day's whole centi-value volume per group must fit
+    2⁶³ / 2^cap)."""
+    if half_life_days < 1 or not 1 <= cap_periods <= 40:
+        raise ValueError("need half_life_days >= 1, 1 <= cap_periods <= 40")
     age = F.datediff(F.lit(as_of).cast("date"), F.col("_day"))
     k = F.floor(age.cast("double") / float(half_life_days)).cast("int")
     staged = cells.withColumn("_k", k)

@@ -1863,33 +1863,18 @@ def ngram_clipped_precision(
     100 TB this parallelizes per pair with no global state."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    from pyspark.sql import Window
 
     def gram_counts(col: str, out: str) -> DataFrame:
-        toks = F.split(F.trim(F.col(col)), ENGINE_SAFE_WS)
-        w = Window.partitionBy("_pid").orderBy("_raw")
-        base = pairs.select(
-            F.col(pair_col).alias("_pid"),
-            F.posexplode(toks).alias("_raw", "_t"),
-        ).filter(F.col("_t") != "")
-        rows = []
-        for order in range(1, n + 1):
-            gram = F.concat_ws(
-                " ",
-                F.col("_t"),
-                *[F.lead("_t", i).over(w) for i in range(1, order)],
-            )
-            probe = (
-                F.lead("_t", order - 1).over(w) if order > 1 else F.col("_t")
-            )
-            rows.append(
-                base.select(
-                    "_pid",
-                    F.lit(order).alias("_ord"),
-                    gram.alias("gram"),
-                    probe.alias("_probe"),
-                ).filter(F.col("_probe").isNotNull())
-            )
+        # reuse the ONE shared gram builder (word_ngram_rows) per
+        # order — no positions needed here, unlike
+        # contamination_spans.starts
+        side = pairs.select(pair_col, F.col(col).alias("_txt"))
+        rows = [
+            word_ngram_rows(
+                side, order, text_col="_txt", id_col=pair_col, out_id="_pid"
+            ).withColumn("_ord", F.lit(order))
+            for order in range(1, n + 1)
+        ]
         out_df = rows[0]
         for r in rows[1:]:
             out_df = out_df.unionByName(r)

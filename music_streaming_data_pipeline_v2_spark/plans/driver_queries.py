@@ -3261,6 +3261,21 @@ from . import round7_queries  # noqa: E402,F401
 # oracled query at sf0.001 regardless of window position, so windowing
 # is verification freshness, not the only correctness net.
 #
+# ROWS-ONLY entries are EXEMPT from the staleness queue: the driver
+# can only record "executes, N rows" for them (CORRECTNESS_r01/r02
+# show err: no_oracle — they can never go hash-green), so a window
+# slot spent on one verifies almost nothing. Each rows-only entry's
+# real verification is its ORACLED SIBLING (minhash_lsh_pairs_docs /
+# minhash_drop_stats → minhash_lsh_oracle r3-green + drop-stats
+# oracle r6; simhash_pairs_docs → simhash_oracle r6;
+# approx_distinct_users → hll_distinct_users r6; ann_lsh/ivf_topk →
+# their _oracle twins r4; unigram family → unigram_encode_oracle r7 +
+# the brute-force pytest pin; compression_ratio_docs → stdlib-pinned)
+# plus per-run pytest execution. Ledger facts from the CORRECTNESS
+# files themselves (not prior comments, one of which mislabeled
+# minhash_lsh_oracle as r4): minhash_lsh_oracle's only green row is
+# r3, which is why it sits in the r3 block below.
+#
 # Round-7 instance: the 45 r3-green queries (stalest pool, skipped in
 # r5 AND r6) + the 5 alphabetically-first r4-green queries. New
 # registrations this round consume the r4 tail slots per the cap.

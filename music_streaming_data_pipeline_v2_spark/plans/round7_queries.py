@@ -213,7 +213,8 @@ def contamination_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_QUANTILE_NORM = """
 SELECT doc_id, source, n_chars,
-       CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+       CUME_DIST() OVER (PARTITION BY source
+                         ORDER BY n_chars NULLS FIRST) AS pct
 FROM documents
 """
 
@@ -257,6 +258,8 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CLIPPED_PRECISION = f"""
 WITH p AS (
+  -- plain (null-rejecting) lang equality: a NULL-lang doc pairs
+  -- with nothing, in both engines
   SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
   FROM documents c JOIN documents r
     ON r.doc_id = c.doc_id + 1 AND r.lang = c.lang
@@ -302,8 +305,8 @@ rolled AS (
   FROM per GROUP BY pair_id
 )
 SELECT tok.pair_id,
-       CAST(LEN(tok.ct) AS BIGINT) AS len_cand,
-       CAST(LEN(tok.rt) AS BIGINT) AS len_ref,
+       CAST(COALESCE(LEN(tok.ct), 0) AS BIGINT) AS len_cand,
+       CAST(COALESCE(LEN(tok.rt), 0) AS BIGINT) AS len_ref,
        COALESCE(r.matched_1, 0) AS matched_1,
        COALESCE(r.total_1, 0) AS total_1,
        CASE WHEN COALESCE(r.total_1, 0) > 0
@@ -339,8 +342,12 @@ def clipped_precision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("_rl"),
         F.col("text").alias("ref"),
     )
+    # plain equality, not eqNullSafe: NULL-lang docs pair with
+    # nothing — the oracle's null-rejecting JOIN semantics (today's
+    # data has no NULL langs; pinning BOTH sides keeps the gate green
+    # if a future regen introduces one)
     pairs = c.join(r, "pair_id").filter(
-        F.col("_cl").eqNullSafe(F.col("_rl"))
+        F.col("_cl") == F.col("_rl")
     ).select("pair_id", "cand", "ref")
     return ngram_clipped_precision(pairs, n=2)
 

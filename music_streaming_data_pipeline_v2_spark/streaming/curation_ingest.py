@@ -66,12 +66,22 @@ def query_curation(
     # Serving reads the maintained labeling snapshot (dedup_ingest
     # keeps it current per drain, CC over the contracted DELTA graph
     # only — VERDICT r6 #5): one partition-pruned read, no clustering
-    # at query time. Fallback to full CC over the pair list only for
-    # state directories drained by a pre-comps engine version.
+    # at query time. Fallback to full CC over the pair list when no
+    # snapshot exists (pre-comps engine version) OR when the snapshot
+    # LAGS the pair state — possible when later drains ran with
+    # maintain_components=False: serving a stale labeling would
+    # silently drop the lagging batches' merges, so freshness is
+    # checked by batch id (both probes are FS listings, no jobs).
+    from .state import latest_batch_id
+
     snap = read_latest_snapshot(
         spark, os.path.join(work_dir, "comps"), "id long, component long"
     )
-    if snap is not None:
+    pairs_latest = latest_batch_id(spark, os.path.join(work_dir, "pairs"))
+    fresh = snap is not None and (
+        pairs_latest is None or snap[1] >= pairs_latest
+    )
+    if fresh:
         comp = snap[0]
     else:
         from ..operators.clustering import connected_components

@@ -313,8 +313,18 @@ def run_incremental_dedup(
             updated.unionByName(new_rows).write.mode("overwrite").parquet(
                 os.path.join(comps_dir, part)
             )
-        # no new pairs → labeling unchanged; the previous snapshot
-        # stays the latest and serving keeps reading it
+        else:
+            # no new pairs: labels unchanged, but COPY the snapshot
+            # forward so `comps latest batch == pairs latest batch`
+            # holds exactly whenever maintenance ran — that invariant
+            # is what lets query_curation detect a snapshot that lags
+            # because a maintenance-DISABLED drain intervened (stale
+            # labels would silently drop that drain's merges) with a
+            # pure batch-id comparison. Cost ∝ labeling size
+            # (ids-in-pairs, ≪ corpus); replay rewrites identically.
+            prev_snap[0].write.mode("overwrite").parquet(
+                os.path.join(comps_dir, part)
+            )
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -141,3 +141,26 @@ def prune_snapshots(
         )
         fs.delete(p, True)
     return doomed
+
+
+def latest_batch_id(spark: SparkSession, state_dir: str) -> int | None:
+    """Highest committed ``batch_id=`` partition of a state directory
+    (FS listing, no Spark job), or None when the directory is absent
+    or empty — the freshness probe snapshot consumers use to detect a
+    snapshot that lags its additive source (e.g. comps/ behind pairs/
+    after drains ran with maintenance disabled)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm_path.getFileSystem(hconf)
+    if not fs.exists(jvm_path):
+        return None
+    best = None
+    for st in fs.listStatus(jvm_path):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            best = b if best is None else max(best, b)
+    return best

@@ -203,3 +203,62 @@ def test_maintain_components_false_falls_back(spark, tmp_path):
     assert _vals(
         query_curation(spark, work, BUDGET, EPOCHS, **GATE)
     ) == _vals(_batch_twin(spark, WAVE1 + WAVE2))
+
+
+def test_stale_snapshot_from_mixed_maintenance_falls_back(spark, tmp_path):
+    """A maintenance-DISABLED drain between maintained ones leaves the
+    comps/ snapshot lagging the pair state; serving must detect the
+    lag (batch-id freshness) and fall back to full CC instead of
+    silently dropping the later drain's merges."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        latest_batch_id,
+    )
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", WAVE1)
+    run_incremental_dedup(spark, str(inp), work, **MINER)  # maintained
+    _write_wave(inp / "w2.csv", WAVE2)
+    run_incremental_dedup(
+        spark, str(inp), work, maintain_components=False, **MINER
+    )
+    assert latest_batch_id(spark, f"{work}/comps") < latest_batch_id(
+        spark, f"{work}/pairs"
+    )
+    got = _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE))
+    assert got == _vals(_batch_twin(spark, WAVE1 + WAVE2))
+
+
+def test_empty_delta_copies_snapshot_forward(spark, tmp_path):
+    """A maintained drain with NO new pairs copies the labeling
+    forward, so the freshness invariant (comps latest == pairs latest)
+    holds and serving stays on the snapshot path."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        latest_batch_id,
+        read_latest_snapshot,
+    )
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", WAVE1)
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    labels1 = _vals(
+        read_latest_snapshot(
+            spark, f"{work}/comps", "id long, component long"
+        )[0]
+    )
+    # wave of all-unique docs: verified pairs empty
+    _write_wave(
+        inp / "w2.csv",
+        [(50 + i, "en", f"totally unique text number {i} here") for i in range(3)],
+    )
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    assert latest_batch_id(spark, f"{work}/comps") == latest_batch_id(
+        spark, f"{work}/pairs"
+    )
+    snap, _ = read_latest_snapshot(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    assert _vals(snap) == labels1

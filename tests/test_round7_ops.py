@@ -307,3 +307,24 @@ def test_decayed_from_cells_equals_rows(spark):
     )
     got = _vals(decayed_from_cells(merged, ["event_type"], "2024-01-20"))
     assert got == want
+
+
+def test_decayed_sum_rejects_overflowing_cap(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        decayed_from_cells,
+        decayed_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", 1.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="cap_periods <= 40"):
+        decayed_sum(
+            df, ["event_type"], "ts", "value", "2024-02-01", cap_periods=41
+        )
+    cells = spark.createDataFrame(
+        [("a", "2024-01-01", 1, 100)], "event_type string, _day string, _n long, _vc long"
+    ).withColumn("_day", F.col("_day").cast("date"))
+    with pytest.raises(ValueError, match="cap_periods <= 40"):
+        decayed_from_cells(cells, ["event_type"], "2024-02-01", cap_periods=62)

@@ -34,7 +34,6 @@ def main() -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     passes = []
     tracker = spark.sparkContext.statusTracker()
-    jobs0 = len(tracker.getJobIdsForGroup() or [])
     for _ in range(n):
         spark.catalog.clearCache()
         t0 = time.monotonic()
