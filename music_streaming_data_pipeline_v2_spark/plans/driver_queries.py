@@ -3276,72 +3276,72 @@ from . import round7_queries  # noqa: E402,F401
 # minhash_lsh_oracle as r4): minhash_lsh_oracle's only green row is
 # r3, which is why it sits in the r3 block below.
 #
-# Round-7 instance: the 45 r3-green queries (stalest pool, skipped in
-# r5 AND r6) + the 5 alphabetically-first r4-green queries. New
-# registrations this round consume the r4 tail slots per the cap.
-# Ledger source: CORRECTNESS_r01..r06 latest-green union; after r7 the
-# ledger holds zero r3 rows and the r8 window is the remaining 38
-# r4-green + the 12 oldest r5-green entries.
+# Round-8 instance. Ledger source: the CORRECTNESS_r01..r07 files'
+# latest-green union (NOT prior revisions of this comment — the r7
+# header mis-stated the split twice, "38 r4 + 12 r5" here and
+# "42 r4 + 8 r5" in the tail note; recomputing from the files gives
+# 43 r4-green + 50 r5-green stale after r7, VERDICT r7 #1). The r8
+# window is therefore the 43 r4-green queries + the 7 alphabetically
+# first r5-green queries, with new oracled registrations (≤5/round)
+# displacing only the r5 tail, last slot first.
 _CHECK_FIRST = [
-    # -- 45 r3-green (stalest; alphabetical) --
-    "bi_nation_volume",
-    "bigram_collocations",
-    "brand_basket_pairs",
-    "cdc_latest_state",
-    "click_purchase_funnel",
-    "click_purchase_funnel_native",
-    "corpus_curation",
-    "cumulative_unique_buyers",
-    "daily_kpis",
-    "dataset_split_counts",
-    "dim_merge_upsert",
-    "disjunctive_part_revenue",
-    "doc_repetition_filter",
-    "embedding_quantize_codes",
-    "ewma_per_user",
-    "fuzzy_part_pairs",
-    "global_top_spenders",
-    "idle_rich_customers",
-    "incremental_daily_agg",
-    "interpolated_purchase_series",
-    "intersect_entities",
-    "inverted_index_tokens",
-    "minhash_lsh_oracle",
-    "monthly_retention_cohorts",
-    "multi_order_customers_exists",
-    "music_pipeline_kpis",
-    "music_pipeline_top_songs",
-    "orders_by_nation_block_in",
-    "pivot_event_type_matrix",
-    "promo_revenue_share",
-    "redacted_docs",
-    "rolling_30d_distinct_customers",
-    "scd2_user_state",
-    "small_qty_orders_scalar_subq",
-    "source_mix_weights",
-    "tfidf_top_terms",
-    "token_frequencies",
-    "top_types_per_day",
-    "top_users_per_type_day",
-    "train_test_contamination",
-    "user_value_quartiles",
-    "value_histogram",
-    "value_moments_by_type",
-    "views_near_clicks",
-    "winsorized_means",
-    # -- 5 oldest r4-green (alphabetical; the new-registration
+    # -- 43 r4-green (stalest pool; alphabetical) --
+    "ann_cosine_topk",
+    "ann_lsh_oracle",
+    "ann_lsh_recall",
+    "argmax_order_by_nation",
+    "balanced_source_sample",
+    "cube_activity",
+    "customer_order_counts_outer",
+    "daily_gapfill",
+    "dedup_clusters",
+    "dedup_exact_docs",
+    "doc_chunks",
+    "doc_fingerprints",
+    "grouping_sets_marginals",
+    "heavy_hitter_tokens",
+    "hourly_activity",
+    "inactive_customers_anti",
+    "json_extract_agg",
+    "kv_metrics",
+    "kv_top_types",
+    "kv_top_users",
+    "lateral_top_customers",
+    "multimodal_features",
+    "multimodal_resize_geometry",
+    "ngram_decontamination",
+    "ngram_jaccard_pairs",
+    "order_priority_semi",
+    "percentiles_by_type",
+    "pivot_daily_types",
+    "pricing_summary",
+    "quality_by_source",
+    "revenue_by_nation",
+    "rollup_revenue",
+    "salted_join_equivalence",
+    "serving_metric_exact",
+    "serving_metrics_prefix",
+    "spend_rank_analytics",
+    "top_parts_per_brand",
+    "udtf_positional_tokens",
+    "user_event_type_profile",
+    "validate_events",
+    "value_stats_by_type",
+    "winnow_overlap_pairs",
+    "winnowed_fingerprints",
+    # -- 7 oldest r5-green (alphabetical; the new-registration
     #    displacement tail — a new oracled query this round takes
-    #    the LAST slot first) --
-    # ann_cosine_topk / ann_lsh_oracle / argmax_order_by_nation /
-    # ann_lsh_recall / balanced_source_sample (the 5 youngest tail
-    # slots) ceded to this round's new oracled registrations (the full
-    # 5-per-round cap); they rotate into the r8 window with the r4
-    # pool (42 r4-stale + 8 oldest r5 = the r8 window).
-    "unigram_encode_oracle",
-    "contamination_spans_docs",
-    "quantile_normalized_lengths",
-    "clipped_precision_pairs",
-    "half_life_popularity",
+    #    the LAST slot first). After r8 the ledger holds zero r4
+    #    rows and the r9 window is the remaining r5-green pool
+    #    (50 − however many slots survive below) + the oldest
+    #    r6-green entries to fill 50.
+    "ann_ivf_oracle",
+    "ann_ivf_recall",
+    "bigram_lm_quality",
+    "bloom_decontamination",
+    "bm25_hard_negatives",
+    "bm25_search",
+    "boilerplate_ngrams",
 ]
 
 def finalize_registry() -> dict[str, Q]:
