@@ -19,6 +19,10 @@ oracle-checked query, and the stage boundaries are plain DataFrames:
 4. decontamination   — n-gram overlap vs the eval split through the
                        broadcast Bloom prefilter
                        (operators/text.py:ngram_contamination_bloom)
+4b. span removal     — the remove-the-window policy: eval-matching
+                       windows excised from flagged train docs, each
+                       doc trimmed to its longest clean segment
+                       (operators/text.py:remove_contaminated_spans)
 5. domain rebalance  — hash-threshold downsample to the smallest
                        source, then quality-weighted deterministic
                        thinning (operators/sampling.py)
@@ -87,6 +91,7 @@ from music_streaming_data_pipeline_v2_spark.operators.text import (
     bm25_topk,
     ngram_contamination_bloom,
     pii_scan,
+    remove_contaminated_spans,
     quality_score,
     template_ngrams,
     unigram_logprob_score,
@@ -224,6 +229,38 @@ def main() -> None:
     n4 = good.count()
     _mark("4-decontam")
 
+    # 4b. span-level removal on the TRAIN side (the remove-the-window
+    # policy the r7 span report serves): excise eval-matching windows
+    # (+2-token margin) instead of dropping whole train docs. Policy
+    # here: each flagged doc keeps its LONGEST clean segment — id- and
+    # schema-stable for the downstream stages; a segments-as-documents
+    # pipeline would instead re-key on segment_id (operator emits it).
+    segs = remove_contaminated_spans(
+        good.filter(b < 230), good.filter(b >= 230),
+        n=5, margin=2, min_segment_tokens=3,
+    )
+    from pyspark.sql import Window as _Wnd
+
+    best = (
+        segs.withColumn(
+            "_rk",
+            F.row_number().over(
+                _Wnd.partitionBy("doc_id").orderBy(
+                    F.desc("n_tokens"), "seg_index"
+                )
+            ),
+        )
+        .filter("_rk = 1")
+        .select("doc_id", F.col("text").alias("_clean_text"))
+    )
+    good = (
+        good.join(best, "doc_id", "left")
+        .withColumn("text", F.coalesce("_clean_text", "text"))
+        .drop("_clean_text")
+    )
+    n4b = good.count()
+    _mark("4b-span-removal")
+
     # 5. rebalance sources toward uniform, then quality-proportional
     # thinning: keep long documents with probability ∝ token count
     # (deterministic content-hash coin — reproducible across engines)
@@ -336,6 +373,8 @@ def main() -> None:
     print(f"near-dup:      {n3} kept")
     print(f"semantic:      {n3b} kept")
     print(f"decontam:      {n4} kept")
+    print(f"span removal:  {n4b} kept (flagged train docs trimmed "
+          "to longest clean segment)")
     print(f"rebalanced:    {n5} kept")
     print(f"domain+mix:    {n5b} kept; DSIR exemplars "
           f"{[(r.doc_id, round(r.score, 3)) for r in exemplars]}")

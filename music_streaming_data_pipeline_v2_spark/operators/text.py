@@ -1833,6 +1833,167 @@ def contamination_spans(
     )
 
 
+def remove_contaminated_spans(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    margin: int = 0,
+    min_segment_tokens: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION side of ``contamination_spans``: excise every
+    contaminated token window from ``docs`` (the remove-the-window
+    policy of the GPT-3 appendix / Lee et al. 2022 that the span
+    report exists to serve) and emit the decontaminated corpus as
+    standalone segments.
+
+    Semantics, all pinned by the DuckDB twin: a doc's contaminated
+    spans are the ``contamination_spans`` islands over eval-matching
+    ``n``-gram starts, widened by ``margin`` tokens on each side
+    (clamped at the doc head). Every token covered by any widened
+    span is removed; the survivors split into maximal runs of
+    consecutive positions, each emitted as one segment with the
+    whitespace-normalized rebuilt text. Segments of a FLAGGED doc
+    shorter than ``min_segment_tokens`` are dropped (excision debris
+    is not trainable); clean docs pass through as their single
+    ``#0`` segment exempt from the floor (nothing was cut, so
+    nothing is debris). Docs with zero engine-safe tokens emit no
+    rows. Returns ``(id_col, segment_id = "<id>#<k>", seg_index,
+    n_tokens, text)`` with ``seg_index`` dense per doc in position
+    order. Conservation invariant (tested): at ``margin=0,
+    min_segment_tokens=1``, surviving + removed token counts equal
+    the doc's token count exactly.
+
+    Scale shape: gram screening is the ``contamination_spans`` plan
+    (eval gram inventory semi-join, islands window over MATCHED
+    positions only). The rebuild then FORKS: clean docs — the
+    overwhelming majority — take a map-only expression path (no
+    explode, no window); only flagged docs' tokens pay the
+    explode + span anti-join (doc-keyed equi join, spans per doc
+    are few) + segment windows. Nothing windows the clean corpus.
+    """
+    from pyspark.sql import Window
+
+    if n < 1 or margin < 0 or min_segment_tokens < 1:
+        raise ValueError(
+            "need n >= 1, margin >= 0, min_segment_tokens >= 1"
+        )
+
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w = Window.partitionBy("_id").orderBy("_raw")
+    pos = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(toks).alias("_raw", "_t"),
+        )
+        .filter(F.col("_t") != "")
+        .select("_id", (F.row_number().over(w) - 1).alias("_pos"), "_t")
+    )
+    wp = Window.partitionBy("_id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(wp) for i in range(1, n)]
+    )
+    grams = pos.select(
+        "_id",
+        "_pos",
+        gram.alias("gram"),
+        F.lead("_t", n - 1).over(wp).alias("_probe"),
+    ).filter(F.col("_probe").isNotNull())
+    eg = (
+        word_ngram_postings(eval_set, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    m = grams.join(eg, "gram", "semi").select("_id", "_pos")
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    brk = (F.col("_pos") - F.lag("_pos").over(wd) > F.lit(n)).cast("int")
+    isl = F.sum(F.coalesce(brk, F.lit(0))).over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        m.withColumn("_isl", isl)
+        .groupBy("_id", "_isl")
+        .agg(
+            F.greatest(F.min("_pos") - margin, F.lit(0)).alias("_lo"),
+            (F.max("_pos") + F.lit(n - 1 + margin)).alias("_hi"),
+        )
+        .select(F.col("_id").alias("_sid"), "_lo", "_hi")
+    )
+    # The span relation is TINY (flagged docs × islands) but sits
+    # under three consumers (clean-fork roster, flagged-fork roster,
+    # the excision anti-join); left lazy, Catalyst re-executes the
+    # whole corpus gram-screening pipeline once per consumer — two
+    # extra full-corpus passes at the 100 TB target. Materialize it
+    # once (the ids.py eager-localCheckpoint precedent).
+    spans = spans.localCheckpoint(eager=True)
+    flagged = spans.select(F.col("_sid").alias("_id")).distinct()
+
+    # clean fork: map-only rebuild, no explode/window/join per row
+    ctoks = F.filter(toks, lambda t: t != F.lit(""))
+    clean = (
+        docs.join(flagged, docs[id_col] == flagged["_id"], "left_anti")
+        .select(F.col(id_col), ctoks.alias("_ct"))
+        .filter(F.size("_ct") > 0)
+        .select(
+            id_col,
+            F.lit(0).cast("long").alias("seg_index"),
+            F.size("_ct").cast("long").alias("n_tokens"),
+            F.array_join("_ct", " ").alias("text"),
+        )
+    )
+
+    # flagged fork: anti-join tokens out of the widened spans, then
+    # gaps-and-islands over the SURVIVING positions (break on gap > 1)
+    fpos = pos.join(flagged, "_id", "semi")
+    surv = fpos.join(
+        spans,
+        (fpos["_id"] == spans["_sid"])
+        & (fpos["_pos"] >= spans["_lo"])
+        & (fpos["_pos"] <= spans["_hi"]),
+        "left_anti",
+    )
+    sbrk = (F.col("_pos") - F.lag("_pos").over(wd) != 1).cast("int")
+    sseg = F.sum(F.coalesce(sbrk, F.lit(0))).over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    segs = (
+        surv.withColumn("_seg", sseg)
+        .groupBy("_id", "_seg")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("_pos").alias("_start"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                    lambda s: s["_t"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .filter(F.col("n_tokens") >= min_segment_tokens)
+    )
+    ws = Window.partitionBy("_id").orderBy("_start")
+    cut = segs.select(
+        F.col("_id").alias(id_col),
+        (F.row_number().over(ws) - 1).cast("long").alias("seg_index"),
+        "n_tokens",
+        "text",
+    )
+    out = clean.unionByName(cut)
+    return out.select(
+        id_col,
+        F.concat_ws(
+            "#",
+            F.col(id_col).cast("string"),
+            F.col("seg_index").cast("string"),
+        ).alias("segment_id"),
+        "seg_index",
+        "n_tokens",
+        "text",
+    )
+
+
 def ngram_clipped_precision(
     pairs: DataFrame,
     n: int = 2,

@@ -3240,6 +3240,7 @@ from . import round5_queries  # noqa: E402,F401
 from . import round6_queries  # noqa: E402,F401
 from . import round6b_queries  # noqa: E402,F401
 from . import round7_queries  # noqa: E402,F401
+from . import round8_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
@@ -3341,7 +3342,10 @@ _CHECK_FIRST = [
     "bloom_decontamination",
     "bm25_hard_negatives",
     "bm25_search",
-    "boilerplate_ngrams",
+    # boilerplate_ngrams ceded its slot to this round's new oracled
+    # registration (slot 50, last-first per the displacement rule);
+    # it stays in the r5-stale pool for the r9 window.
+    "decontaminated_docs",
 ]
 
 def finalize_registry() -> dict[str, Q]:

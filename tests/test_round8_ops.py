@@ -1,0 +1,174 @@
+"""Round-8 operator tests: span REMOVAL (the action side of the r7
+contamination-span report) — conservation, floor/margin semantics, and
+a pure-Python fuzz reference structurally independent of both the
+Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from music_streaming_data_pipeline_v2_spark.operators.text import (
+    contamination_spans,
+    remove_contaminated_spans,
+)
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in s.split() if t]
+
+
+def _ref_remove(doc_rows, eval_texts, n, margin, floor):
+    """Reference: explicit removed-position SET per doc (never islands
+    arithmetic), then run-splitting by scanning survivor indices."""
+    eval_grams = set()
+    for t in eval_texts:
+        tok = _toks(t)
+        for i in range(len(tok) - n + 1):
+            eval_grams.add(tuple(tok[i : i + n]))
+    out = []
+    for did, t in doc_rows:
+        tok = _toks(t)
+        starts = [
+            i
+            for i in range(len(tok) - n + 1)
+            if tuple(tok[i : i + n]) in eval_grams
+        ]
+        removed: set[int] = set()
+        spans = []
+        if starts:
+            lo = hi = starts[0]
+            for p in starts[1:]:
+                if p - hi <= n:
+                    hi = p
+                else:
+                    spans.append((lo, hi))
+                    lo = hi = p
+            spans.append((lo, hi))
+        for lo, hi in spans:
+            for x in range(max(lo - margin, 0), hi + n - 1 + margin + 1):
+                if x < len(tok):
+                    removed.add(x)
+        surv = [i for i in range(len(tok)) if i not in removed]
+        segs: list[list[int]] = []
+        for i in surv:
+            if segs and i - segs[-1][-1] == 1:
+                segs[-1].append(i)
+            else:
+                segs.append([i])
+        k = 0
+        for seg in segs:
+            if spans and len(seg) < floor:
+                continue
+            out.append(
+                (
+                    did,
+                    f"{did}#{k}",
+                    k,
+                    len(seg),
+                    " ".join(tok[i] for i in seg),
+                )
+            )
+            k += 1
+    return sorted(out)
+
+
+def _run(spark, doc_rows, eval_rows, **kw):
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = remove_contaminated_spans(docs, ev, **kw).collect()
+    return sorted(
+        (r.doc_id, r.segment_id, r.seg_index, r.n_tokens, r.text)
+        for r in got
+    )
+
+
+def test_remove_spans_fuzz_vs_reference(spark):
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(10)]
+    for n, margin, floor in [(3, 0, 1), (3, 1, 2), (4, 2, 3), (2, 0, 2)]:
+        eval_rows = [
+            (100 + i, " ".join(rng.choices(vocab, k=rng.randrange(3, 12))))
+            for i in range(8)
+        ]
+        doc_rows = []
+        for i in range(25):
+            body = rng.choices(vocab, k=rng.randrange(0, 25))
+            if rng.random() < 0.6 and eval_rows:
+                # plant a real eval window so spans actually fire
+                src = _toks(eval_rows[rng.randrange(len(eval_rows))][1])
+                if len(src) >= n:
+                    s = rng.randrange(len(src) - n + 1)
+                    at = rng.randrange(len(body) + 1)
+                    body[at:at] = src[s : s + n]
+            doc_rows.append((i, " ".join(body)))
+        want = _ref_remove(
+            doc_rows, [t for _, t in eval_rows], n, margin, floor
+        )
+        got = _run(
+            spark,
+            doc_rows,
+            eval_rows,
+            n=n,
+            margin=margin,
+            min_segment_tokens=floor,
+        )
+        assert got == want, (n, margin, floor)
+
+
+def test_remove_spans_token_conservation(spark):
+    """At margin=0, floor=1: surviving tokens + the span report's
+    covered_tokens = the doc's token count, per doc — the two
+    operators are two views of one partition of positions."""
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(8)]
+    n = 3
+    eval_rows = [
+        (900 + i, " ".join(rng.choices(vocab, k=6))) for i in range(5)
+    ]
+    doc_rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(1, 30))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    surv = (
+        remove_contaminated_spans(docs, ev, n=n)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("kept"))
+    )
+    rep = contamination_spans(ev, docs, n=n).select(
+        "doc_id", "covered_tokens"
+    )
+    orig = {did: len(_toks(t)) for did, t in doc_rows}
+    joined = {
+        r.doc_id: (r.kept or 0) + (r.covered_tokens or 0)
+        for r in surv.join(rep, "doc_id", "left").collect()
+    }
+    for did, total in joined.items():
+        assert total == orig[did], did
+    # fully-removed docs appear in the report but not the survivors
+    for r in rep.collect():
+        assert joined.get(r.doc_id, r.covered_tokens) >= r.covered_tokens
+
+
+def test_remove_spans_floor_and_clean_exemption(spark):
+    # doc 1: contaminated middle; 1-token debris dies under floor=2.
+    # doc 2: clean and SHORTER than the floor — passes through anyway.
+    docs = [(1, "a x y z b c d"), (2, "q")]
+    ev = [(9, "x y z")]
+    got = _run(spark, docs, ev, n=3, min_segment_tokens=2)
+    assert got == [
+        (1, "1#0", 0, 3, "b c d"),
+        (2, "2#0", 0, 1, "q"),
+    ]
+    # margin=1 eats into the left neighbor and the right segment
+    got = _run(spark, docs, ev, n=3, margin=1, min_segment_tokens=2)
+    assert got == [(1, "1#0", 0, 2, "c d"), (2, "2#0", 0, 1, "q")]
+
+
+def test_remove_spans_empty_and_null_docs(spark):
+    docs = [(1, ""), (2, "   "), (3, None), (4, "a b")]
+    got = _run(spark, docs, [(9, "x y z")], n=3)
+    assert got == [(4, "4#0", 0, 2, "a b")]
