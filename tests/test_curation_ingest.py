@@ -100,12 +100,15 @@ def test_incremental_curation_replay_noop(spark, tmp_path):
 
 
 def test_incremental_components_merge_across_waves(spark, tmp_path):
-    """The labeling snapshot survives the hard case: a later wave's
-    pair BRIDGES two components built in earlier waves, so both old
-    labels must remap (CC over the contracted delta graph, never the
-    full pair list — dedup_ingest's VERDICT r6 #5 maintenance)."""
+    """The labeling survives the hard case: a later wave's pair
+    BRIDGES two components built in earlier waves, so both old labels
+    must remap (CC over the contracted delta graph, never the full
+    pair list — dedup_ingest's VERDICT r6 #5 maintenance) — and the
+    later wave's comps/ partition must contain ONLY the rows it
+    changed (the r7 #3 delta-write contract), with the resolved
+    last-writer-wins read equal to batch CC."""
     from music_streaming_data_pipeline_v2_spark.streaming.state import (
-        read_latest_snapshot,
+        read_resolved_labels,
         read_state_or_empty,
     )
 
@@ -130,7 +133,7 @@ def test_incremental_components_merge_across_waves(spark, tmp_path):
     inp.mkdir()
     _write_wave(inp / "w1.csv", wave1)
     run_incremental_dedup(spark, str(inp), work, **miner)
-    snap1, _ = read_latest_snapshot(
+    snap1, bid1 = read_resolved_labels(
         spark, f"{work}/comps", "id long, component long"
     )
     lab1 = dict(_vals(snap1))
@@ -138,12 +141,12 @@ def test_incremental_components_merge_across_waves(spark, tmp_path):
 
     _write_wave(inp / "w2.csv", wave2)
     run_incremental_dedup(spark, str(inp), work, **miner)
-    snap2, _ = read_latest_snapshot(
+    snap2, bid2 = read_resolved_labels(
         spark, f"{work}/comps", "id long, component long"
     )
     lab2 = dict(_vals(snap2))
     # the bridge collapses everything to the global min id — and the
-    # snapshot must equal full CC over the accumulated pair list
+    # resolved labeling must equal full CC over the accumulated pairs
     assert lab2[1] == lab2[2] == lab2[5] == lab2[6] == lab2[20] == 1
     pairs = read_state_or_empty(
         spark, f"{work}/pairs", "id_a long, id_b long, jaccard double"
@@ -152,15 +155,27 @@ def test_incremental_components_merge_across_waves(spark, tmp_path):
         F.col("id").alias("id"), "component"
     )
     assert sorted(lab2.items()) == _vals(full)
+    # delta-write contract: the bridge wave's partition holds ONLY the
+    # rows it changed — component-5 members remapped to 1 plus the new
+    # bridge doc; the untouched component-1 members (ids 1, 2) keep
+    # their wave-1 rows and are NOT rewritten
+    delta_rows = dict(
+        _vals(
+            spark.read.schema("id long, component long").parquet(
+                f"{work}/comps/batch_id={bid2}"
+            )
+        )
+    )
+    assert delta_rows == {5: 1, 6: 1, 20: 1}
 
 
-def test_prune_snapshots_keeps_serving_intact(spark, tmp_path):
-    """Old comps/ snapshots are garbage (only the newest is read):
-    pruning removes them, serving answers are unchanged, and a
-    subsequent drain keeps working from the kept snapshot."""
+def test_compact_label_deltas_keeps_serving_intact(spark, tmp_path):
+    """Compaction folds the delta chain into the newest partition and
+    deletes the rest: the resolved labeling, serving answers, and
+    subsequent drains are all unchanged."""
     from music_streaming_data_pipeline_v2_spark.streaming.state import (
-        prune_snapshots,
-        read_latest_snapshot,
+        compact_label_deltas,
+        read_resolved_labels,
     )
 
     inp = tmp_path / "in"
@@ -172,19 +187,71 @@ def test_prune_snapshots_keeps_serving_intact(spark, tmp_path):
     run_incremental_dedup(spark, str(inp), work, **MINER)
 
     before = _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE))
-    snap_before, bid = read_latest_snapshot(
+    snap_before, bid = read_resolved_labels(
         spark, f"{work}/comps", "id long, component long"
     )
     labels_before = _vals(snap_before)
-    deleted = prune_snapshots(spark, f"{work}/comps")
+    deleted = compact_label_deltas(
+        spark, f"{work}/comps", "id long, component long"
+    )
     assert deleted and all(b < bid for b in deleted)
-    snap_after, bid2 = read_latest_snapshot(
+    snap_after, bid2 = read_resolved_labels(
         spark, f"{work}/comps", "id long, component long"
     )
     assert bid2 == bid and _vals(snap_after) == labels_before
+    # the folded partition is now the FULL labeling, self-contained
+    folded = _vals(
+        spark.read.schema("id long, component long").parquet(
+            f"{work}/comps/batch_id={bid}"
+        )
+    )
+    assert folded == labels_before
     assert _vals(query_curation(spark, work, BUDGET, EPOCHS, **GATE)) == before
-    # pruning again is a no-op
-    assert prune_snapshots(spark, f"{work}/comps") == []
+    # compacting again deletes nothing (single partition left)
+    assert compact_label_deltas(
+        spark, f"{work}/comps", "id long, component long"
+    ) == []
+    # a further drain keeps maintaining on top of the compacted chain
+    _write_wave(
+        inp / "w3.csv",
+        [(70 + i, "en", f"post compaction unique doc {i}") for i in range(2)],
+    )
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    assert _vals(
+        query_curation(spark, work, BUDGET, EPOCHS, **GATE)
+    ) == _vals(
+        _batch_twin(
+            spark,
+            WAVE1
+            + WAVE2
+            + [(70 + i, "en", f"post compaction unique doc {i}") for i in range(2)],
+        )
+    )
+
+
+def test_prune_after_drain_flag_compacts(spark, tmp_path):
+    """`prune_after_drain=True` leaves a single self-contained comps/
+    partition after the drain, and serving still answers from it."""
+    import os
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    _write_wave(inp / "w1.csv", WAVE1)
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    _write_wave(inp / "w2.csv", WAVE2)
+    run_incremental_dedup(
+        spark, str(inp), work, prune_after_drain=True, **MINER
+    )
+    parts = [
+        d
+        for d in os.listdir(os.path.join(work, "comps"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(parts) == 1
+    assert _vals(
+        query_curation(spark, work, BUDGET, EPOCHS, **GATE)
+    ) == _vals(_batch_twin(spark, WAVE1 + WAVE2))
 
 
 def test_maintain_components_false_falls_back(spark, tmp_path):
@@ -230,13 +297,15 @@ def test_stale_snapshot_from_mixed_maintenance_falls_back(spark, tmp_path):
     assert got == _vals(_batch_twin(spark, WAVE1 + WAVE2))
 
 
-def test_empty_delta_copies_snapshot_forward(spark, tmp_path):
-    """A maintained drain with NO new pairs copies the labeling
-    forward, so the freshness invariant (comps latest == pairs latest)
-    holds and serving stays on the snapshot path."""
+def test_empty_delta_commits_empty_marker(spark, tmp_path):
+    """A maintained drain with NO new pairs commits an EMPTY comps/
+    partition — the freshness invariant (comps latest == pairs latest)
+    holds, the resolved labeling is unchanged, and the write cost is a
+    marker, not a labeling copy (the r7 copy-forward was ∝ labeling
+    size — the cost the delta layout exists to remove)."""
     from music_streaming_data_pipeline_v2_spark.streaming.state import (
         latest_batch_id,
-        read_latest_snapshot,
+        read_resolved_labels,
     )
 
     inp = tmp_path / "in"
@@ -245,7 +314,7 @@ def test_empty_delta_copies_snapshot_forward(spark, tmp_path):
     _write_wave(inp / "w1.csv", WAVE1)
     run_incremental_dedup(spark, str(inp), work, **MINER)
     labels1 = _vals(
-        read_latest_snapshot(
+        read_resolved_labels(
             spark, f"{work}/comps", "id long, component long"
         )[0]
     )
@@ -255,10 +324,94 @@ def test_empty_delta_copies_snapshot_forward(spark, tmp_path):
         [(50 + i, "en", f"totally unique text number {i} here") for i in range(3)],
     )
     run_incremental_dedup(spark, str(inp), work, **MINER)
-    assert latest_batch_id(spark, f"{work}/comps") == latest_batch_id(
-        spark, f"{work}/pairs"
-    )
-    snap, _ = read_latest_snapshot(
+    comps_latest = latest_batch_id(spark, f"{work}/comps")
+    assert comps_latest == latest_batch_id(spark, f"{work}/pairs")
+    snap, _ = read_resolved_labels(
         spark, f"{work}/comps", "id long, component long"
     )
     assert _vals(snap) == labels1
+    # the marker partition itself holds zero rows
+    marker = spark.read.schema("id long, component long").parquet(
+        f"{work}/comps/batch_id={comps_latest}"
+    )
+    assert marker.count() == 0
+
+
+def test_mixed_maintenance_self_heals_on_next_maintained_drain(
+    spark, tmp_path
+):
+    """ADVICE r7 (high): maintained → UNmaintained (with real merges)
+    → maintained. The final drain must detect that the labeling lags
+    the pair state and bootstrap a full clustering — folding only its
+    own delta would drop the middle drain's merges forever while
+    restoring the freshness invariant, so serving would trust a
+    labeling with a permanent hole."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        latest_batch_id,
+        read_resolved_labels,
+        read_state_or_empty,
+    )
+
+    miner = dict(
+        jaccard_threshold=0.25, num_hashes=16, bands=16, shingle_k=2
+    )
+    t_a = "alpha beta gamma delta epsilon zeta"
+    t_b = "one two three four five six seven"
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    # wave 1 (maintained): two separate components
+    _write_wave(
+        inp / "w1.csv",
+        [(1, "en", t_a), (2, "en", t_a + " eta"),
+         (5, "en", t_b), (6, "en", t_b + " eight")],
+    )
+    run_incremental_dedup(spark, str(inp), work, **miner)
+    # wave 2 (UNmaintained): the bridge doc merges both components —
+    # these merges exist only in pairs/, not in comps/
+    _write_wave(
+        inp / "w2.csv",
+        [(20, "en", "alpha beta gamma delta one two three four")],
+    )
+    run_incremental_dedup(
+        spark, str(inp), work, maintain_components=False, **miner
+    )
+    # wave 3 (maintained): new pairs of its own, PLUS the obligation
+    # to heal the wave-2 gap
+    _write_wave(
+        inp / "w3.csv", [(30, "en", t_a + " theta iota")]
+    )
+    run_incremental_dedup(spark, str(inp), work, **miner)
+
+    assert latest_batch_id(spark, f"{work}/comps") == latest_batch_id(
+        spark, f"{work}/pairs"
+    )
+    resolved, _ = read_resolved_labels(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    pairs = read_state_or_empty(
+        spark, f"{work}/pairs", "id_a long, id_b long, jaccard double"
+    )
+    full = connected_components(pairs, src="id_a", dst="id_b").select(
+        "id", "component"
+    )
+    got = dict(_vals(resolved))
+    assert _vals(resolved) == _vals(full)
+    # and the wave-2 bridge really is reflected: everything collapsed
+    assert got[1] == got[2] == got[5] == got[6] == got[20] == 1
+    # serving agrees with the batch twin (snapshot path, now healed)
+    rows = [
+        (1, "en", t_a), (2, "en", t_a + " eta"),
+        (5, "en", t_b), (6, "en", t_b + " eight"),
+        (20, "en", "alpha beta gamma delta one two three four"),
+        (30, "en", t_a + " theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lsh_pairs = minhash_lsh_pairs(docs, **miner)
+    comp = connected_components(lsh_pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    want = curation_from_components(docs, comp, BUDGET, EPOCHS, **GATE)
+    assert _vals(
+        query_curation(spark, work, BUDGET, EPOCHS, **GATE)
+    ) == _vals(want)

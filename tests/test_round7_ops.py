@@ -291,6 +291,13 @@ def test_decayed_from_cells_equals_rows(spark):
         )
         for i in range(400)
     ]
+    # a group whose rows are ALL NULL-valued: decayed_sum keeps it
+    # (n_events=0, value 0.0) and the cells path must too — its cells
+    # are zero-count markers (ADVICE r7 roster finding)
+    rows += [
+        (1000 + i, "tallnull", f"2024-01-{10 + i:02d} 01:00:00", None)
+        for i in range(3)
+    ]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, ts string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
