@@ -641,6 +641,59 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_winnow"
         timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- incremental decontamination firewall (VERDICT r7 #4: the
+        # one ingest family without a timing series): pinned eval-gram
+        # postings built once from the content-hash test slice, then
+        # each train wave screened gram-keyed on arrival, plus one
+        # read of the accumulated hit rows per drain
+        from music_streaming_data_pipeline_v2_spark.operators.sampling import (
+            hash_bucket,
+        )
+        from music_streaming_data_pipeline_v2_spark.streaming.decontam_ingest import (
+            init_decontam_state,
+            query_contamination,
+            run_incremental_decontam,
+        )
+
+        dc_in = os.path.join(work, "decontam", "in")
+        os.makedirs(dc_in, exist_ok=True)
+        bkt = hash_bucket("doc_id")
+        all_docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        dcwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "decontam", "staged", f"w{wnum}")
+            all_docs.filter(bkt < 204).filter(key == wnum).repartition(
+                4
+            ).write.mode("overwrite").json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "decontam", f"docs_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            dcwaves.append(files)
+        wdirdc = os.path.join(work, "decontam", "work")
+        # untimed, like wave staging: the pinned eval postings are
+        # one-time state setup, not per-drain work — the entry times
+        # the drains + serving reads, the per-arrival cost profile
+        init_decontam_state(
+            spark, wdirdc, all_docs.filter(bkt >= 230), n=5
+        )
+        t0 = time.monotonic()
+        for files in dcwaves:
+            for f in files:
+                shutil.move(f, dc_in)
+            run_incremental_decontam(spark, dc_in, wdirdc)
+            query_contamination(spark, wdirdc).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_decontam"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 
 

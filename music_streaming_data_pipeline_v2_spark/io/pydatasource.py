@@ -273,6 +273,20 @@ def make_jsonl_sink():
                 manifest["n_rows"] += m.n_rows
                 manifest["n_bytes"] += m.n_bytes
             shutil.rmtree(staging, ignore_errors=True)
+            # Publish the NEW manifest before deleting anything
+            # (ADVICE r7): the reverse order has a crash window where
+            # the OLD manifest still lists just-deleted parts, so
+            # manifest-driven readers — the sink's primary contract —
+            # break on missing files. Manifest-first, the worst crash
+            # leaves extra unlisted parts: manifest readers are
+            # unaffected, listing readers see the pre-cleanup state
+            # they always tolerated. Temp-file + rename keeps the
+            # manifest swap itself atomic (no torn JSON).
+            mpath = os.path.join(self.path, "_MANIFEST.json")
+            tmp_mpath = mpath + ".tmp"
+            with open(tmp_mpath, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            os.replace(tmp_mpath, mpath)
             if self.overwrite:
                 # honor mode('overwrite') for directory-listing
                 # readers too, not just manifest-driven ones: a
@@ -284,10 +298,6 @@ def make_jsonl_sink():
                 for name in os.listdir(self.path):
                     if name.endswith(".jsonl") and name not in keep:
                         os.remove(os.path.join(self.path, name))
-            with open(
-                os.path.join(self.path, "_MANIFEST.json"), "w"
-            ) as fh:
-                json.dump(manifest, fh, indent=1, sort_keys=True)
 
         def abort(self, messages):
             import os

@@ -410,3 +410,114 @@ def decayed_from_cells(
             ),
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    k: int = 3,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Median/MAD robust outlier audit per group — the
+    mean/stddev-free gate a data pipeline uses on heavy-tailed value
+    columns (a z-score threshold is itself dragged by the outliers it
+    hunts; the median absolute deviation is not). Per group: the lower
+    median of the ``value_scale``-scaled values, the lower median of
+    absolute deviations from it (MAD), and how many values sit
+    strictly beyond ``k × MAD`` of the median. Returns ``(by,
+    n_values, median_centi, mad_centi, n_outliers)`` — all exact
+    BIGINTs (the one rounding is the initial centi-scaling), so the
+    DuckDB twin is hash-exact with zero float traffic. NULL values
+    are excluded; an all-NULL or empty group is absent.
+
+    Medians use the ``histogram_quantiles`` convention: smallest
+    value whose cumulative count reaches ``GREATEST((n×500+999) DIV
+    1000, 1)`` (= ceil(n/2)) — the percentile_disc lower median,
+    identical integer arithmetic in both engines.
+
+    Scale shape: rows collapse map-side into per-(group, distinct
+    value) count cells (shuffle ∝ distinct values, not rows — the
+    histogram_quantiles argument); every window and join after that
+    runs over the bounded histogram, and the deviation histogram is a
+    second bounded relation derived from the first via a
+    groups-sized broadcast of the medians. No row buffering, no
+    group-sized windows."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("need k >= 1")
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(by).alias("_by"),
+            F.round(F.col(value_col) * value_scale)
+            .cast("long")
+            .alias("_v"),
+        )
+    )
+    counts = vals.groupBy("_by", "_v").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+
+    def lower_median(rel: DataFrame) -> DataFrame:
+        """(_by, _v, _cnt) -> (_by, _n, _med): the lower median over
+        a per-group count histogram."""
+        tot = rel.groupBy("_by").agg(F.sum("_cnt").alias("_n"))
+        w = Window.partitionBy("_by").orderBy("_v")
+        cum = rel.select(
+            "_by",
+            "_v",
+            F.sum("_cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_cm"),
+        )
+        return (
+            cum.join(tot, "_by")
+            .filter(
+                F.col("_cm")
+                >= F.expr("GREATEST((_n * 500 + 999) DIV 1000, 1)")
+            )
+            .groupBy("_by", "_n")
+            .agg(F.min("_v").alias("_med"))
+        )
+
+    med = lower_median(counts)
+    # deviation histogram: |v - med| per (group, value) cell, counts
+    # re-aggregated (two cells can fold onto one deviation)
+    dev_counts = (
+        counts.join(F.broadcast(med.select("_by", "_med")), "_by")
+        .select(
+            "_by",
+            F.abs(F.col("_v") - F.col("_med")).alias("_v"),
+            "_cnt",
+        )
+        .groupBy("_by", "_v")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    mad = lower_median(dev_counts).select(
+        "_by", F.col("_med").alias("_mad")
+    )
+    outliers = (
+        dev_counts.join(F.broadcast(mad), "_by")
+        .groupBy("_by")
+        .agg(
+            F.sum(
+                F.when(F.col("_v") > F.lit(int(k)) * F.col("_mad"), F.col("_cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "_by")
+        .join(outliers, "_by")
+        .select(
+            F.col("_by").alias(by),
+            F.col("_n").cast("long").alias("n_values"),
+            F.col("_med").alias("median_centi"),
+            F.col("_mad").alias("mad_centi"),
+            "n_outliers",
+        )
+    )

@@ -796,6 +796,17 @@ def compression_ratio(
     input across runs and partitionings — the kernel is the same
     single-pass map-only shape as the multimodal byte-feature
     kernels). Scale: map-only, no shuffle; cost ∝ bytes scanned.
+
+    Portability caveat (VERDICT r7): "deterministic at a fixed level"
+    holds per zlib BUILD — the DEFLATE spec fixes the decompressed
+    round-trip, not the encoder's exact output, so a heterogeneous
+    cluster mixing zlib builds (or zlib-ng) can shift
+    ``n_compressed_bytes`` a few bytes driver-vs-executor. Pipelines
+    gating on exact byte counts should record
+    ``zlib.ZLIB_RUNTIME_VERSION`` with the run (this container:
+    pinned in tests/test_round7_ops.py) and treat ``ratio``
+    thresholds, which absorb byte-level wiggle, as the portable
+    contract surface.
     """
     from pyspark.sql import types as T
 

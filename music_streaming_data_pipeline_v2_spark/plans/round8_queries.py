@@ -171,3 +171,75 @@ def half_life_from_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_life_days=_HL_DAYS,
         cap_periods=_HL_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier audit (new r8 family: robust statistics)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+_SQL_MAD = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT event_type, vc, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(cnt) AS n FROM c GROUP BY 1),
+cum AS (
+  SELECT event_type, vc,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cm
+  FROM c
+),
+med AS (
+  SELECT cum.event_type, t.n, MIN(vc) AS med
+  FROM cum JOIN t USING (event_type)
+  WHERE cm >= GREATEST((t.n * 500 + 999) // 1000, 1)
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT c.event_type, ABS(c.vc - med.med) AS dev, SUM(c.cnt) AS cnt
+  FROM c JOIN med USING (event_type) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, dev,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cm
+  FROM d
+),
+mad AS (
+  SELECT dcum.event_type, MIN(dev) AS mad
+  FROM dcum JOIN t USING (event_type)
+  WHERE cm >= GREATEST((t.n * 500 + 999) // 1000, 1)
+  GROUP BY 1
+),
+outl AS (
+  SELECT d.event_type,
+         SUM(CASE WHEN d.dev > {_MAD_K} * mad.mad THEN d.cnt
+                  ELSE 0 END) AS n_outliers
+  FROM d JOIN mad USING (event_type) GROUP BY 1
+)
+SELECT med.event_type,
+       CAST(med.n AS BIGINT) AS n_values,
+       med.med AS median_centi,
+       mad.mad AS mad_centi,
+       CAST(outl.n_outliers AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)
+"""
+
+
+@q("mad_outlier_events", _SQL_MAD)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit of event values per type
+    (operators/aggregates.py:mad_outlier_stats, k=3): the
+    heavy-tail-safe gate a value pipeline runs where a z-score
+    threshold would be dragged by the very outliers it hunts. All
+    exact BIGINT arithmetic over centi-scaled values — both medians
+    use the histogram_quantiles lower-median integer rank, so the
+    DuckDB twin replays every step hash-exact. Scale shape: one
+    map-side collapse to (type, distinct value) cells, then windows
+    and joins over the bounded histogram only."""
+    from ..operators.aggregates import mad_outlier_stats
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    return mad_outlier_stats(events, "event_type", "value", k=_MAD_K)

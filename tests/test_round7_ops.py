@@ -132,8 +132,18 @@ def test_compression_ratio_pins_and_invariance(spark):
     """zlib at a fixed level is deterministic: pin reference values
     computed independently with the stdlib here in the test, check
     null/empty handling, and partitioning invariance — the rows-only
-    registry entry's substitute for a DuckDB oracle."""
+    registry entry's substitute for a DuckDB oracle.
+
+    The pins compare the KERNEL's output against this test process's
+    own stdlib zlib — valid because driver and executors share one
+    Python in this container. Cross-build caveat (exact encoder bytes
+    are per zlib build, not per DEFLATE spec — see the operator
+    docstring): the runtime version is asserted present so a container
+    change that swaps zlib surfaces here, not as silent pin drift."""
     import zlib
+
+    assert isinstance(zlib.ZLIB_RUNTIME_VERSION, str)
+    assert zlib.ZLIB_RUNTIME_VERSION
 
     texts = [
         (0, "spam spam spam spam spam spam spam spam"),

@@ -172,3 +172,77 @@ def test_remove_spans_empty_and_null_docs(spark):
     docs = [(1, ""), (2, "   "), (3, None), (4, "a b")]
     got = _run(spark, docs, [(9, "x y z")], n=3)
     assert got == [(4, "4#0", 0, 2, "a b")]
+
+
+# ---------------------------------------------------------------------------
+# mad_outlier_stats
+# ---------------------------------------------------------------------------
+
+
+def _ref_mad(rows, k=3):
+    """Pure-Python reference: sort-based lower medians."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in rows:
+        if v is not None:
+            groups[g].append(round(v * 100))
+    out = {}
+    for g, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(n + 1) // 2 - 1]
+        n_out = sum(1 for d in devs if d > k * mad)
+        out[g] = (n, med, mad, n_out)
+    return out
+
+
+def test_mad_outlier_stats_fuzz_vs_reference(spark):
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        mad_outlier_stats,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(500):
+        g = f"g{i % 4}"
+        if rng.random() < 0.05:
+            rows.append((g, None))
+        elif rng.random() < 0.05:
+            rows.append((g, rng.uniform(500.0, 900.0)))  # planted outliers
+        else:
+            rows.append((g, rng.uniform(0.0, 50.0)))
+    rows += [("gnull", None)] * 3  # all-NULL group: absent from output
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r.event_type: (r.n_values, r.median_centi, r.mad_centi, r.n_outliers)
+        for r in mad_outlier_stats(df, "event_type", "value").collect()
+    }
+    assert got == _ref_mad(rows)
+    assert "gnull" not in got
+
+
+def test_mad_outlier_stats_edges(spark):
+    import pytest
+
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        mad_outlier_stats,
+    )
+
+    # single value: med = value, mad = 0, every other value an outlier
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0)],
+        "event_type string, value double",
+    )
+    got = {
+        r.event_type: (r.n_values, r.median_centi, r.mad_centi, r.n_outliers)
+        for r in mad_outlier_stats(df, "event_type", "value").collect()
+    }
+    # b: values [100,100,900]; med 100; devs [0,0,800]; mad 0; 800 > 0 → 1
+    assert got == {"a": (1, 100, 0, 0), "b": (3, 100, 0, 1)}
+    with pytest.raises(ValueError, match="k >= 1"):
+        mad_outlier_stats(df, "event_type", "value", k=0)

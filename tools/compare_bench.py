@@ -25,14 +25,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_times(path: str) -> tuple[dict[str, float], float | None]:
-    """Returns (per-query seconds, 1-min loadavg at capture start or
-    None for pre-stamp captures)."""
+    """Returns (per-query seconds, max of the 1- and 5-min loadavg at
+    capture start, or None for pre-stamp captures). The 5-min figure
+    matters as much as the 1-min one: a capture started right after a
+    heavy pytest run can show load1 ≈ 0 while the host is still
+    draining (VERDICT r7 probes: semantic_dedup 8.1 s at load1=0.05 /
+    load5=3.4 vs 6.8 s at load5=1.2 — a 1.2x artifact the load1-only
+    gate admitted)."""
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data and isinstance(data["queries"], dict):
         la = data.get("loadavg")
-        load1 = float(la[0]) if isinstance(la, list) and la else None
-        return {k: float(v) for k, v in data["queries"].items()}, load1
+        load = (
+            max(float(x) for x in la[:2])
+            if isinstance(la, list) and la
+            else None
+        )
+        return {k: float(v) for k, v in data["queries"].items()}, load
     # driver capture: parse whatever "name": seconds pairs survive in
     # the clipped tail
     tail = data.get("tail", "")
@@ -57,17 +66,19 @@ def main() -> None:
         raise SystemExit("need an old BENCH_r*.json and BENCH_TIMES.json")
     old, old_load = load_times(old_path)
     new, new_load = load_times(new_path)
-    # A capture that STARTED on a busy host (1-min loadavg > 2) is not
-    # comparable — r6 proved a loaded host shifts every multi-job query
-    # 1.2-1.7x with identical code/plans. --force overrides for
-    # forensic use; unstamped (pre-round-7) captures pass with a note.
+    # A capture that STARTED on a busy host (max of 1- and 5-min
+    # loadavg > 2) is not comparable — r6 proved a loaded host shifts
+    # every multi-job query 1.2-1.7x with identical code/plans, and r7
+    # proved the 5-min residual alone does the same after a pytest
+    # run. --force overrides for forensic use; unstamped
+    # (pre-round-7) captures pass with a note.
     for label, load in (("old", old_load), ("new", new_load)):
         if load is None:
             print(f"note: {label} capture has no loadavg stamp")
         elif load > 2.0 and "--force" not in sys.argv:
             raise SystemExit(
-                f"{label} capture started at loadavg {load} (> 2): "
-                "comparison would measure host load, not code. "
+                f"{label} capture started at max(load1, load5) = {load} "
+                "(> 2): comparison would measure host load, not code. "
                 "Re-capture idle or pass --force."
             )
     shared = sorted(set(old) & set(new))

@@ -26,6 +26,17 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load0 = os.getloadavg()
+    if max(load0[0], load0[1]) > 1.5:
+        # r7 lesson: load1 ~ 0 right after pytest still means a
+        # draining host (load5 carries it); probes then read 1.2x+
+        # high. Warn loudly — the probe still runs (forensics), but
+        # the number is not comparison-grade.
+        print(
+            f"WARNING: max(load1, load5) = "
+            f"{max(load0[0], load0[1]):.2f} > 1.5 — probe will "
+            "measure host load; wait for load5 to drain",
+            file=sys.stderr,
+        )
     spark = get_spark("solo_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
