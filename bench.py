@@ -174,6 +174,10 @@ HEADLINE = [
     "compression_ratio_docs",
     "clipped_precision_pairs",
     "half_life_popularity",
+    # round 8
+    "decontaminated_docs",
+    "half_life_from_cells",
+    "mad_outlier_events",
 ]
 
 

@@ -442,11 +442,14 @@ def mad_outlier_stats(
     runs over the bounded histogram, and the deviation histogram is a
     second bounded relation derived from the first via a
     groups-sized broadcast of the medians. No row buffering, no
-    group-sized windows."""
-    from pyspark.sql import Window
+    group-sized windows.
 
-    if k < 1:
-        raise ValueError("need k >= 1")
+    The front half (cells) and back half (``mad_from_counts``) are
+    split exactly like histogram_quantiles / quantiles_from_counts:
+    (group, value) count cells are ADDITIVE across batches, so an
+    ingest pipeline keeps per-batch cells and serves this readout
+    from summed state without re-scanning rows (additivity pinned by
+    tests/test_round8_ops.py)."""
     vals = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -459,6 +462,20 @@ def mad_outlier_stats(
     counts = vals.groupBy("_by", "_v").agg(
         F.count("*").cast("long").alias("_cnt")
     )
+    return mad_from_counts(counts, k=k).withColumnRenamed("_by", by)
+
+
+def mad_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The median/MAD/outlier READOUT over a prebuilt ``(_by, _v,
+    _cnt)`` per-group count histogram — the back half of
+    ``mad_outlier_stats`` (the quantiles_from_counts split), so
+    incrementally maintained value cells serve the identical
+    arithmetic. Returns ``(_by, n_values, median_centi, mad_centi,
+    n_outliers)``."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("need k >= 1")
 
     def lower_median(rel: DataFrame) -> DataFrame:
         """(_by, _v, _cnt) -> (_by, _n, _med): the lower median over
@@ -473,7 +490,9 @@ def mad_outlier_stats(
             .alias("_cm"),
         )
         return (
-            cum.join(tot, "_by")
+            # totals are GROUPS-sized — broadcast, or the planner
+            # sort-merges the cumsum against it (observed at sf0.01)
+            cum.join(F.broadcast(tot), "_by")
             .filter(
                 F.col("_cm")
                 >= F.expr("GREATEST((_n * 500 + 999) DIV 1000, 1)")
@@ -511,10 +530,12 @@ def mad_outlier_stats(
         )
     )
     return (
-        med.join(mad, "_by")
-        .join(outliers, "_by")
+        # every relation here is groups-sized; hint anyway — at
+        # sf0.01 the planner's stats put the final assembly on SMJ
+        med.join(F.broadcast(mad), "_by")
+        .join(F.broadcast(outliers), "_by")
         .select(
-            F.col("_by").alias(by),
+            "_by",
             F.col("_n").cast("long").alias("n_values"),
             F.col("_med").alias("median_centi"),
             F.col("_mad").alias("mad_centi"),

@@ -246,3 +246,52 @@ def test_mad_outlier_stats_edges(spark):
     assert got == {"a": (1, 100, 0, 0), "b": (3, 100, 0, 1)}
     with pytest.raises(ValueError, match="k >= 1"):
         mad_outlier_stats(df, "event_type", "value", k=0)
+
+
+def test_mad_from_counts_cells_are_additive(spark):
+    """(group, value) count cells SUM across disjoint batches, so the
+    MAD readout over summed per-batch cells equals the whole-input
+    operator — the hist_ingest/vocab-cells additivity contract applied
+    to the robust-stats family."""
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        mad_from_counts,
+        mad_outlier_stats,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 3}", round(rng.uniform(0.0, 30.0), 2))
+        for i in range(300)
+    ] + [("g0", 400.0), ("g1", None)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    want = sorted(
+        tuple(r) for r in mad_outlier_stats(df, "event_type", "value").collect()
+    )
+
+    def cells(part):
+        return (
+            part.filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("_by"),
+                F.round(F.col("value") * 100).cast("long").alias("_v"),
+            )
+            .groupBy("_by", "_v")
+            .agg(F.count("*").cast("long").alias("_cnt"))
+        )
+
+    h = F.pmod(F.hash("value"), F.lit(2))
+    merged = (
+        cells(df.filter(h == 0))
+        .unionByName(cells(df.filter(h == 1)))
+        .groupBy("_by", "_v")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    got = sorted(
+        tuple(r)
+        for r in mad_from_counts(merged)
+        .withColumnRenamed("_by", "event_type")
+        .collect()
+    )
+    assert got == want
