@@ -178,6 +178,7 @@ HEADLINE = [
     "decontaminated_docs",
     "half_life_from_cells",
     "mad_outlier_events",
+    "benford_digit_audit",
 ]
 
 
@@ -697,6 +698,55 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
             query_contamination(spark, wdirdc).count()
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_decontam"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- per-group value-cell state (robust stats at ingest):
+        # event values drained as (id, grp, value) waves, plus one
+        # MAD readout over the accumulated cells per drain
+        from music_streaming_data_pipeline_v2_spark.streaming.value_ingest import (
+            query_mad_stats,
+            run_incremental_values,
+        )
+
+        from music_streaming_data_pipeline_v2_spark.plans.driver_queries import (
+            load_events,
+        )
+
+        va_in = os.path.join(work, "values", "in")
+        os.makedirs(va_in, exist_ok=True)
+        # load_events, not load_table: it sets the NANOS-timestamp
+        # read conf the events parquet needs even with ts pruned away
+        events = load_events(spark, sf_dir).select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("grp"),
+            "value",
+        )
+        vkey = F.pmod(F.hash("id"), F.lit(3))
+        vwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "values", "staged", f"w{wnum}")
+            events.filter(vkey == wnum).repartition(4).write.mode(
+                "overwrite"
+            ).json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(work, "values", f"rows_w{wnum}_{i}.jsonl")
+                shutil.move(part, dst)
+                files.append(dst)
+            vwaves.append(files)
+        wdirv = os.path.join(work, "values", "work")
+        t0 = time.monotonic()
+        for files in vwaves:
+            for f in files:
+                shutil.move(f, va_in)
+            run_incremental_values(spark, va_in, wdirv)
+            query_mad_stats(spark, wdirv).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_values"
         timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 

@@ -217,19 +217,35 @@ def grouped_histogram_quantiles(
     spine join is an equi-join on the group key with the rank
     threshold as residual condition, so it hash-joins rather than
     nested-looping."""
+    hist = (
+        df.select(F.col(by).alias("_by"), F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("_by", "value")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    return grouped_quantiles_from_counts(
+        hist, quantiles_permille
+    ).withColumnRenamed("_by", by)
+
+
+def grouped_quantiles_from_counts(
+    hist: DataFrame,
+    quantiles_permille: list[int],
+) -> DataFrame:
+    """The per-group quantile READOUT over a prebuilt ``(_by, value,
+    _cnt)`` count histogram — the back half of
+    ``grouped_histogram_quantiles`` (the quantiles_from_counts split),
+    so incrementally maintained per-group value cells
+    (streaming/value_ingest.py — counts are additive across batches)
+    read out through the IDENTICAL arithmetic as the batch operator.
+    Returns ``(_by, q_permille, value)``."""
     from pyspark.sql import Window
 
     if not quantiles_permille or any(
         not 0 <= q <= 1000 for q in quantiles_permille
     ):
         raise ValueError("quantiles_permille must be ints in [0, 1000]")
-    hist = (
-        df.select(F.col(by).alias("_by"), F.col(col).alias("value"))
-        .filter(F.col("value").isNotNull())
-        .groupBy("_by", "value")
-        .agg(F.count("*").alias("_cnt"))
-        .localCheckpoint(eager=False)
-    )
+    hist = hist.localCheckpoint(eager=False)
     totals = hist.groupBy("_by").agg(F.sum("_cnt").cast("long").alias("_n"))
     w = Window.partitionBy("_by").orderBy("value")
     cum = hist.select(
@@ -240,7 +256,7 @@ def grouped_histogram_quantiles(
         .cast("long")
         .alias("_cum"),
     )
-    spark = df.sparkSession
+    spark = hist.sparkSession
     qs = spark.createDataFrame(
         [(int(q),) for q in sorted(set(quantiles_permille))],
         "q_permille int",
@@ -254,7 +270,7 @@ def grouped_histogram_quantiles(
             cum,
             (spine["_by"] == cum["_by"]) & (cum["_cum"] >= spine["_target"]),
         )
-        .groupBy(spine["_by"].alias(by), "q_permille")
+        .groupBy(spine["_by"].alias("_by"), "q_permille")
         .agg(F.min("value").alias("value"))
     )
 

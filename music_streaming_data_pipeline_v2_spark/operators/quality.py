@@ -849,3 +849,78 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+#: First-significant-digit expectations, micro units (round(log10(1 +
+#: 1/d) * 1e6) — precomputed integer literals per the repo's
+#: no-transcendentals oracle rule; they sum to exactly 1,000,000).
+BENFORD_MICRO = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+def benford_digit_audit(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit (Benford) audit per group — the classic
+    fabricated/synthetic-data and aggregation-bug smell test: naturally
+    occurring multi-scale magnitudes follow log10(1 + 1/d); generated
+    or truncated data usually doesn't. Emits the full per-digit
+    comparison rather than a single test statistic, all exact BIGINTs:
+    ``(by, digit, n_obs, n_total, expected_micro, dev_micro)`` where
+    ``expected_micro = n_total × p_d`` (p_d the precomputed micro-unit
+    Benford mass — integer literals, never a runtime log) and
+    ``dev_micro = n_obs × 10⁶ − expected_micro`` (signed excess). A
+    χ²-style score is one division away for the caller; keeping the
+    relation integer keeps the DuckDB twin hash-exact. All 9 digits
+    appear for every group with ≥ 1 ranked value (zero-observation
+    digits matter — they're the strongest anomaly signal); NULL and
+    zero-scaled values are excluded.
+
+    The digit is taken from the ``value_scale``-scaled integer
+    magnitude (one rounding, shared with the robust-stats family), so
+    both engines read the first character of the SAME integer's
+    decimal string — no float formatting divergence. Overflow bound:
+    ``n_total × 10⁶`` must fit 2⁶³ → fine to ~9.2×10¹² rows per group.
+
+    Scale shape: one map-side collapse to (group, digit) — ≤ 9 cells
+    per group — then a broadcast digit spine; nothing after the first
+    aggregate touches rows."""
+    spark = df.sparkSession
+    vc = F.round(F.abs(F.col(value_col)) * value_scale).cast("long")
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(by).alias("_by"), vc.alias("_vc"))
+        .filter(F.col("_vc") > 0)
+        .select(
+            "_by",
+            F.substring(F.col("_vc").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy("_by", "digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    totals = obs.groupBy("_by").agg(F.sum("n_obs").alias("_n"))
+    spine = spark.createDataFrame(
+        BENFORD_MICRO, "digit int, p_micro long"
+    )
+    return (
+        totals.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(obs), ["_by", "digit"], "left")
+        .select(
+            F.col("_by").alias(by),
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.col("_n").cast("long").alias("n_total"),
+            (F.col("_n") * F.col("p_micro")).alias("expected_micro"),
+            (
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1_000_000).cast("long")
+                - F.col("_n") * F.col("p_micro")
+            ).alias("dev_micro"),
+        )
+    )

@@ -243,3 +243,57 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir)
     return mad_outlier_stats(events, "event_type", "value", k=_MAD_K)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (new r8 family: distributional forensics)
+# ---------------------------------------------------------------------------
+
+from ..operators.quality import BENFORD_MICRO  # noqa: E402
+
+_BENFORD_VALS = ", ".join(f"({d}, {m})" for d, m in BENFORD_MICRO)
+
+_SQL_BENFORD = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(ABS(value) * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+dg AS (
+  SELECT event_type,
+         CAST(SUBSTRING(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM v WHERE vc > 0
+),
+c AS (SELECT event_type, digit, COUNT(*) AS n_obs FROM dg GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n_obs) AS n FROM c GROUP BY 1),
+p(digit, p_micro) AS (VALUES {_BENFORD_VALS})
+SELECT t.event_type, p.digit,
+       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(t.n AS BIGINT) AS n_total,
+       CAST(t.n * p.p_micro AS BIGINT) AS expected_micro,
+       CAST(COALESCE(c.n_obs, 0) * 1000000 - t.n * p.p_micro AS BIGINT)
+         AS dev_micro
+FROM t CROSS JOIN p
+LEFT JOIN c ON c.event_type = t.event_type AND c.digit = p.digit
+"""
+
+
+@q("benford_digit_audit", _SQL_BENFORD)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) audit of event values per
+    type (operators/quality.py:benford_digit_audit): the
+    fabricated/synthetic-data and aggregation-bug smell test, emitted
+    as the full per-digit comparison in exact BIGINTs — observed
+    count, total, expected micro-mass (n × precomputed
+    round(log10(1+1/d)·10⁶) integer literals — never a runtime log,
+    per the repo's no-transcendentals rule; the nine literals sum to
+    exactly 10⁶), and the signed micro deviation. All 9 digits appear
+    per group, zero-observation digits included — those are the
+    loudest anomalies. The digit comes from the decimal string of the
+    centi-scaled INTEGER magnitude, so both engines read the same
+    characters."""
+    from ..operators.quality import benford_digit_audit as _op
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    return _op(events, "event_type", "value")

@@ -415,3 +415,41 @@ def test_mixed_maintenance_self_heals_on_next_maintained_drain(
     assert _vals(
         query_curation(spark, work, BUDGET, EPOCHS, **GATE)
     ) == _vals(want)
+
+
+def test_first_wave_without_pairs_then_merges(spark, tmp_path):
+    """Bootstrap on a pair-less first wave commits an EMPTY labeling
+    partition; the next drain must resolve over it (empty relation,
+    NOT None) and take the delta path — the all-empty-partition read
+    edge of read_resolved_labels."""
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        read_resolved_labels,
+    )
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    # wave 1: all unique — zero verified pairs, comps gets an empty
+    # bootstrap partition
+    _write_wave(
+        inp / "w1.csv",
+        [(i, "en", f"wholly unique document number {i} body") for i in range(3)],
+    )
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    res = read_resolved_labels(
+        spark, f"{work}/comps", "id long, component long"
+    )
+    assert res is not None and res[0].count() == 0
+    # wave 2: a near-dup pair — the delta path labels it on top of the
+    # empty labeling
+    _write_wave(inp / "w2.csv", WAVE1)
+    run_incremental_dedup(spark, str(inp), work, **MINER)
+    assert _vals(
+        query_curation(spark, work, BUDGET, EPOCHS, **GATE)
+    ) == _vals(
+        _batch_twin(
+            spark,
+            [(i, "en", f"wholly unique document number {i} body") for i in range(3)]
+            + WAVE1,
+        )
+    )

@@ -295,3 +295,40 @@ def test_mad_from_counts_cells_are_additive(spark):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# benford_digit_audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_audit_exact(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.quality import (
+        BENFORD_MICRO,
+        benford_digit_audit,
+    )
+
+    # centi-scaled magnitudes: 1.23 -> 123 (digit 1), -0.95 -> 95
+    # (digit 9, abs), 0.002 -> 0 (excluded), None excluded
+    rows = [
+        ("a", 1.23), ("a", 1.99), ("a", -0.95), ("a", 0.002),
+        ("a", None), ("b", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r.event_type, r.digit): (
+            r.n_obs, r.n_total, r.expected_micro, r.dev_micro
+        )
+        for r in benford_digit_audit(df, "event_type", "value").collect()
+    }
+    p = dict(BENFORD_MICRO)
+    # group a: 3 ranked values, digits 1,1,9
+    assert len(got) == 18  # 9 digits x 2 groups — zero digits present
+    assert got[("a", 1)] == (2, 3, 3 * p[1], 2_000_000 - 3 * p[1])
+    assert got[("a", 9)] == (1, 3, 3 * p[9], 1_000_000 - 3 * p[9])
+    assert got[("a", 5)] == (0, 3, 3 * p[5], -3 * p[5])
+    # group b: one value 30.0 -> 3000 -> digit 3
+    assert got[("b", 3)] == (1, 1, p[3], 1_000_000 - p[3])
+    # per group, deviations sum to zero exactly (masses sum to 1e6)
+    for g in ("a", "b"):
+        assert sum(got[(g, d)][3] for d in range(1, 10)) == 0

@@ -176,6 +176,9 @@ def main() -> None:
             f"- exchanges: {s['exchanges']}{reused}; codegen stages: {s['codegen']}"
         )
         intended_nlj = {
+            "benford_digit_audit": "the CONSTANT 9-row digit spine "
+            "broadcast-cross-joined onto the groups-sized totals "
+            "relation — ≤ 9 × groups rows regardless of input",
             "ann_cosine_topk": "exact brute-force ANN is a cross join "
             "of the broadcast 5-row query set × corpus",
             "bm25_search": "the broadcast 1-row corpus-statistics "
