@@ -179,6 +179,7 @@ HEADLINE = [
     "half_life_from_cells",
     "mad_outlier_events",
     "benford_digit_audit",
+    "mad_clipped_means_events",
 ]
 
 

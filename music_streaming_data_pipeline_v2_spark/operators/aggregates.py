@@ -558,3 +558,72 @@ def mad_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+def mad_clipped_means(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    k: int = 3,
+    value_scale: int = 100,
+) -> DataFrame:
+    """The TREAT side of the robust family (``mad_outlier_stats`` is
+    the detect side): per group, winsorize by the robust fences
+    ``median ± k × MAD`` — values beyond a fence clamp TO the fence —
+    and report the clipped mean. Unlike percentile winsorizing
+    (``winsorized_means``), the fences come from median/MAD, so a
+    heavy tail cannot drag its own clipping threshold. Returns ``(by,
+    n_values, n_clipped, lo_centi, hi_centi, clipped_mean)``: counts
+    and fences exact BIGINTs, the mean one terminal division of an
+    exactly-aggregated BIGINT sum (aggregation-order free, the oracle
+    hash requirement). NULL values excluded; all-NULL groups absent.
+
+    Scale shape: the fences derive from the same bounded
+    (group, distinct value) histogram as ``mad_outlier_stats``
+    (map-side collapse, histogram-only windows); the clamp itself is
+    one map-side expression over the rows with the groups-sized fence
+    relation broadcast — a second row scan, no row shuffle (the
+    clamped sum aggregates with map-side combine)."""
+    stats = mad_outlier_stats(
+        df, by, value_col, k=k, value_scale=value_scale
+    ).select(
+        F.col(by).alias("_fby"),
+        (F.col("median_centi") - F.lit(int(k)) * F.col("mad_centi")).alias(
+            "_lo"
+        ),
+        (F.col("median_centi") + F.lit(int(k)) * F.col("mad_centi")).alias(
+            "_hi"
+        ),
+    )
+    vc = F.round(F.col(value_col) * value_scale).cast("long")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("_by"), vc.alias("_v")
+    )
+    clamped = vals.join(
+        F.broadcast(stats), vals["_by"] == stats["_fby"]
+    ).select(
+        "_by",
+        "_lo",
+        "_hi",
+        F.greatest(F.least(F.col("_v"), F.col("_hi")), F.col("_lo")).alias(
+            "_cv"
+        ),
+        (
+            (F.col("_v") > F.col("_hi")) | (F.col("_v") < F.col("_lo"))
+        ).cast("int").alias("_clip"),
+    )
+    denom = float(value_scale)
+    return clamped.groupBy(
+        F.col("_by").alias(by),
+        F.col("_lo").alias("lo_centi"),
+        F.col("_hi").alias("hi_centi"),
+    ).agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_clip").cast("long").alias("n_clipped"),
+        (
+            F.sum("_cv").cast("double")
+            / (F.count("*") * F.lit(denom))
+        ).alias("clipped_mean"),
+    ).select(
+        by, "n_values", "n_clipped", "lo_centi", "hi_centi", "clipped_mean"
+    )

@@ -3338,15 +3338,16 @@ _CHECK_FIRST = [
     #    r6-green entries to fill 50.
     "ann_ivf_oracle",
     "ann_ivf_recall",
-    "bigram_lm_quality",
-    # bloom_decontamination / bm25_hard_negatives / bm25_search /
-    # boilerplate_ngrams ceded their slots to this round's new
-    # oracled registrations (last slot first per the displacement
-    # rule); they stay in the r5-stale pool for the r9 window.
+    # bigram_lm_quality / bloom_decontamination / bm25_hard_negatives
+    # / bm25_search / boilerplate_ngrams ceded their slots to this
+    # round's new oracled registrations (last slot first per the
+    # displacement rule — the full 5-per-round cap); they stay in the
+    # r5-stale pool for the r9 window.
     "decontaminated_docs",
     "half_life_from_cells",
     "mad_outlier_events",
     "benford_digit_audit",
+    "mad_clipped_means_events",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -179,7 +179,11 @@ def half_life_from_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_K = 3
 
-_SQL_MAD = f"""
+#: The shared median/MAD CTE chain (centi-scaled values of `events`,
+#: lower medians by the histogram_quantiles integer rank) — the detect
+#: query (`mad_outlier_events`) and the treat query
+#: (`mad_clipped_means_events`) replay the identical fences.
+_MAD_CTES = f"""
 WITH v AS (
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
   FROM events WHERE value IS NOT NULL
@@ -211,7 +215,9 @@ mad AS (
   FROM dcum JOIN t USING (event_type)
   WHERE cm >= GREATEST((t.n * 500 + 999) // 1000, 1)
   GROUP BY 1
-),
+)"""
+
+_SQL_MAD = f"""{_MAD_CTES},
 outl AS (
   SELECT d.event_type,
          SUM(CASE WHEN d.dev > {_MAD_K} * mad.mad THEN d.cnt
@@ -297,3 +303,44 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir)
     return _op(events, "event_type", "value")
+
+
+_SQL_MAD_CLIP = f"""{_MAD_CTES},
+f AS (
+  SELECT med.event_type,
+         med.med - {_MAD_K} * mad.mad AS lo,
+         med.med + {_MAD_K} * mad.mad AS hi
+  FROM med JOIN mad USING (event_type)
+),
+cl AS (
+  SELECT v.event_type, f.lo, f.hi,
+         GREATEST(LEAST(v.vc, f.hi), f.lo) AS cv,
+         CASE WHEN v.vc > f.hi OR v.vc < f.lo THEN 1 ELSE 0 END AS clip
+  FROM v JOIN f USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(clip) AS BIGINT) AS n_clipped,
+       lo AS lo_centi, hi AS hi_centi,
+       CAST(SUM(cv) AS DOUBLE) / (COUNT(*) * 100.0) AS clipped_mean
+FROM cl GROUP BY event_type, lo, hi
+"""
+
+
+@q("mad_clipped_means_events", _SQL_MAD_CLIP)
+def mad_clipped_means_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winsorized means per event type
+    (operators/aggregates.py:mad_clipped_means): values clamped to the
+    median ± 3·MAD fences — the TREAT side of the robust family, with
+    fences a heavy tail cannot drag (unlike percentile winsorizing).
+    Counts and fences exact BIGINTs; the mean is one terminal IEEE
+    division of an exactly-aggregated clamped sum, so the DuckDB twin
+    (which replays the identical shared median/MAD CTE chain as
+    `mad_outlier_events`) is hash-exact. Scale shape: fences from the
+    bounded value histogram, then ONE map-side clamp pass over the
+    rows with the groups-sized fence relation broadcast."""
+    from ..operators.aggregates import mad_clipped_means
+    from .driver_queries import load_events
+
+    events = load_events(spark, sf_dir)
+    return mad_clipped_means(events, "event_type", "value", k=_MAD_K)

@@ -332,3 +332,36 @@ def test_benford_digit_audit_exact(spark):
     # per group, deviations sum to zero exactly (masses sum to 1e6)
     for g in ("a", "b"):
         assert sum(got[(g, d)][3] for d in range(1, 10)) == 0
+
+
+def test_mad_clipped_means_vs_reference(spark):
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.operators.aggregates import (
+        mad_clipped_means,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        ("g", round(rng.uniform(0.0, 20.0), 2)) for _ in range(80)
+    ] + [("g", 900.0), ("g", -500.0), ("g", None), ("h", 4.0)]
+    ref = _ref_mad(rows)  # (n, med, mad, n_out) per group
+    want = {}
+    for g, (n, med, mad, _) in ref.items():
+        lo, hi = med - 3 * mad, med + 3 * mad
+        vs = [round(v * 100) for gg, v in rows if gg == g and v is not None]
+        cv = [min(max(v, lo), hi) for v in vs]
+        clipped = sum(1 for v in vs if v > hi or v < lo)
+        want[g] = (n, clipped, lo, hi, sum(cv) / (n * 100.0))
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r.event_type: (
+            r.n_values, r.n_clipped, r.lo_centi, r.hi_centi, r.clipped_mean
+        )
+        for r in mad_clipped_means(df, "event_type", "value").collect()
+    }
+    assert got == want
+    # the planted extremes were clamped, not dropped
+    assert got["g"][1] >= 2
+    # single-value group: fences collapse to the value, nothing clips
+    assert got["h"] == (1, 0, 400, 400, 4.0)
