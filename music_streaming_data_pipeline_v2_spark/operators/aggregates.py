@@ -466,6 +466,23 @@ def mad_outlier_stats(
     ingest pipeline keeps per-batch cells and serves this readout
     from summed state without re-scanning rows (additivity pinned by
     tests/test_round8_ops.py)."""
+    counts = value_cells(df, by, value_col, value_scale=value_scale)
+    return mad_from_counts(counts, k=k).withColumnRenamed("_by", by)
+
+
+def value_cells(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """The robust family's FRONT half: map-side collapse of rows into
+    the ``(_by, _v, _cnt)`` per-group count histogram of
+    ``value_scale``-scaled values (the one rounding in the family).
+    Additive across disjoint row batches — the value_ingest cell
+    contract — so both the batch readouts (``mad_from_counts``,
+    ``mad_fences_from_counts``, ``grouped_quantiles_from_counts``)
+    and summed ingest state run the identical back half."""
     vals = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -475,23 +492,22 @@ def mad_outlier_stats(
             .alias("_v"),
         )
     )
-    counts = vals.groupBy("_by", "_v").agg(
+    return vals.groupBy("_by", "_v").agg(
         F.count("*").cast("long").alias("_cnt")
     )
-    return mad_from_counts(counts, k=k).withColumnRenamed("_by", by)
 
 
-def mad_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
-    """The median/MAD/outlier READOUT over a prebuilt ``(_by, _v,
-    _cnt)`` per-group count histogram — the back half of
-    ``mad_outlier_stats`` (the quantiles_from_counts split), so
-    incrementally maintained value cells serve the identical
-    arithmetic. Returns ``(_by, n_values, median_centi, mad_centi,
-    n_outliers)``."""
+def _mad_core(
+    counts: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared median/MAD derivation over a ``(_by, _v, _cnt)``
+    histogram: returns ``(med, mad, dev_counts)`` where ``med`` is
+    ``(_by, _n, _med)``, ``mad`` is ``(_by, _mad)`` and
+    ``dev_counts`` the absolute-deviation histogram. Split out so the
+    fences-only consumers (``mad_clipped_means``) stop here instead
+    of dragging the n_outliers aggregate through an un-prunable inner
+    join (ADVICE r8)."""
     from pyspark.sql import Window
-
-    if k < 1:
-        raise ValueError("need k >= 1")
 
     def lower_median(rel: DataFrame) -> DataFrame:
         """(_by, _v, _cnt) -> (_by, _n, _med): the lower median over
@@ -533,6 +549,36 @@ def mad_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
     mad = lower_median(dev_counts).select(
         "_by", F.col("_med").alias("_mad")
     )
+    return med, mad, dev_counts
+
+
+def mad_fences_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The robust CLAMP fences only — ``(_by, _lo, _hi)`` =
+    ``median ∓ k×MAD`` over a prebuilt ``(_by, _v, _cnt)`` histogram.
+    ``mad_clipped_means`` needs exactly this; calling the full
+    ``mad_from_counts`` dragged the discarded n_outliers aggregate
+    (a deviation-histogram sum plus one extra join) through an inner
+    join Catalyst cannot prune (ADVICE r8)."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    med, mad, _ = _mad_core(counts)
+    return med.join(F.broadcast(mad), "_by").select(
+        "_by",
+        (F.col("_med") - F.lit(int(k)) * F.col("_mad")).alias("_lo"),
+        (F.col("_med") + F.lit(int(k)) * F.col("_mad")).alias("_hi"),
+    )
+
+
+def mad_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The median/MAD/outlier READOUT over a prebuilt ``(_by, _v,
+    _cnt)`` per-group count histogram — the back half of
+    ``mad_outlier_stats`` (the quantiles_from_counts split), so
+    incrementally maintained value cells serve the identical
+    arithmetic. Returns ``(_by, n_values, median_centi, mad_centi,
+    n_outliers)``."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    med, mad, dev_counts = _mad_core(counts)
     outliers = (
         dev_counts.join(F.broadcast(mad), "_by")
         .groupBy("_by")
@@ -584,17 +630,9 @@ def mad_clipped_means(
     one map-side expression over the rows with the groups-sized fence
     relation broadcast — a second row scan, no row shuffle (the
     clamped sum aggregates with map-side combine)."""
-    stats = mad_outlier_stats(
-        df, by, value_col, k=k, value_scale=value_scale
-    ).select(
-        F.col(by).alias("_fby"),
-        (F.col("median_centi") - F.lit(int(k)) * F.col("mad_centi")).alias(
-            "_lo"
-        ),
-        (F.col("median_centi") + F.lit(int(k)) * F.col("mad_centi")).alias(
-            "_hi"
-        ),
-    )
+    stats = mad_fences_from_counts(
+        value_cells(df, by, value_col, value_scale=value_scale), k=k
+    ).withColumnRenamed("_by", "_fby")
     vc = F.round(F.col(value_col) * value_scale).cast("long")
     vals = df.filter(F.col(value_col).isNotNull()).select(
         F.col(by).alias("_by"), vc.alias("_v")

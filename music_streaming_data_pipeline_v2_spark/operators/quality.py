@@ -910,8 +910,13 @@ def benford_digit_audit(
         BENFORD_MICRO, "digit int, p_micro long"
     )
     return (
+        # spine is the constant 9-row relation — always broadcast; obs
+        # is groups × ≤9 rows and the join is an equi-join, so the
+        # planner picks its own strategy from stats (hinting it forced
+        # a driver-side broadcast that becomes a footgun for
+        # high-cardinality grouping columns — ADVICE r8)
         totals.crossJoin(F.broadcast(spine))
-        .join(F.broadcast(obs), ["_by", "digit"], "left")
+        .join(obs, ["_by", "digit"], "left")
         .select(
             F.col("_by").alias(by),
             "digit",
@@ -922,5 +927,71 @@ def benford_digit_audit(
                 F.coalesce("n_obs", F.lit(0)) * F.lit(1_000_000).cast("long")
                 - F.col("_n") * F.col("p_micro")
             ).alias("dev_micro"),
+        )
+    )
+
+
+def benford_source_gate(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    value_scale: int = 100,
+    threshold_micro: int = 30_000,
+) -> DataFrame:
+    """The VERDICT on top of ``benford_digit_audit`` (which emits the
+    9-row evidence but no decision — VERDICT r8 #4): one row per
+    group with the scalar a 100 TB pipeline actually gates on.
+
+    Statistic: the chi-square DIVERGENCE of the observed first-digit
+    distribution from Benford, Σ_d (p̂_d − p_d)²/p_d, in micro units —
+    an EFFECT-SIZE gate, deliberately not a significance test: at
+    n = 10⁹ any real source "significantly" deviates, but only a
+    fabricated/truncated one deviates by a large fixed distance
+    (a uniform digit spray scores ≈ 3.7×10⁵ micro; Benford-ish data
+    scores near 0; the default fence 30 000 sits an order of
+    magnitude from both). Per digit: ``pdev_micro = (n_obs × 10⁶)
+    DIV n_total − p_micro`` (observed micro-probability by integer
+    division — floor ≡ truncation here, every operand nonnegative,
+    so Spark's DIV and DuckDB's // agree), then ``score_micro =
+    Σ_d pdev_micro² DIV p_micro``. ``|pdev_micro| ≤ 10⁶`` regardless
+    of n, so the squares fit BIGINT at ANY group size — the reason
+    the gate normalizes to probabilities before squaring rather than
+    squaring count deviations (those overflow 2⁶³ past ~3×10⁹ rows
+    per group). Also emits ``max_abs_pdev_micro`` (the sup-norm —
+    loud when ONE digit is off, e.g. a clamp at 5.x) and
+    ``is_suspect = score_micro > threshold_micro``. Exact integers
+    end to end; zero-observation digits contribute through the
+    audit's zero rows.
+
+    Scale shape: inherits the audit's (≤ 9 cells per group, one
+    map-side collapse); the gate itself is a 9→1 integer fold per
+    group."""
+    audit = benford_digit_audit(
+        df, by, value_col, value_scale=value_scale
+    )
+    # p_micro is recoverable exactly: expected_micro = n_total × p_micro
+    pdev = audit.select(
+        F.col(by).alias("_by"),
+        "n_total",
+        F.expr("expected_micro DIV n_total").alias("_p"),
+        F.expr(
+            "n_obs * CAST(1000000 AS BIGINT) DIV n_total"
+            " - expected_micro DIV n_total"
+        ).alias("_pdev"),
+    )
+    return (
+        pdev.groupBy(F.col("_by").alias(by))
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.max(F.abs(F.col("_pdev")))
+            .cast("long")
+            .alias("max_abs_pdev_micro"),
+            F.sum(F.expr("_pdev * _pdev DIV _p"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .withColumn(
+            "is_suspect",
+            F.col("score_micro") > F.lit(int(threshold_micro)),
         )
     )

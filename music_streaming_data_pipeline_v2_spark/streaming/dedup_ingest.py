@@ -385,5 +385,8 @@ def run_incremental_dedup(
         from .state import compact_label_deltas
 
         compact_label_deltas(
-            spark, comps_dir, "id long, component long"
+            spark,
+            comps_dir,
+            "id long, component long",
+            ckpt_dir=ckpt_dir,
         )

@@ -47,10 +47,14 @@ def run_incremental_hist(
     work_dir: str,
     schema: T.StructType | None = None,
     text_col: str = "text",
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text) into
     the token-length histogram state under ``work_dir`` (cells/,
-    ckpt/)."""
+    ckpt/). ``compact_after_drain=True`` folds the cell chain into
+    the newest partition after the stream terminates
+    (state.compact_additive_cells — exact, readout cost stops
+    tracking drain count)."""
     cells_dir = os.path.join(work_dir, "cells")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
@@ -84,6 +88,18 @@ def run_incremental_hist(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            "value long, _cnt long",
+            key_cols=["value"],
+            sum_cols=["_cnt"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_quantiles(

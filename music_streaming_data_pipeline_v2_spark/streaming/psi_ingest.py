@@ -60,10 +60,14 @@ def run_incremental_psi(
     schema: T.StructType | None = None,
     group_col: str = "source",
     bin_sql: str = DEFAULT_BIN_SQL,
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text,
     source) into the PSI cell state under ``work_dir`` (cells/,
-    ckpt/)."""
+    ckpt/). ``compact_after_drain=True`` folds the cell chain into
+    the newest partition after the stream terminates
+    (state.compact_additive_cells — exact, readout cost stops
+    tracking drain count)."""
     cells_dir = os.path.join(work_dir, "cells")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
@@ -97,6 +101,18 @@ def run_incremental_psi(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            "grp string, bin string, cnt long",
+            key_cols=["grp", "bin"],
+            sum_cols=["cnt"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_psi(

@@ -56,9 +56,14 @@ def run_incremental_values(
     schema: T.StructType | None = None,
     group_col: str = "grp",
     value_col: str = "value",
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines rows: id, grp, value) into the
-    per-group value-cell state under ``work_dir`` (cells/, ckpt/)."""
+    per-group value-cell state under ``work_dir`` (cells/, ckpt/).
+    ``compact_after_drain=True`` folds the per-batch cell chain into
+    the newest partition once the stream terminates
+    (state.compact_additive_cells — exact integer sums, so readouts
+    are bit-identical while their cost stops tracking drain count)."""
     cells_dir = os.path.join(work_dir, "cells")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
@@ -92,6 +97,18 @@ def run_incremental_values(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            "grp string, v long, cnt long",
+            key_cols=["grp", "v"],
+            sum_cols=["cnt"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def _summed_cells(spark: SparkSession, work_dir: str) -> DataFrame:
