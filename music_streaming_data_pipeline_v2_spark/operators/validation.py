@@ -157,3 +157,45 @@ def validate_streams(df: DataFrame, check_nonempty: bool = True) -> DataFrame:
     if check_nonempty and out.isEmpty():
         raise EmptyResultError("No valid data remaining after validation")
     return out
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style column profile: per column, the table's exact row
+    count, the column's null count, and its distinct non-null value
+    count — the constraint-suggestion primitive (key uniqueness ⇔
+    n_distinct = n_rows − n_nulls; null-rate drift; enum explosion)
+    a pipeline checks before trusting a new partition. Extends the
+    reference's row-level null gate (reference:
+    dags/tasks/validate.py:50,70 — dropna over critical fields) to
+    whole-table profiling.
+
+    Returns ``(column_name, n_rows, n_nulls, n_distinct)``, one row
+    per requested column, exact BIGINTs.
+
+    Physical shape: ONE aggregate over one scan — Spark plans the
+    multi-distinct aggregate via Expand (each input row fans out to
+    |cols|+1 tagged rows, each partial-aggregated map-side), then the
+    single profile row unpivots driver-side-free via ``stack``. That
+    is a deliberate trade: one pass over 100 TB with a |cols|×
+    row-expansion beats |cols| separate scans whenever the scan
+    dominates (it does — the expansion never leaves the map stage
+    for the non-distinct aggregates, and each distinct group
+    shuffles only its own column's values). For very wide profiles
+    at extreme scale, chunk ``cols`` across calls."""
+    if not cols:
+        raise ValueError("need at least one column to profile")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).cast("long").alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - `_nn_{c}`, `_nd_{c}`" for c in cols
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

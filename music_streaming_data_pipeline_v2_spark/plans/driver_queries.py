@@ -3241,6 +3241,7 @@ from . import round6_queries  # noqa: E402,F401
 from . import round6b_queries  # noqa: E402,F401
 from . import round7_queries  # noqa: E402,F401
 from . import round8_queries  # noqa: E402,F401
+from . import round9_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the FIRST 50
@@ -3277,77 +3278,74 @@ from . import round8_queries  # noqa: E402,F401
 # minhash_lsh_oracle as r4): minhash_lsh_oracle's only green row is
 # r3, which is why it sits in the r3 block below.
 #
-# Round-8 instance. Ledger source: the CORRECTNESS_r01..r07 files'
-# latest-green union (NOT prior revisions of this comment — the r7
-# header mis-stated the split twice, "38 r4 + 12 r5" here and
-# "42 r4 + 8 r5" in the tail note; recomputing from the files gives
-# 43 r4-green + 50 r5-green stale after r7, VERDICT r7 #1). The r8
-# window is therefore the 43 r4-green queries + the 7 alphabetically
-# first r5-green queries, with new oracled registrations (≤5/round)
-# displacing only the r5 tail, last slot first.
+# Round-9 instance. Ledger source: the CORRECTNESS_r01..r08 files'
+# latest-green union, recomputed from the files as the policy
+# prescribes (the round-8 closing note's "47 r5 + 3 r6" split was
+# computed BEFORE the two late r8 registrations landed and is wrong —
+# VERDICT r8 #1). After r8 the ledger holds 50 r8 + 50 r7 + 50 r6 +
+# 48 r5-green rows and zero r4. The r9 window is therefore the 48
+# r5-green queries + the 2 alphabetically-first r6-green
+# (asof_user_setting, blocklist_gate_docs) to fill 50, with this
+# round's 4 new oracled registrations displacing last slot first:
+# blocklist_gate_docs and asof_user_setting (the r6 tail), then
+# zorder_values and weighted_doc_sample (the alphabetical tail of the
+# r5 pool — they and the two r6 entries head the r10 window).
 _CHECK_FIRST = [
-    # -- 43 r4-green (stalest pool; alphabetical) --
-    "ann_cosine_topk",
-    "ann_lsh_oracle",
-    "ann_lsh_recall",
-    "argmax_order_by_nation",
-    "balanced_source_sample",
-    "cube_activity",
-    "customer_order_counts_outer",
-    "daily_gapfill",
-    "dedup_clusters",
-    "dedup_exact_docs",
-    "doc_chunks",
-    "doc_fingerprints",
-    "grouping_sets_marginals",
-    "heavy_hitter_tokens",
-    "hourly_activity",
-    "inactive_customers_anti",
-    "json_extract_agg",
-    "kv_metrics",
-    "kv_top_types",
-    "kv_top_users",
-    "lateral_top_customers",
-    "multimodal_features",
-    "multimodal_resize_geometry",
-    "ngram_decontamination",
-    "ngram_jaccard_pairs",
-    "order_priority_semi",
-    "percentiles_by_type",
-    "pivot_daily_types",
-    "pricing_summary",
-    "quality_by_source",
-    "revenue_by_nation",
-    "rollup_revenue",
-    "salted_join_equivalence",
-    "serving_metric_exact",
-    "serving_metrics_prefix",
-    "spend_rank_analytics",
-    "top_parts_per_brand",
-    "udtf_positional_tokens",
-    "user_event_type_profile",
-    "validate_events",
-    "value_stats_by_type",
-    "winnow_overlap_pairs",
-    "winnowed_fingerprints",
-    # -- 7 oldest r5-green (alphabetical; the new-registration
-    #    displacement tail — a new oracled query this round takes
-    #    the LAST slot first). After r8 the ledger holds zero r4
-    #    rows and the r9 window is the remaining r5-green pool
-    #    (50 − however many slots survive below) + the oldest
-    #    r6-green entries to fill 50.
-    "ann_ivf_oracle",
-    "ann_ivf_recall",
-    # bigram_lm_quality / bloom_decontamination / bm25_hard_negatives
-    # / bm25_search / boilerplate_ngrams ceded their slots to this
-    # round's new oracled registrations (last slot first per the
-    # displacement rule — the full 5-per-round cap); they stay in the
-    # r5-stale pool for the r9 window.
-    "decontaminated_docs",
-    "half_life_from_cells",
-    "mad_outlier_events",
-    "benford_digit_audit",
-    "mad_clipped_means_events",
+    # -- 46 r5-green (stalest pool; alphabetical; zorder_values and
+    #    weighted_doc_sample ceded their slots to this round's new
+    #    registrations) --
+    "bigram_lm_quality",
+    "bloom_decontamination",
+    "bm25_hard_negatives",
+    "bm25_search",
+    "boilerplate_ngrams",
+    "ccnet_quality_buckets",
+    "char_entropy_scores",
+    "cluster_representatives",
+    "cm_token_counts",
+    "concurrent_activity_pairs",
+    "doc_length_quantiles",
+    "dsir_gumbel_topk",
+    "dsir_importance_weights",
+    "duplicated_spans",
+    "embedding_decontamination",
+    "epoch_mix_plan",
+    "gopher_quality_rules",
+    "gopher_repetition_signals",
+    "ivfpq_topk_adc",
+    "kv_table",
+    "leakage_safe_split",
+    "length_quantiles_by_lang",
+    "line_dedup_docs",
+    "mmr_rerank_topk",
+    "nb_domain_routing",
+    "nfd_bin_packing",
+    "pii_scan_counts",
+    "pq_codes",
+    "pq_recall",
+    "pq_topk_adc",
+    "recipe_epochs_unimax",
+    "retrieval_mrr_ndcg",
+    "rolling_7d_range",
+    "rrf_hybrid_topk",
+    "salted_agg_equivalence",
+    "semantic_dedup_decisions",
+    "sequence_packing",
+    "serving_rank_between",
+    "source_drift_psi",
+    "source_ngram_overlap",
+    "temperature_lang_sample",
+    "textrank_keywords",
+    "unigram_lm_quality",
+    "unimax_allocation",
+    "vocab_coverage_curve",
+    "vocab_oov_rate",
+    # -- new r9 registrations (4 of the 5-per-round cap; displacement
+    #    order above) --
+    "mad_from_cells",
+    "benford_source_gate",
+    "column_profile_events",
+    "skyline_parts",
 ]
 
 def finalize_registry() -> dict[str, Q]:

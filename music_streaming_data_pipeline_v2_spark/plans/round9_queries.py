@@ -1,0 +1,193 @@
+"""Round-9 batch: the cells≡rows proof for the robust family, the
+Benford VERDICT scalar, and two new first-class families — Deequ-style
+column profiling and the 2-D Pareto skyline.
+
+``mad_from_cells`` closes VERDICT r8 #3: the robust MAD family's
+additive (group, value) count cells are rebuilt in-query from two
+DISJOINT halves of the events table, summed exactly as the
+value_ingest readout sums per-batch state, and served through the
+SAME ``mad_from_counts`` back half — oracled against the IDENTICAL
+DuckDB SQL as the row-level ``mad_outlier_events``, so every driver
+round hash-proves cells ≡ rows (the ``half_life_from_cells``
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .driver_queries import load_events, q
+from .round8_queries import _BENFORD_VALS, _MAD_K, _SQL_MAD
+
+
+@q("mad_from_cells", _SQL_MAD)
+def mad_from_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mad_outlier_events`` served from ADDITIVE value cells instead
+    of rows (operators/aggregates.py:value_cells + mad_from_counts):
+    the events split into two disjoint halves by event-id parity, each
+    half collapsed to its own (type, centi-value, count) histogram —
+    exactly what two ingest drains would store — then cell-wise SUMMED
+    (the value_ingest readout) and handed to the shared back half.
+    Oracled against the SAME SQL as the row-level query, so the driver
+    hash-proves cells ≡ rows every round: cell addition is exact
+    integer math and the readout is shared code, which is the entire
+    correctness argument for serving robust stats from streamed state
+    at 100 TB (rows are never re-scanned)."""
+    from ..operators.aggregates import mad_from_counts, value_cells
+
+    events = load_events(spark, sf_dir)
+    even = value_cells(
+        events.filter(F.col("event_id") % 2 == 0), "event_type", "value"
+    )
+    odd = value_cells(
+        events.filter(F.col("event_id") % 2 == 1), "event_type", "value"
+    )
+    summed = (
+        even.unionByName(odd)
+        .groupBy("_by", "_v")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+    return mad_from_counts(summed, k=_MAD_K).withColumnRenamed(
+        "_by", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford verdict scalar (VERDICT r8 #4)
+# ---------------------------------------------------------------------------
+
+_BENFORD_THRESHOLD = 30_000
+
+_SQL_BENFORD_GATE = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(ABS(value) * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+dg AS (
+  SELECT event_type,
+         CAST(SUBSTRING(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM v WHERE vc > 0
+),
+c AS (SELECT event_type, digit, COUNT(*) AS n_obs FROM dg GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n FROM c GROUP BY 1),
+p(digit, p_micro) AS (VALUES {_BENFORD_VALS}),
+pd AS (
+  SELECT t.event_type, t.n, p.p_micro,
+         CAST(COALESCE(c.n_obs, 0) AS BIGINT) * 1000000 // t.n
+           - p.p_micro AS pdev
+  FROM t CROSS JOIN p
+  LEFT JOIN c ON c.event_type = t.event_type AND c.digit = p.digit
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(MAX(ABS(pdev)) AS BIGINT) AS max_abs_pdev_micro,
+       CAST(SUM(pdev * pdev // p_micro) AS BIGINT) AS score_micro,
+       CAST(SUM(pdev * pdev // p_micro) AS BIGINT)
+         > {_BENFORD_THRESHOLD} AS is_suspect
+FROM pd GROUP BY event_type
+"""
+
+
+@q("benford_source_gate", _SQL_BENFORD_GATE)
+def benford_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERDICT on top of ``benford_digit_audit``
+    (operators/quality.py:benford_source_gate): one row per event
+    type with the chi-square DIVERGENCE of the observed first-digit
+    distribution from Benford in exact micro units, the sup-norm
+    deviation, and the boolean gate at the documented 30 000-micro
+    effect-size fence. A 100 TB pipeline gates sources on this
+    scalar, not on 9 evidence rows each. Per-digit observed
+    probabilities come from integer division of nonnegative BIGINTs
+    (floor ≡ truncation, so Spark's DIV and DuckDB's // agree), and
+    |pdev| ≤ 10⁶ independent of n, so the squared terms fit BIGINT
+    at any group size."""
+    from ..operators.quality import benford_source_gate as _op
+
+    events = load_events(spark, sf_dir)
+    return _op(
+        events,
+        "event_type",
+        "value",
+        threshold_micro=_BENFORD_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profile (new r9 family: data-quality profiling)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_SQL_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@q("column_profile_events", _SQL_COLUMN_PROFILE)
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile of the events fact
+    (operators/validation.py:column_profile): per column, the exact
+    row count, null count, and distinct-value count — the
+    constraint-suggestion / schema-drift primitive every ingestion
+    pipeline runs before trusting a new partition (is the key still
+    unique? did a column go null-heavy? did an enum explode?). ONE
+    scan: Spark rewrites the multi-distinct aggregate via Expand
+    (row × columns), then the single profile row unpivots via stack —
+    no per-column rescans. Exact BIGINTs throughout; the DuckDB twin
+    is a per-column UNION ALL of the same three aggregates."""
+    from ..operators.validation import column_profile
+
+    events = load_events(spark, sf_dir)
+    return column_profile(events, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto skyline (new r9 family: multi-criteria frontier)
+# ---------------------------------------------------------------------------
+
+_SQL_SKYLINE = """
+SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+@q("skyline_parts", _SQL_SKYLINE)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price/size Pareto skyline
+    (operators/topk.py:skyline_2d): the parts no same-brand part
+    strictly dominates on (cheaper-or-equal, smaller-or-equal, better
+    in at least one) — the multi-criteria shortlist query (Börzsönyi
+    et al., "The Skyline Operator", ICDE 2001). The oracle is the
+    textbook quadratic NOT EXISTS; the Spark plan is the sort-based
+    O(n log n) shape — collapse to one row per (brand, price) with
+    its min size, a cumulative-min window over the price order for
+    the strictly-cheaper frontier, then one hash join back — so the
+    all-pairs comparison never materializes, which is the difference
+    between a skyline that scales and one that doesn't."""
+    from ..operators.topk import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        part,
+        by="p_brand",
+        x_col="p_retailprice",
+        y_col="p_size",
+        id_cols=["p_partkey"],
+    )
