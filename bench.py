@@ -180,6 +180,11 @@ HEADLINE = [
     "mad_outlier_events",
     "benford_digit_audit",
     "mad_clipped_means_events",
+    # round 9
+    "mad_from_cells",
+    "benford_source_gate",
+    "column_profile_events",
+    "skyline_parts",
 ]
 
 
@@ -749,10 +754,71 @@ def bench_streaming(spark, sf_dir: str, work_root: str) -> dict[str, float]:
         elapsed = round(time.monotonic() - t0, 3)
         name = "streaming_incremental_values"
         timings[name] = min(elapsed, timings.get(name, elapsed))
+
+        # --- decontam firewall in emit_cleaned mode (VERDICT r8 #5):
+        # the same train-slice waves drained through the pinned eval
+        # postings, but each batch ALSO excises contaminated spans and
+        # lands the cleaned segment corpus; one serving read per drain
+        dcc_in = os.path.join(work, "decontam_clean", "in")
+        os.makedirs(dcc_in, exist_ok=True)
+        dccwaves = []
+        for wnum in range(3):
+            wdir = os.path.join(work, "decontam_clean", "staged", f"w{wnum}")
+            all_docs.filter(bkt < 204).filter(key == wnum).repartition(
+                4
+            ).write.mode("overwrite").json(wdir)
+            import glob as _glob
+
+            files = []
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(wdir, "*.json")))
+            ):
+                dst = os.path.join(
+                    work, "decontam_clean", f"docs_w{wnum}_{i}.jsonl"
+                )
+                shutil.move(part, dst)
+                files.append(dst)
+            dccwaves.append(files)
+        wdirdcc = os.path.join(work, "decontam_clean", "work")
+        from music_streaming_data_pipeline_v2_spark.streaming.decontam_ingest import (
+            query_cleaned_corpus,
+        )
+
+        init_decontam_state(
+            spark, wdirdcc, all_docs.filter(bkt >= 230), n=5
+        )
+        t0 = time.monotonic()
+        for files in dccwaves:
+            for f in files:
+                shutil.move(f, dcc_in)
+            run_incremental_decontam(
+                spark, dcc_in, wdirdcc, emit_cleaned=True
+            )
+            query_cleaned_corpus(spark, wdirdcc).count()
+        elapsed = round(time.monotonic() - t0, 3)
+        name = "streaming_incremental_decontam_clean"
+        timings[name] = min(elapsed, timings.get(name, elapsed))
     return timings
 
 
 _LOADAVG_AT_START = [round(x, 2) for x in os.getloadavg()]
+
+
+def _git_head() -> str | None:
+    """Current commit sha (best effort — None outside a git checkout)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -814,6 +880,11 @@ def main() -> None:
         # "regression" was pure host drift — so compare_bench.py
         # refuses comparisons when either side's 1-min figure > 2.
         "loadavg": _LOADAVG_AT_START,
+        # Code-era stamp: compare_bench's element-wise-min mode folds
+        # multiple captures of the SAME code into per-query minima
+        # (co-tenant drift the loadavg gate can't see — SCALE.md r8);
+        # it refuses to fold captures whose heads differ.
+        "git_head": _git_head(),
     }
     # Durable sidecar FIRST: the driver records only a bounded tail of
     # stdout, and with 80+ queries the single JSON line outgrows that

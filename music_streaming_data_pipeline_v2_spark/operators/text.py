@@ -1835,12 +1835,13 @@ def contamination_spans(
 
 def remove_contaminated_spans(
     docs: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None,
     n: int = 13,
     margin: int = 0,
     min_segment_tokens: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The ACTION side of ``contamination_spans``: excise every
     contaminated token window from ``docs`` (the remove-the-window
@@ -1872,12 +1873,23 @@ def remove_contaminated_spans(
     explode, no window); only flagged docs' tokens pay the
     explode + span anti-join (doc-keyed equi join, spans per doc
     are few) + segment windows. Nothing windows the clean corpus.
+
+    Pass ``eval_grams`` (a relation with a ``gram`` column — e.g. the
+    decontam-ingest firewall's pinned ``testgrams/`` postings) instead
+    of ``eval_set`` to screen against a pre-materialized gram
+    inventory without re-tokenizing the eval corpus per call; exactly
+    one of the two must be provided.
     """
     from pyspark.sql import Window
 
     if n < 1 or margin < 0 or min_segment_tokens < 1:
         raise ValueError(
             "need n >= 1, margin >= 0, min_segment_tokens >= 1"
+        )
+    if (eval_set is None) == (eval_grams is None):
+        raise ValueError(
+            "provide exactly one of eval_set (docs to tokenize) or "
+            "eval_grams (pre-materialized gram postings)"
         )
 
     toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
@@ -1900,11 +1912,14 @@ def remove_contaminated_spans(
         gram.alias("gram"),
         F.lead("_t", n - 1).over(wp).alias("_probe"),
     ).filter(F.col("_probe").isNotNull())
-    eg = (
-        word_ngram_postings(eval_set, n, text_col, id_col)
-        .select("gram")
-        .distinct()
-    )
+    if eval_grams is not None:
+        eg = eval_grams.select("gram").distinct()
+    else:
+        eg = (
+            word_ngram_postings(eval_set, n, text_col, id_col)
+            .select("gram")
+            .distinct()
+        )
     m = grams.join(eg, "gram", "semi").select("_id", "_pos")
     wd = Window.partitionBy("_id").orderBy("_pos")
     brk = (F.col("_pos") - F.lag("_pos").over(wd) > F.lit(n)).cast("int")

@@ -58,11 +58,19 @@ def init_decontam_state(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    margin: int = 0,
+    min_segment_tokens: int = 1,
 ) -> None:
     """Materialize the eval set's distinct (test_id, gram) postings —
     run once per firewall state. Refuses to overwrite an existing
     state (a silently swapped gram set would invalidate every batch
-    already screened; build a fresh work_dir instead)."""
+    already screened; build a fresh work_dir instead).
+
+    ``margin`` / ``min_segment_tokens`` are the span-EXCISION policy
+    the cleaned-corpus mode applies (see ``run_incremental_decontam``
+    ``emit_cleaned``); they are pinned at init for the same reason the
+    gram set is — segments emitted under one policy are not
+    comparable with another's."""
     from ..operators.text import word_ngram_postings
 
     tg_dir = os.path.join(work_dir, "testgrams")
@@ -76,7 +84,15 @@ def init_decontam_state(
 
     os.makedirs(work_dir, exist_ok=True)
     with open(os.path.join(work_dir, "state_meta.json"), "w") as fh:
-        json.dump({"format": 1, "n": int(n)}, fh)
+        json.dump(
+            {
+                "format": 2,
+                "n": int(n),
+                "margin": int(margin),
+                "min_segment_tokens": int(min_segment_tokens),
+            },
+            fh,
+        )
     word_ngram_postings(
         test_docs, n, text_col=text_col, id_col=id_col, out_id="test_id"
     ).write.mode("error").parquet(tg_dir)
@@ -89,10 +105,23 @@ def run_incremental_decontam(
     schema: T.StructType | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_cleaned: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files) through the
     firewall: each batch's grams join the pinned test postings; hit
-    rows land in ``hits/batch_id=N``."""
+    rows land in ``hits/batch_id=N``.
+
+    ``emit_cleaned=True`` additionally applies the span-EXCISION
+    policy (VERDICT r8 #5 — the action side, at ingest): each batch
+    also runs ``remove_contaminated_spans`` against the SAME pinned
+    gram postings with the margin/floor recorded at init, landing the
+    decontaminated segment corpus in ``cleaned/batch_id=N`` — so
+    arriving data lands trainable, not just flagged. The excision is
+    batch-local (a doc's spans depend only on its own grams vs the
+    pinned postings — zero cross-batch interaction, the same
+    additivity argument as the hit rows), so the drained cleaned
+    corpus is EXACTLY the batch operator over the concatenation of
+    all drained waves (pinned by tests/test_decontam_ingest.py)."""
     import json
 
     meta_path = os.path.join(work_dir, "state_meta.json")
@@ -101,9 +130,13 @@ def run_incremental_decontam(
             f"no decontam state at {work_dir}: run init_decontam_state first"
         )
     with open(meta_path) as fh:
-        n = int(json.load(fh)["n"])
+        meta = json.load(fh)
+    n = int(meta["n"])
+    margin = int(meta.get("margin", 0))
+    floor = int(meta.get("min_segment_tokens", 1))
     tg_dir = os.path.join(work_dir, "testgrams")
     hits_dir = os.path.join(work_dir, "hits")
+    cleaned_dir = os.path.join(work_dir, "cleaned")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
     stream = (
@@ -134,6 +167,22 @@ def run_incremental_decontam(
         hits.write.mode("overwrite").parquet(
             os.path.join(hits_dir, f"batch_id={batch_id}")
         )
+        if emit_cleaned:
+            from ..operators.text import remove_contaminated_spans
+
+            cleaned = remove_contaminated_spans(
+                batch_df,
+                None,
+                n=n,
+                margin=margin,
+                min_segment_tokens=floor,
+                text_col=text_col,
+                id_col=id_col,
+                eval_grams=testgrams,
+            )
+            cleaned.write.mode("overwrite").parquet(
+                os.path.join(cleaned_dir, f"batch_id={batch_id}")
+            )
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -141,6 +190,23 @@ def run_incremental_decontam(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def query_cleaned_corpus(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The decontaminated segment corpus drained so far — ``(doc_id,
+    segment_id, seg_index, n_tokens, text)``, the union of per-batch
+    excision output (``emit_cleaned=True`` drains). Exact with zero
+    recomputation: excision is batch-local against the pinned gram
+    postings, so the union over waves ≡ the batch operator over the
+    concatenated corpus."""
+    from .state import read_state_or_empty
+
+    return read_state_or_empty(
+        spark,
+        os.path.join(work_dir, "cleaned"),
+        "doc_id long, segment_id string, seg_index long, "
+        "n_tokens long, text string",
     )
 
 

@@ -92,3 +92,67 @@ def test_double_init_refuses_and_missing_state_refuses(spark, tmp_path):
         run_incremental_decontam(
             spark, str(tmp_path / "nowhere_in"), str(tmp_path / "fresh")
         )
+
+
+def test_incremental_cleaned_corpus_matches_batch(spark, tmp_path):
+    """emit_cleaned drains land the EXCISED segment corpus; the union
+    over waves ≡ remove_contaminated_spans over the concatenation
+    (batch-local excision against the pinned gram postings)."""
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.decontam_ingest import (
+        query_cleaned_corpus,
+    )
+
+    inp = tmp_path / "in"
+    work = str(tmp_path / "work")
+    inp.mkdir()
+    test_docs = _df(spark, TEST_DOCS)
+    init_decontam_state(
+        spark, work, test_docs, n=N, margin=1, min_segment_tokens=2
+    )
+
+    _write_wave(inp / "w1.jsonl", WAVE1)
+    run_incremental_decontam(spark, str(inp), work, emit_cleaned=True)
+    _write_wave(inp / "w2.jsonl", WAVE2)
+    run_incremental_decontam(spark, str(inp), work, emit_cleaned=True)
+
+    want = _vals(
+        remove_contaminated_spans(
+            _df(spark, WAVE1 + WAVE2),
+            test_docs,
+            n=N,
+            margin=1,
+            min_segment_tokens=2,
+        )
+    )
+    got = _vals(query_cleaned_corpus(spark, work))
+    assert got == want
+    # the leaking docs actually lost tokens; the clean docs pass whole
+    by_doc = {}
+    for doc_id, _seg, _idx, n_tokens, _text in got:
+        by_doc[doc_id] = by_doc.get(doc_id, 0) + n_tokens
+    assert by_doc[0] == len(WAVE1[0][1].split())
+    assert by_doc.get(1, 0) < len(WAVE1[1][1].split())
+
+    # replay with no new files: cleaned corpus unchanged
+    run_incremental_decontam(spark, str(inp), work, emit_cleaned=True)
+    assert _vals(query_cleaned_corpus(spark, work)) == want
+
+
+def test_eval_grams_and_eval_set_mutually_exclusive(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    docs = _df(spark, WAVE1)
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_contaminated_spans(docs, None, n=N)
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_contaminated_spans(
+            docs,
+            _df(spark, TEST_DOCS),
+            n=N,
+            eval_grams=docs.select(F.col("text").alias("gram")),
+        )

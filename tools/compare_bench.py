@@ -7,10 +7,18 @@ round's numbers: either another BENCH_TIMES-style file or a driver
 head-clipped JSON line — parsed best-effort by regex, the reason the
 sidecar exists).
 
-Run:  python tools/compare_bench.py [old] [new]
+Run:  python tools/compare_bench.py [old] [new ...]
 Defaults: old = the most recent BENCH_r*.json, new = BENCH_TIMES.json.
 Prints a markdown table of shared queries with ratio new/old, sorted
 worst-first, plus totals over the shared subset.
+
+MULTIPLE new files fold element-wise into per-query MINIMA before the
+comparison (the SCALE.md r8 recommendation: min-of-captures cancels
+the co-tenant drift the loadavg gate can't see — two same-code
+captures measured 1.06-1.11x apart uniformly). Folding is refused
+when the captures' ``git_head`` stamps differ (that would mix code
+eras and hide a regression behind an old capture's minimum);
+unstamped captures fold with a warning.
 """
 
 from __future__ import annotations
@@ -24,7 +32,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_times(path: str) -> tuple[dict[str, float], float | None]:
+def load_times(
+    path: str,
+) -> tuple[dict[str, float], float | None, str | None]:
     """Returns (per-query seconds, max of the 1- and 5-min loadavg at
     capture start, or None for pre-stamp captures). The 5-min figure
     matters as much as the 1-min one: a capture started right after a
@@ -41,31 +51,66 @@ def load_times(path: str) -> tuple[dict[str, float], float | None]:
             if isinstance(la, list) and la
             else None
         )
-        return {k: float(v) for k, v in data["queries"].items()}, load
+        return (
+            {k: float(v) for k, v in data["queries"].items()},
+            load,
+            data.get("git_head"),
+        )
     # driver capture: parse whatever "name": seconds pairs survive in
     # the clipped tail
     tail = data.get("tail", "")
     pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
     skip = {"metric", "value", "sf", "loadavg"}
-    return {k: float(v) for k, v in pairs if k not in skip}, None
+    return {k: float(v) for k, v in pairs if k not in skip}, None, None
+
+
+def fold_minima(
+    paths: list[str],
+) -> tuple[dict[str, float], float | None]:
+    """Element-wise per-query minimum over several captures of the
+    SAME code era (git_head must agree where stamped); the folded
+    loadavg is the minimum of the capture maxima — the gate question
+    is 'was at least one capture idle', since the min of an idle and
+    a loaded run of identical code is the idle run's number."""
+    heads = set()
+    merged: dict[str, float] = {}
+    loads = []
+    for p in paths:
+        times, load, head = load_times(p)
+        if head is None:
+            print(f"note: {os.path.basename(p)} has no git_head stamp")
+        else:
+            heads.add(head)
+        if load is not None:
+            loads.append(load)
+        for k, v in times.items():
+            merged[k] = min(v, merged.get(k, v))
+    if len(heads) > 1:
+        raise SystemExit(
+            "refusing to fold captures from different code eras "
+            f"(git_head values: {sorted(h[:12] for h in heads)}) — "
+            "a min across code versions hides regressions"
+        )
+    return merged, (min(loads) if loads else None)
 
 
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--force"]
     default_old = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    old_path = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else (default_old[-1] if default_old else None)
+    old_path = args[0] if args else (default_old[-1] if default_old else None)
+    new_paths = (
+        args[1:] if len(args) > 1 else [os.path.join(REPO, "BENCH_TIMES.json")]
     )
-    new_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(REPO, "BENCH_TIMES.json")
-    )
-    if not old_path or not os.path.exists(new_path):
+    if not old_path or not all(os.path.exists(p) for p in new_paths):
         raise SystemExit("need an old BENCH_r*.json and BENCH_TIMES.json")
-    old, old_load = load_times(old_path)
-    new, new_load = load_times(new_path)
+    old, old_load, _ = load_times(old_path)
+    new, new_load = fold_minima(new_paths)
+    if len(new_paths) > 1:
+        print(
+            f"new = element-wise min over {len(new_paths)} same-era "
+            "captures: "
+            + ", ".join(os.path.basename(p) for p in new_paths)
+        )
     # A capture that STARTED on a busy host (max of 1- and 5-min
     # loadavg > 2) is not comparable — r6 proved a loaded host shifts
     # every multi-job query 1.2-1.7x with identical code/plans, and r7
@@ -89,8 +134,9 @@ def main() -> None:
         o, n = old[q], new[q]
         rows.append((n / o if o else float("inf"), q, o, n))
     rows.sort(reverse=True)
+    new_label = "+".join(os.path.basename(p) for p in new_paths)
     print(f"old: {os.path.basename(old_path)}  new: "
-          f"{os.path.basename(new_path)}  shared: {len(shared)}")
+          f"{new_label}  shared: {len(shared)}")
     print("| query | old s | new s | new/old |")
     print("|---|---|---|---|")
     for r, q, o, n in rows:
