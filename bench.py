@@ -185,6 +185,7 @@ HEADLINE = [
     "benford_source_gate",
     "column_profile_events",
     "skyline_parts",
+    "length_quantiles_from_cells",
 ]
 
 

@@ -3286,14 +3286,16 @@ from . import round9_queries  # noqa: E402,F401
 # 48 r5-green rows and zero r4. The r9 window is therefore the 48
 # r5-green queries + the 2 alphabetically-first r6-green
 # (asof_user_setting, blocklist_gate_docs) to fill 50, with this
-# round's 4 new oracled registrations displacing last slot first:
-# blocklist_gate_docs and asof_user_setting (the r6 tail), then
-# zorder_values and weighted_doc_sample (the alphabetical tail of the
-# r5 pool — they and the two r6 entries head the r10 window).
+# round's 5 new oracled registrations (the full per-round cap)
+# displacing last slot first: blocklist_gate_docs and
+# asof_user_setting (the r6 tail), then zorder_values,
+# weighted_doc_sample and vocab_oov_rate (the alphabetical tail of
+# the r5 pool — those three and the two r6 entries head the r10
+# window).
 _CHECK_FIRST = [
-    # -- 46 r5-green (stalest pool; alphabetical; zorder_values and
-    #    weighted_doc_sample ceded their slots to this round's new
-    #    registrations) --
+    # -- 45 r5-green (stalest pool; alphabetical; zorder_values,
+    #    weighted_doc_sample and vocab_oov_rate ceded their slots to
+    #    this round's new registrations) --
     "bigram_lm_quality",
     "bloom_decontamination",
     "bm25_hard_negatives",
@@ -3339,13 +3341,13 @@ _CHECK_FIRST = [
     "unigram_lm_quality",
     "unimax_allocation",
     "vocab_coverage_curve",
-    "vocab_oov_rate",
-    # -- new r9 registrations (4 of the 5-per-round cap; displacement
+    # -- new r9 registrations (the full 5-per-round cap; displacement
     #    order above) --
     "mad_from_cells",
     "benford_source_gate",
     "column_profile_events",
     "skyline_parts",
+    "length_quantiles_from_cells",
 ]
 
 def finalize_registry() -> dict[str, Q]:

@@ -191,3 +191,52 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_col="p_size",
         id_cols=["p_partkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile family cells ≡ rows proof (the mad_from_cells pattern applied
+# to the hist/value-ingest quantile readout)
+# ---------------------------------------------------------------------------
+
+from .round5_queries import _QUANTILES_PM, _oracle_len_quantiles_by_lang  # noqa: E402
+
+
+@q("length_quantiles_from_cells", _oracle_len_quantiles_by_lang())
+def length_quantiles_from_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``length_quantiles_by_lang`` served from ADDITIVE count cells
+    (operators/aggregates.py:grouped_quantiles_from_counts): documents
+    split into two disjoint halves by doc-id parity, each half
+    collapsed to its own (lang, token-length, count) histogram —
+    exactly what two hist/value-ingest drains store — cell-wise
+    SUMMED, then read out through the shared back half. Oracled
+    against the SAME DuckDB SQL as the row-level query, so the driver
+    hash-proves cells ≡ rows for the exact-quantile family every
+    round (the mad_from_cells / half_life_from_cells pattern — one
+    such proof per additive readout family, each running the
+    literally-shared ingest readout code)."""
+    from ..operators.aggregates import grouped_quantiles_from_counts
+    from ..operators.packing import engine_safe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.col("lang").alias("_by"),
+        F.size(engine_safe_tokens("text")).cast("long").alias("value"),
+    )
+
+    def cells(half: DataFrame) -> DataFrame:
+        return half.groupBy("_by", "value").agg(
+            F.count("*").cast("long").alias("_cnt")
+        )
+
+    summed = (
+        cells(lens.filter(F.col("doc_id") % 2 == 0).drop("doc_id"))
+        .unionByName(cells(lens.filter(F.col("doc_id") % 2 == 1).drop("doc_id")))
+        .groupBy("_by", "value")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+    return grouped_quantiles_from_counts(
+        summed, _QUANTILES_PM
+    ).withColumnRenamed("_by", "lang")

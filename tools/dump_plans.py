@@ -179,6 +179,9 @@ def main() -> None:
             "benford_digit_audit": "the CONSTANT 9-row digit spine "
             "broadcast-cross-joined onto the groups-sized totals "
             "relation — ≤ 9 × groups rows regardless of input",
+            "benford_source_gate": "inherits benford_digit_audit's "
+            "9-row digit spine cross join (the gate is a 9→1 fold "
+            "per group on top of the audit relation)",
             "ann_cosine_topk": "exact brute-force ANN is a cross join "
             "of the broadcast 5-row query set × corpus",
             "bm25_search": "the broadcast 1-row corpus-statistics "

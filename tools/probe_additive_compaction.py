@@ -8,20 +8,23 @@ addition is associative integer math the folded readout is
 bit-identical (pinned by tests/test_state_maintenance.py) while its
 cost returns to the cell-space bound.
 
-This probe drives BOTH maintenance modes over identical waves of the
-per-group value-cell family and times the MAD readout as the chain
-grows: uncompacted readout time should grow with drain count; the
-compacted state should stay flat (single folded partition throughout).
+Readout cost depends only on the state LAYOUT (the drains themselves
+are proven equivalent by tests/test_value_ingest.py), so this probe
+fabricates the ``batch_id=`` chain directly — the same per-batch cell
+relations a drain writes, just without paying 2×N streaming drains of
+wall-clock — and times the MAD readout at growing chain lengths
+against the folded single-partition state with identical totals. A
+first run at 20 REAL drains (streaming path) showed the linear term
+still hiding under fixed job overhead; the direct layout reaches the
+chain lengths where it dominates.
 
-Run:  python tools/probe_additive_compaction.py [rows_per_wave] [waves]
-Prints one markdown row per measured chain length.
+Run:  python tools/probe_additive_compaction.py [groups] [values] [max_chain]
+Prints one markdown row per measured chain length, then the fold time.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import random
 import shutil
 import sys
 import tempfile
@@ -32,79 +35,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from music_streaming_data_pipeline_v2_spark.session import get_spark
 
 
-def _write_wave(path: str, start: int, n: int, rng: random.Random) -> None:
-    with open(path, "w") as fh:
-        for i in range(n):
-            fh.write(
-                json.dumps(
-                    {
-                        "id": start + i,
-                        "grp": f"g{rng.randrange(8)}",
-                        "value": round(rng.uniform(0, 500), 2),
-                    }
-                )
-                + "\n"
-            )
-
-
 def main() -> None:
+    from pyspark.sql import functions as F
+
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        compact_additive_cells,
+    )
     from music_streaming_data_pipeline_v2_spark.streaming.value_ingest import (
         query_mad_stats,
-        run_incremental_values,
     )
 
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
-    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    groups = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    values = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    max_chain = int(sys.argv[3]) if len(sys.argv) > 3 else 200
     spark = get_spark("probe_compact", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="probe_compact_")
-    rng = random.Random(31)
-    works = {
-        "chain": os.path.join(root, "chain"),
-        "compacted": os.path.join(root, "compacted"),
-    }
-    for w in works.values():
-        os.makedirs(os.path.join(w, "in"), exist_ok=True)
+    work = os.path.join(root, "work")
+    cells_dir = os.path.join(work, "cells")
 
-    print(f"rows/wave={rows} waves={waves} loadavg={os.getloadavg()}")
-    print(
-        "| drains | chain parts | chain readout s | compacted parts "
-        "| compacted readout s |"
+    # one batch's cell relation: every (grp, centi-value) pair with a
+    # small count — the shape a value_ingest drain writes
+    batch_cells = (
+        spark.range(groups * values)
+        .select(
+            F.concat(F.lit("g"), (F.col("id") % groups)).alias("grp"),
+            (F.col("id") / groups).cast("long").alias("v"),
+            F.lit(3).cast("long").alias("cnt"),
+        )
+        # a real drain's cell write comes out of a groupBy — several
+        # shuffle-partition files per batch_id dir, not one
+        .repartition(4)
+        .localCheckpoint(eager=True)
     )
-    print("|---|---|---|---|---|")
-    staged = os.path.join(root, "staged.jsonl")
-    for wave in range(1, waves + 1):
-        _write_wave(staged, wave * 1_000_000, rows, rng)
-        for mode, wdir in works.items():
-            shutil.copy(staged, os.path.join(wdir, "in", f"w{wave}.jsonl"))
-            run_incremental_values(
-                spark,
-                os.path.join(wdir, "in"),
-                wdir,
-                compact_after_drain=(mode == "compacted"),
+
+    print(
+        f"groups={groups} values={values} max_chain={max_chain} "
+        f"loadavg={os.getloadavg()}"
+    )
+    print("| chain parts | readout s (min of 2) |")
+    print("|---|---|")
+    marks = [m for m in (1, 10, 50, 100, 200, 400) if m <= max_chain]
+    written = 0
+    for mark in marks:
+        while written < mark:
+            batch_cells.write.mode("overwrite").parquet(
+                os.path.join(cells_dir, f"batch_id={written}")
             )
-        if wave % 5 == 0 or wave == 1:
-            times, parts = {}, {}
-            for mode, wdir in works.items():
-                t0 = time.monotonic()
-                # two readouts per measure: min cancels GC noise
-                query_mad_stats(spark, wdir).count()
-                t1 = time.monotonic() - t0
-                t0 = time.monotonic()
-                query_mad_stats(spark, wdir).count()
-                times[mode] = round(min(t1, time.monotonic() - t0), 3)
-                parts[mode] = len(
-                    [
-                        p
-                        for p in os.listdir(os.path.join(wdir, "cells"))
-                        if p.startswith("batch_id=")
-                    ]
-                )
-            print(
-                f"| {wave} | {parts['chain']} | {times['chain']} "
-                f"| {parts['compacted']} | {times['compacted']} |",
-                flush=True,
-            )
+            written += 1
+        ts = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            query_mad_stats(spark, work).count()
+            ts.append(time.monotonic() - t0)
+        print(f"| {mark} | {round(min(ts), 3)} |", flush=True)
+
+    t0 = time.monotonic()
+    compact_additive_cells(
+        spark,
+        cells_dir,
+        "grp string, v long, cnt long",
+        key_cols=["grp", "v"],
+        sum_cols=["cnt"],
+    )
+    fold_s = round(time.monotonic() - t0, 3)
+    time.sleep(10)  # let the fold's GC/page-cache churn settle
+    ts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        query_mad_stats(spark, work).count()
+        ts.append(time.monotonic() - t0)
+    print(
+        f"folded: 1 partition, readout {round(min(ts), 3)} s "
+        f"(fold itself {fold_s} s, one-time between drains)"
+    )
     shutil.rmtree(root, ignore_errors=True)
 
 
