@@ -88,9 +88,14 @@ def run_incremental_hll(
     schema: T.StructType | None = None,
     group_col: str = "group",
     key_col: str = "key",
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines files: group, key) into the
-    HLL register state under ``work_dir`` (registers/, ckpt/)."""
+    HLL register state under ``work_dir`` (registers/, ckpt/).
+    ``compact_after_drain=True`` folds the register chain into the
+    newest partition (bucket-wise MAX — exactly the readout's merge,
+    so estimates are bit-identical while readout cost stops tracking
+    drain count)."""
     reg_dir = os.path.join(work_dir, "registers")
     ckpt_dir = os.path.join(work_dir, "ckpt")
     _check_scheme(spark, work_dir, write=True)
@@ -121,6 +126,18 @@ def run_incremental_hll(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            reg_dir,
+            f"{group_col} string, bucket int, rho_max int",
+            key_cols=[group_col, "bucket"],
+            sum_cols={"rho_max": "max"},
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_cardinality(

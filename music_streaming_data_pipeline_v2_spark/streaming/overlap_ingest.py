@@ -69,6 +69,7 @@ def run_incremental_overlap(
     schema: T.StructType | None = None,
     group_col: str = "source",
     shingle_k: int = 3,
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text,
     source) into the signature state under ``work_dir`` (cells/,
@@ -101,6 +102,18 @@ def run_incremental_overlap(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            _STATE_SCHEMA,
+            key_cols=["g"],
+            sum_cols={f"_h{i}": "min" for i in range(N_HASHES)},
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_overlap(spark: SparkSession, work_dir: str) -> DataFrame:

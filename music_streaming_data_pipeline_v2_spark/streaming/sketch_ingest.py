@@ -110,6 +110,7 @@ def run_incremental_sketch(
     text_col: str = "text",
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text,
     source) into the count-min cell state under ``work_dir`` (cells/,
@@ -150,6 +151,18 @@ def run_incremental_sketch(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            "depth_row int, bucket int, cell_count long",
+            key_cols=["depth_row", "bucket"],
+            sum_cols=["cell_count"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_estimates(

@@ -312,12 +312,21 @@ def compact_label_deltas(
     return prune_snapshots(spark, state_dir, keep_latest=1)
 
 
+#: Per-column fold functions ``compact_additive_cells`` accepts — the
+#: three mergeable-summary algebras the ingest families use: counts
+#: fold by SUM (value/hist/psi/vocab/sketch cells), HLL registers by
+#: MAX (rho per bucket), MinHash signatures by MIN (hash per slot).
+#: All three are associative+commutative+idempotent-or-exact over the
+#: partition chain, which is what makes the fold lossless.
+_FOLD_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
 def compact_additive_cells(
     spark: SparkSession,
     state_dir: str,
     schema: str | T.StructType,
     key_cols: list[str],
-    sum_cols: list[str],
+    sum_cols: list[str] | dict[str, str],
     ckpt_dir: str | None = None,
 ) -> list[int]:
     """Fold an ADDITIVE cell chain (VERDICT r8 #2): every per-batch
@@ -332,6 +341,15 @@ def compact_additive_cells(
     Folding restores readout cost to the cell-space bound regardless
     of history length.
 
+    ``sum_cols`` names the value columns; a plain list folds them all
+    by SUM (the count-cell families); a ``{col: fn}`` dict picks the
+    fold per column from ``_FOLD_FNS`` — ``"max"`` for HLL registers
+    (bucket-wise rho), ``"min"`` for MinHash signature slots — the
+    same merge each family's READOUT already applies, so the fold is
+    exactly one readout-merge materialized. An EMPTY ``sum_cols``
+    folds by DISTINCT over ``key_cols`` (append-only set state, e.g.
+    pair lists).
+
     Safety contract identical to ``compact_label_deltas`` (between
     drains only — a replaying batch rewrites only its own partition
     and would silently drop folded history); pass ``ckpt_dir`` to
@@ -344,9 +362,16 @@ def compact_additive_cells(
     if latest is None:
         return []
     cells = read_state_or_empty(spark, state_dir, schema)
-    folded = cells.groupBy(*key_cols).agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
-    )
+    if isinstance(sum_cols, dict):
+        fold = {c: _FOLD_FNS[fn] for c, fn in sum_cols.items()}
+    else:
+        fold = {c: F.sum for c in sum_cols}
+    if fold:
+        folded = cells.groupBy(*key_cols).agg(
+            *[fn(c).alias(c) for c, fn in fold.items()]
+        )
+    else:
+        folded = cells.select(*key_cols).distinct()
     # preserve the declared column order/types — partition readers
     # declare the schema explicitly, but keep the file layout uniform
     base = spark.createDataFrame([], schema)

@@ -51,10 +51,13 @@ def run_incremental_vocab(
     schema: T.StructType | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text,
     source) into the vocabulary cell state under ``work_dir`` (cells/,
-    ckpt/)."""
+    ckpt/). ``compact_after_drain=True`` folds the cell chain into the
+    newest partition (exact integer sums — identical readouts, cost
+    stops tracking drain count)."""
     cells_dir = os.path.join(work_dir, "cells")
     ckpt_dir = os.path.join(work_dir, "ckpt")
 
@@ -83,6 +86,18 @@ def run_incremental_vocab(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        compact_additive_cells(
+            spark,
+            cells_dir,
+            "_tok string, _df long, _cnt long",
+            key_cols=["_tok"],
+            sum_cols=["_df", "_cnt"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def _merged_cells(spark: SparkSession, work_dir: str) -> DataFrame:

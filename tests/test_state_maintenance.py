@@ -283,3 +283,154 @@ def test_torn_compaction_heals(spark, tmp_path):
         sum_cols=["cnt"],
     )
     assert _vals(query_mad_stats(spark, work)) == want
+
+
+def test_fold_modes_max_min_distinct(spark, tmp_path):
+    """compact_additive_cells' per-column fold algebra: MAX (HLL
+    registers), MIN (MinHash slots), and the empty-sum_cols DISTINCT
+    fold — each over a hand-built 3-partition chain, checked against
+    the readout-merge over the un-compacted chain."""
+    from pyspark.sql import functions as F
+
+    # MAX fold
+    d = str(tmp_path / "hll")
+    for b, rows in enumerate(
+        [[("g", 1, 3), ("g", 2, 5)], [("g", 1, 7)], [("g", 2, 2), ("h", 1, 4)]]
+    ):
+        spark.createDataFrame(
+            rows, "grp string, bucket int, rho_max int"
+        ).write.parquet(f"{d}/batch_id={b}")
+    compact_additive_cells(
+        spark,
+        d,
+        "grp string, bucket int, rho_max int",
+        key_cols=["grp", "bucket"],
+        sum_cols={"rho_max": "max"},
+    )
+    assert _partitions(d) == ["batch_id=2"]
+    got = sorted(
+        tuple(r)
+        for r in read_state_or_empty(
+            spark, d, "grp string, bucket int, rho_max int"
+        ).collect()
+    )
+    assert got == [("g", 1, 7), ("g", 2, 5), ("h", 1, 4)]
+
+    # MIN fold
+    d = str(tmp_path / "minhash")
+    for b, rows in enumerate([[("g", 9, 4)], [("g", 3, 8)]]):
+        spark.createDataFrame(
+            rows, "g string, _h0 long, _h1 long"
+        ).write.parquet(f"{d}/batch_id={b}")
+    compact_additive_cells(
+        spark,
+        d,
+        "g string, _h0 long, _h1 long",
+        key_cols=["g"],
+        sum_cols={"_h0": "min", "_h1": "min"},
+    )
+    got = [
+        tuple(r)
+        for r in read_state_or_empty(
+            spark, d, "g string, _h0 long, _h1 long"
+        ).collect()
+    ]
+    assert got == [("g", 3, 4)]
+
+    # DISTINCT fold (append-only set state)
+    d = str(tmp_path / "pairs")
+    for b, rows in enumerate([[(1, 2), (3, 4)], [(1, 2), (5, 6)]]):
+        spark.createDataFrame(rows, "a long, b long").write.parquet(
+            f"{d}/batch_id={b}"
+        )
+    compact_additive_cells(
+        spark, d, "a long, b long", key_cols=["a", "b"], sum_cols=[]
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_state_or_empty(spark, d, "a long, b long").collect()
+    )
+    assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_hll_and_overlap_compaction_end_to_end(spark, tmp_path):
+    """The register/signature families fold through their drains'
+    compact_after_drain flag with readouts unchanged."""
+    import random
+
+    from music_streaming_data_pipeline_v2_spark.streaming.hll_ingest import (
+        query_cardinality,
+        run_incremental_hll,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.overlap_ingest import (
+        query_overlap,
+        run_incremental_overlap,
+    )
+
+    rng = random.Random(23)
+    # HLL: two waves of (group, key) rows
+    inp = tmp_path / "hll_in"
+    inp.mkdir()
+    work = str(tmp_path / "hll_work")
+    for w in range(2):
+        with open(inp / f"w{w}.jsonl", "w") as fh:
+            for i in range(200):
+                fh.write(
+                    json.dumps(
+                        {
+                            "group": f"g{rng.randrange(2)}",
+                            "key": f"k{rng.randrange(300)}",
+                        }
+                    )
+                    + "\n"
+                )
+        run_incremental_hll(spark, str(inp), work)
+    before = _vals(query_cardinality(spark, work))
+    run_incremental_hll(spark, str(inp), work)  # no new files: no-op drain
+    from music_streaming_data_pipeline_v2_spark.streaming.state import (
+        compact_additive_cells as _cac,
+    )
+
+    _cac(
+        spark,
+        os.path.join(work, "registers"),
+        "group string, bucket int, rho_max int",
+        key_cols=["group", "bucket"],
+        sum_cols={"rho_max": "max"},
+        ckpt_dir=os.path.join(work, "ckpt"),
+    )
+    assert len(_partitions(os.path.join(work, "registers"))) == 1
+    assert _vals(query_cardinality(spark, work)) == before
+
+    # overlap: signature state folds by MIN through the drain flag
+    inp2 = tmp_path / "ov_in"
+    inp2.mkdir()
+    work2 = str(tmp_path / "ov_work")
+    for w in range(2):
+        with open(inp2 / f"w{w}.jsonl", "w") as fh:
+            for i in range(30):
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": w * 100 + i,
+                            "text": " ".join(
+                                f"t{rng.randrange(40)}" for _ in range(12)
+                            ),
+                            "source": f"s{rng.randrange(2)}",
+                        }
+                    )
+                    + "\n"
+                )
+        run_incremental_overlap(spark, str(inp2), work2)
+    before2 = _vals(query_overlap(spark, work2))
+    with open(inp2 / "w2.jsonl", "w") as fh:
+        fh.write(
+            json.dumps({"doc_id": 999, "text": "t1 t2 t3 t4", "source": "s0"})
+            + "\n"
+        )
+    run_incremental_overlap(spark, str(inp2), work2, compact_after_drain=True)
+    assert len(_partitions(os.path.join(work2, "cells"))) == 1
+    after_full = _vals(query_overlap(spark, work2))
+    # fold then drain again: readout still equals the re-derived one
+    run_incremental_overlap(spark, str(inp2), work2)
+    assert _vals(query_overlap(spark, work2)) == after_full
