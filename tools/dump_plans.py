@@ -208,6 +208,11 @@ def main() -> None:
             "the |quantiles|-row spine × the broadcast distinct-value "
             "histogram cumsum — both sides bounded (quantile list × "
             "distinct lengths), never the corpus",
+        "length_quantiles_from_cells": "the |groups|-row totals × "
+            "broadcast |quantiles|-row spine cross join — the "
+            "identical grouped_quantiles_from_counts back half as "
+            "length_quantiles_by_lang (this query IS that readout "
+            "served from summed cells)",
         "length_quantiles_by_lang": "the |groups|-row totals × "
             "broadcast |quantiles|-row spine cross join (both bounded "
             "metadata); the rank-threshold join itself is the "
