@@ -57,6 +57,7 @@ def run_incremental_dsir(
     input_path: str,
     work_dir: str,
     schema: T.StructType | None = None,
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text) into
     the DSIR state under ``work_dir`` (docbuckets/, ckpt/)."""
@@ -91,6 +92,23 @@ def run_incremental_dsir(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        # docs arrive once (the family's disjoint-arrival contract, the
+        # same one the readout's plain union already relies on), so the
+        # (doc, bucket) cells across batches are disjoint and the sum
+        # fold is the identity on content — it only collapses the
+        # partition chain
+        compact_additive_cells(
+            spark,
+            docbuckets_dir,
+            "doc_id long, bkt int, cnt long",
+            key_cols=["doc_id", "bkt"],
+            sum_cols=["cnt"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_dsir_scores(

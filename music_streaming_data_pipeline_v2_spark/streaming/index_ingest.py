@@ -54,6 +54,7 @@ def run_incremental_index(
     input_path: str,
     work_dir: str,
     schema: T.StructType | None = None,
+    compact_after_drain: bool = False,
 ) -> None:
     """Drain ``input_path`` (JSON-lines doc files: doc_id, text) into
     the BM25 index state under ``work_dir`` (postings/, doclens/,
@@ -93,6 +94,29 @@ def run_incremental_index(
         .start()
         .awaitTermination()
     )
+
+    if compact_after_drain:
+        from .state import compact_additive_cells
+
+        # disjoint-arrival contract (as the readout's union assumes):
+        # no (doc, token) key repeats across batches, so the sum fold
+        # is content-identity and only collapses the partition chain
+        compact_additive_cells(
+            spark,
+            postings_dir,
+            "doc_id long, token string, tf long",
+            key_cols=["doc_id", "token"],
+            sum_cols=["tf"],
+            ckpt_dir=ckpt_dir,
+        )
+        compact_additive_cells(
+            spark,
+            doclens_dir,
+            "doc_id long, dl long",
+            key_cols=["doc_id"],
+            sum_cols=["dl"],
+            ckpt_dir=ckpt_dir,
+        )
 
 
 def query_index(

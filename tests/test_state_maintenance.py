@@ -434,3 +434,58 @@ def test_hll_and_overlap_compaction_end_to_end(spark, tmp_path):
     # fold then drain again: readout still equals the re-derived one
     run_incremental_overlap(spark, str(inp2), work2)
     assert _vals(query_overlap(spark, work2)) == after_full
+
+
+def test_dsir_and_index_compaction(spark, tmp_path):
+    """The disjoint-arrival families (DSIR doc-bucket cells, BM25
+    postings/doclens) fold through compact_after_drain with readouts
+    unchanged — the sum fold is content-identity there (no key repeats
+    across batches), it only collapses the partition chain."""
+    from music_streaming_data_pipeline_v2_spark.streaming.dsir_ingest import (
+        query_dsir_scores,
+        run_incremental_dsir,
+    )
+    from music_streaming_data_pipeline_v2_spark.streaming.index_ingest import (
+        query_index,
+        run_incremental_index,
+    )
+
+    docs = [
+        [(0, "the quick brown fox"), (1, "lorem ipsum dolor")],
+        [(10, "the lazy dog sleeps"), (11, "quick brown quick")],
+    ]
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(0, "quick brown"), (1, "lazy dog")], "query_id int, text string"
+    )
+
+    for fam in ("dsir", "index"):
+        inp = tmp_path / f"{fam}_in"
+        inp.mkdir()
+        work = str(tmp_path / f"{fam}_work")
+        runner = run_incremental_dsir if fam == "dsir" else run_incremental_index
+        for w, rows in enumerate(docs):
+            with open(inp / f"w{w}.jsonl", "w") as fh:
+                for did, text in rows:
+                    fh.write(
+                        json.dumps({"doc_id": did, "text": text}) + "\n"
+                    )
+            runner(spark, str(inp), work)
+        if fam == "dsir":
+            before = _vals(query_dsir_scores(spark, work, target))
+        else:
+            before = _vals(query_index(spark, work, queries, k=5))
+        # one more (empty) drain with compaction enabled folds the chain
+        runner(spark, str(inp), work, compact_after_drain=True)
+        state_dirs = (
+            ["docbuckets"] if fam == "dsir" else ["postings", "doclens"]
+        )
+        for sd in state_dirs:
+            assert len(_partitions(os.path.join(work, sd))) == 1, (fam, sd)
+        if fam == "dsir":
+            after = _vals(query_dsir_scores(spark, work, target))
+        else:
+            after = _vals(query_index(spark, work, queries, k=5))
+        assert after == before, fam
