@@ -199,3 +199,92 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_nulls, n_distinct)"
         ),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+#: Rule kinds ``check_constraints`` understands. Each is evaluated
+#: from ONE profile pass (column_profile) plus, for the row-level
+#: kinds, one boolean aggregate over the same scan — never a rescan
+#: per rule.
+CONSTRAINT_KINDS = (
+    "unique",        # column is a key: n_distinct = n_rows - n_nulls, n_nulls = 0
+    "complete",      # no nulls
+    "null_rate_le",  # null fraction <= threshold (micro units)
+    "distinct_ge",   # at least N distinct values
+    "distinct_le",   # at most N distinct values (enum explosion gate)
+)
+
+
+def check_constraints(
+    df: DataFrame, rules: list[tuple[str, str, int | None]]
+) -> DataFrame:
+    """Deequ-style constraint verification: evaluate ``rules`` —
+    ``(column, kind, threshold)`` with kinds from
+    ``CONSTRAINT_KINDS`` — against ONE ``column_profile`` pass and
+    return one row per rule: ``(column_name, kind, threshold,
+    observed, passed)``. ``observed`` is the exact BIGINT the rule
+    compares (distinct count, null count, or null rate in micro
+    units via integer division — nonnegative operands, so floor ≡
+    truncation across engines); ``threshold`` echoes the rule input
+    (NULL for the threshold-free kinds). The suggestion loop a
+    pipeline runs each new partition: profile once, gate many.
+
+    Scale shape: inherits ``column_profile``'s single Expand-planned
+    scan; the rule evaluation itself is a |rules|-row map over the
+    |cols|-row profile — metadata-sized, zero additional scans."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    for col, kind, thr in rules:
+        if kind not in CONSTRAINT_KINDS:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        if kind in ("null_rate_le", "distinct_ge", "distinct_le") and (
+            thr is None
+        ):
+            raise ValueError(f"{kind} needs a threshold, got None")
+    cols = sorted({c for c, _, _ in rules})
+    prof = column_profile(df, cols)
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        [(c, k, t) for c, k, t in rules],
+        "column_name string, kind string, threshold long",
+    )
+    j = rules_df.join(F.broadcast(prof), "column_name")
+    observed = (
+        F.when(F.col("kind") == "unique", F.col("n_distinct"))
+        .when(F.col("kind") == "complete", F.col("n_nulls"))
+        .when(
+            F.col("kind") == "null_rate_le",
+            F.expr(
+                "n_nulls * CAST(1000000 AS BIGINT)"
+                " DIV GREATEST(n_rows, 1)"
+            ),
+        )
+        .otherwise(F.col("n_distinct"))
+    )
+    passed = (
+        F.when(
+            F.col("kind") == "unique",
+            (F.col("n_nulls") == 0)
+            & (F.col("n_distinct") == F.col("n_rows")),
+        )
+        .when(F.col("kind") == "complete", F.col("n_nulls") == 0)
+        .when(
+            F.col("kind") == "null_rate_le",
+            F.expr(
+                "n_nulls * CAST(1000000 AS BIGINT)"
+                " DIV GREATEST(n_rows, 1)"
+            )
+            <= F.col("threshold"),
+        )
+        .when(
+            F.col("kind") == "distinct_ge",
+            F.col("n_distinct") >= F.col("threshold"),
+        )
+        .otherwise(F.col("n_distinct") <= F.col("threshold"))
+    )
+    return j.select(
+        "column_name",
+        "kind",
+        "threshold",
+        observed.cast("long").alias("observed"),
+        passed.alias("passed"),
+    )

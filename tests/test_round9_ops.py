@@ -187,3 +187,56 @@ def test_mad_fences_match_full_readout(spark):
     assert set(full) == set(fences)
     for g, (med, mad) in full.items():
         assert fences[g] == (med - 3 * mad, med + 3 * mad)
+
+
+def test_check_constraints(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.validation import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, "a", 1.5),
+            (3, None, 2.5),
+            (4, "b", 3.5),
+        ],
+        "id long, s string, x double",
+    )
+    rules = [
+        ("id", "unique", None),        # 4 distinct, 0 nulls -> pass
+        ("s", "unique", None),         # nulls + dups -> fail
+        ("s", "complete", None),       # 1 null -> fail
+        ("x", "null_rate_le", 250_000),  # 1/4 = 250000 micro -> pass
+        ("x", "null_rate_le", 249_999),  # -> fail
+        ("s", "distinct_ge", 2),       # 2 distinct -> pass
+        ("s", "distinct_le", 1),       # -> fail
+    ]
+    got = {
+        (r["column_name"], r["kind"], r["threshold"]): (
+            r["observed"],
+            r["passed"],
+        )
+        for r in check_constraints(df, rules).collect()
+    }
+    assert got[("id", "unique", None)] == (4, True)
+    assert got[("s", "unique", None)] == (2, False)
+    assert got[("s", "complete", None)] == (1, False)
+    assert got[("x", "null_rate_le", 250_000)] == (250_000, True)
+    assert got[("x", "null_rate_le", 249_999)] == (250_000, False)
+    assert got[("s", "distinct_ge", 2)] == (2, True)
+    assert got[("s", "distinct_le", 1)] == (2, False)
+
+
+def test_check_constraints_validation(spark):
+    from music_streaming_data_pipeline_v2_spark.operators.validation import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="at least one"):
+        check_constraints(df, [])
+    with pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(df, [("id", "bogus", None)])
+    with pytest.raises(ValueError, match="needs a threshold"):
+        check_constraints(df, [("id", "distinct_ge", None)])

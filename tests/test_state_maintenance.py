@@ -489,3 +489,63 @@ def test_dsir_and_index_compaction(spark, tmp_path):
         else:
             after = _vals(query_index(spark, work, queries, k=5))
         assert after == before, fam
+
+
+# --- property: the fold is exactly the readout-merge, any chain shape
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell = st.tuples(
+    st.sampled_from(["a", "b", "c"]),        # key
+    st.integers(min_value=-5, max_value=5),  # s (sum-folded)
+    st.integers(min_value=0, max_value=31),  # m (max-folded)
+)
+_chain = st.lists(
+    st.lists(_cell, min_size=0, max_size=6), min_size=1, max_size=5
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(chain=_chain)
+def test_fold_equals_readout_merge_property(spark, tmp_path_factory, chain):
+    """For ANY partition chain, folding then merging ≡ merging the
+    raw chain — per fold function (sum and max here; min is max by
+    negation). The invariant every compacted family's correctness
+    rests on."""
+    import collections
+
+    d = str(tmp_path_factory.mktemp("fold") / "state")
+    for b, cells in enumerate(chain):
+        spark.createDataFrame(
+            cells or [], "k string, s long, m long"
+        ).write.mode("overwrite").parquet(f"{d}/batch_id={b}")
+    # reference merge over the raw chain
+    want_s = collections.defaultdict(int)
+    want_m = {}
+    for cells in chain:
+        for k, s, m in cells:
+            want_s[k] += s
+            want_m[k] = max(want_m.get(k, m), m)
+    compact_additive_cells(
+        spark,
+        d,
+        "k string, s long, m long",
+        key_cols=["k"],
+        sum_cols={"s": "sum", "m": "max"},
+    )
+    got = {
+        r["k"]: (r["s"], r["m"])
+        for r in read_state_or_empty(
+            spark, d, "k string, s long, m long"
+        ).collect()
+    }
+    assert got == {k: (want_s[k], want_m[k]) for k in want_s}
