@@ -204,7 +204,7 @@ def _cm_placements(key: Column, width: int, depth: int) -> Column:
 
 
 def count_min_cells(
-    df: DataFrame, col: str, width: int, depth: int
+    df: DataFrame, col: str, width: int, depth: int, weight_col: str | None = None
 ) -> DataFrame:
     """Build a count-min sketch (Cormode & Muthukrishnan 2005) over
     ``col``: ``depth`` hash rows × ``width`` buckets, each cell the
@@ -222,18 +222,39 @@ def count_min_cells(
     finished sketch is broadcastable state: point-lookup joins against
     it never shuffle the probe side, and two sketches over disjoint
     corpora merge by cell-wise addition (cells are plain sums), which
-    is what makes the sketch incrementally maintainable at ingest."""
+    is what makes the sketch incrementally maintainable at ingest.
+
+    The md5 placement family is a pure function of the KEY, so the
+    builder collapses duplicate keys with one hash aggregate BEFORE
+    hashing and weights each distinct key by its occurrence count —
+    cell_count = Σ_key count(key)·[key → cell], identical cells, but
+    the per-row md5×depth arithmetic runs once per DISTINCT key
+    instead of once per occurrence. The collapse shuffle is map-side
+    partial-aggregated (bounded by per-partition distinct keys) while
+    the hash work drops from O(occurrences) to O(vocabulary) — for a
+    token stream that is Heaps-law sublinear at any scale. Callers
+    that already hold (key, count) rows pass ``weight_col`` to skip
+    the internal collapse and weight cells by that column directly."""
     if depth < 1:
         raise ValueError("depth must be >= 1")
-    values = df.select(F.col(col).alias("_key")).filter(
-        F.col("_key").isNotNull()
-    )
+    if weight_col is None:
+        counts = (
+            df.select(F.col(col).alias("_key"))
+            .filter(F.col("_key").isNotNull())
+            .groupBy("_key")
+            .agg(F.count("*").alias("_w"))
+        )
+    else:
+        counts = df.select(
+            F.col(col).alias("_key"),
+            F.col(weight_col).cast("long").alias("_w"),
+        ).filter(F.col("_key").isNotNull())
     placements = _cm_placements(F.col("_key"), width, depth)
     return (
-        values.select(F.explode(placements).alias("_p"))
-        .select("_p.depth_row", "_p.bucket")
+        counts.select("_w", F.explode(placements).alias("_p"))
+        .select("_w", "_p.depth_row", "_p.bucket")
         .groupBy("depth_row", "bucket")
-        .agg(F.count("*").alias("cell_count"))
+        .agg(F.sum("_w").alias("cell_count"))
     )
 
 
@@ -331,8 +352,21 @@ def hll_registers(
     aggregate keyed by (group, bucket) — the shuffle carries at most
     groups×m rows after map-side combine, independent of cardinality.
     Registers are max-mergeable (max of maxes), the property that
-    makes the sketch unionable across shards/batches."""
+    makes the sketch unionable across shards/batches.
+
+    Duplicate (group, key) rows are collapsed BEFORE hashing: rho is a
+    pure function of the key and registers take max(rho), so repeats
+    contribute nothing — the md5 + 14-hex-digit arithmetic runs once
+    per distinct (group, key) instead of once per occurrence. The
+    dedup is a map-side partial-aggregated hash aggregate (shuffle
+    bounded by per-partition distinct pairs), strictly cheaper than
+    per-occurrence hashing whenever keys repeat at all."""
     gc = list(group_cols or [])
+    df = (
+        df.filter(F.col(col).isNotNull())
+        .select(*gc, *([col] if col not in gc else []))
+        .dropDuplicates()
+    )
     h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
     from .sampling import _hexval
 

@@ -2339,12 +2339,20 @@ def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cells = count_min_cells(toks, "token", _CM_WIDTH, _CM_DEPTH)
+    # ONE corpus tokenize + ONE (token → count) aggregate feeds BOTH
+    # the sketch build (weighted cells — the md5×4 placement family
+    # runs per distinct token, not per occurrence) and the exact twin
+    # (exact_count IS the aggregate's count); the shared subtree
+    # reaches the final plan as a ReusedExchange, where the old form
+    # paid two corpus tokenizes and hashed every occurrence (r9, guide
+    # §1.2/§2.3 — plans/r09/cm_token_counts_{before,after}.txt).
+    tokcounts = toks.groupBy("token").agg(F.count("*").alias("_cnt"))
+    cells = count_min_cells(
+        tokcounts, "token", _CM_WIDTH, _CM_DEPTH, weight_col="_cnt"
+    )
     est = count_min_estimate(keys, cells, "token", _CM_WIDTH, _CM_DEPTH)
-    exact = (
-        toks.join(keys, "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("exact_count"))
+    exact = tokcounts.join(keys, "token", "left_semi").select(
+        "token", F.col("_cnt").alias("exact_count")
     )
     return est.join(exact, "token").select(
         "token", "est_count", "exact_count"

@@ -145,3 +145,48 @@ def test_count_min_mergeable_cells(spark):
     got = count_min_estimate(keys, merged, "value", 128, 2).collect()
     want = count_min_estimate(keys, whole, "value", 128, 2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_count_min_weighted_path_equals_occurrence_semantics(spark):
+    """r9 optimization pin: the distinct-collapse builder (and its
+    explicit weight_col fast path) produces cells identical to the
+    per-occurrence definition — cell_count = Σ_key count(key)·[key→cell]."""
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        _cm_placements,
+        count_min_cells,
+    )
+
+    df = _zipf_df(spark, n_rows=3000, n_parts=4)
+    got = count_min_cells(df, "value", 256, 3)
+    # per-occurrence reference: explode every row into its placements
+    ref = (
+        df.filter(F.col("value").isNotNull())
+        .select(F.explode(_cm_placements(F.col("value"), 256, 3)).alias("_p"))
+        .groupBy("_p.depth_row", "_p.bucket")
+        .agg(F.count("*").alias("cell_count"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # weight_col fast path over a precomputed (key, count) relation
+    counts = df.groupBy("value").agg(F.count("*").alias("n"))
+    via_weights = count_min_cells(counts, "value", 256, 3, weight_col="n")
+    assert sorted(map(tuple, via_weights.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
+def test_hll_registers_duplicate_invariant(spark):
+    """r9 optimization pin: registers are a pure function of the
+    DISTINCT (group, key) set — duplicating rows changes nothing
+    (max(rho) over repeats), so the collapse-before-hash builder is
+    semantics-identity."""
+    from music_streaming_data_pipeline_v2_spark.operators.frequency import (
+        hll_registers,
+    )
+
+    base = spark.range(500).selectExpr(
+        "concat('g', id % 3) AS g", "concat('k', id % 97) AS k"
+    )
+    dup = base.union(base).union(base.limit(200))
+    got = sorted(map(tuple, hll_registers(dup, "k", ["g"]).collect()))
+    want = sorted(map(tuple, hll_registers(base, "k", ["g"]).collect()))
+    assert got == want
