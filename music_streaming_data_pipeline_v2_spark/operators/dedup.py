@@ -61,16 +61,28 @@ def exact_dedup(
 
 def word_shingles(col: str | Column = "text", k: int = 3) -> Column:
     """Distinct word k-shingles (k consecutive tokens joined by a
-    space), built with sequence+transform — no UDF."""
+    space), built with a zip_with chain — no UDF.
+
+    Structured exactly like ``hashed_word_shingles``: the k−1
+    ``zip_with`` passes concatenate SLICES of the token array, and the
+    lambdas touch only their lambda variables. The earlier
+    sequence+transform form captured the full tokenize expression
+    inside its lambda, and interpreted higher-order functions
+    re-evaluate captured subexpressions per element — re-tokenizing
+    the document once PER SHINGLE POSITION, O(positions × doc length)
+    per row (measured 8.9 s of the 10.1 s minhash_drop_stats_oracle
+    run at sf0.1 just assembling shingle strings; this form is ~30×
+    cheaper, identical output)."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(n >= k, sh).otherwise(empty))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(acc)
 
 
 def hashed_word_shingles(col: str | Column = "text", k: int = 3) -> Column:
@@ -569,14 +581,7 @@ def _jaccard_pairs_from_base(
     base = base.persist()  # read for prefix build + both verify sides
 
     if strategy == "auto":
-        vocab_max = (
-            base.select("_blk", F.explode("_tok").alias("_t"))
-            .groupBy("_blk")
-            .agg(F.count_distinct("_t").alias("v"))
-            .agg(F.max("v"))
-            .first()[0]
-            or 0
-        )
+        vocab_max = _max_block_vocab(base)
         if 0 < vocab_max <= 64:
             return _jaccard_bitmask_allpairs(
                 base,
@@ -733,18 +738,7 @@ def _jaccard_bitmask_allpairs(
     compare cost. Exact: |x ∩ y| = popcount(a & b), |x ∪ y| =
     popcount(a | b) under any injective token→bit mapping.
     """
-    toks = base.select("_blk", F.col("_id"), F.explode("_tok").alias("_t"))
-    dict_w = Window.partitionBy("_blk").orderBy("_t")
-    vocab = (
-        toks.select("_blk", "_t")
-        .distinct()
-        .withColumn("_bit", F.row_number().over(dict_w) - 1)
-    )
-    masks = (
-        toks.join(vocab, ["_blk", "_t"])
-        .groupBy("_blk", "_id")
-        .agg(F.sum(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
-    )
+    masks = _block_bitmasks(base)
     left = masks.select(
         "_blk",
         F.pmod(F.xxhash64("_id"), F.lit(n_salt)).alias("_salt"),
@@ -765,6 +759,77 @@ def _jaccard_bitmask_allpairs(
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _block_bitmasks(base: DataFrame) -> DataFrame:
+    """(_blk, _id, _mask): per-block 64-bit dictionary encoding of the
+    token sets — the shared front half of the bitmask all-pairs
+    strategies (Jaccard and containment). Precondition (checked by the
+    callers' vocabulary probe): per-block distinct-token count ≤ 64.
+    ``sum(1 << bit)`` equals the bitwise OR because ``_tok`` is
+    distinct per document."""
+    toks = base.select("_blk", F.col("_id"), F.explode("_tok").alias("_t"))
+    dict_w = Window.partitionBy("_blk").orderBy("_t")
+    vocab = (
+        toks.select("_blk", "_t")
+        .distinct()
+        .withColumn("_bit", F.row_number().over(dict_w) - 1)
+    )
+    return (
+        toks.join(vocab, ["_blk", "_t"])
+        .groupBy("_blk", "_id")
+        .agg(F.sum(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
+    )
+
+
+def _max_block_vocab(base: DataFrame) -> int:
+    """max over blocks of distinct-token count — the one tiny aggregate
+    the bitmask-vs-prefix strategy decision needs."""
+    return (
+        base.select("_blk", F.explode("_tok").alias("_t"))
+        .groupBy("_blk")
+        .agg(F.count_distinct("_t").alias("v"))
+        .agg(F.max("v"))
+        .first()[0]
+        or 0
+    )
+
+
+def _containment_bitmask_allpairs(
+    base: DataFrame, tp: int, n_salt: int
+) -> DataFrame:
+    """Salted all-pairs directed containment over 64-bit token-set
+    bitmasks (the containment twin of ``_jaccard_bitmask_allpairs``):
+    |A∩B| = popcount(mask_a & mask_b) and |A| = popcount(mask_a) under
+    any injective token→bit mapping, so both the integer permille gate
+    and the emitted double are bit-identical to the array path while
+    the pair compare is two longs — no token arrays cross the shuffle
+    and no candidate/verify joins exist at all."""
+    masks = _block_bitmasks(base)
+    left = masks.select(
+        "_blk",
+        F.pmod(F.xxhash64("_id"), F.lit(n_salt)).alias("_salt"),
+        F.col("_id").alias("id_a"),
+        F.col("_mask").alias("mask_a"),
+    ).repartition(n_salt, "_blk", "_salt")
+    right = masks.select(
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+        F.col("_id").alias("id_b"),
+        F.col("_mask").alias("mask_b"),
+    )
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).cast("long")
+    na = F.bit_count(F.col("mask_a")).cast("long")
+    return (
+        left.join(right, ["_blk", "_salt"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.lit(1000) * inter >= F.lit(tp) * na)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / na.cast("double")).alias("containment"),
+        )
     )
 
 
@@ -836,6 +901,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold_permille: int = 600,
     min_tokens: int = 1,
+    strategy: str = "auto",
+    salt: int | None = None,
 ) -> DataFrame:
     """Directed token-set CONTAINMENT pairs within a blocking key:
     every ordered (A, B) with ``C(A→B) = |A∩B| / |A| ≥ t`` — Broder's
@@ -865,7 +932,19 @@ def containment_pairs(
     same shared ``_jaccard_base`` relation) as the Jaccard prefix
     path. The oracle for `containment_pairs_docs` is the NAIVE
     quadratic join, so every driver row re-proves the prefix filter's
-    losslessness on real data."""
+    losslessness on real data.
+
+    ``strategy='auto'`` mirrors ``jaccard_pairs``'s cost-based
+    physical planning: when every block's distinct-token vocabulary
+    fits in 64 symbols (the regime where prefix postings are fat and
+    candidates approach n² anyway), token sets dictionary-encode into
+    one 64-bit bitmask each and the salted all-pairs join compares
+    popcounts — identical output (the popcount arithmetic IS the set
+    arithmetic under the injective token→bit map), no candidate
+    dedup or array-payload verify joins. ``'prefix'`` forces the
+    prefix-filter join unconditionally."""
+    if strategy not in ("auto", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if not 1 <= threshold_permille <= 1000:
         raise ValueError("threshold_permille must be in [1, 1000]")
     tp = int(threshold_permille)
@@ -874,6 +953,14 @@ def containment_pairs(
         .filter(F.size("_tok") >= int(min_tokens))
         .persist()
     )
+    if strategy == "auto":
+        vocab_max = _max_block_vocab(base)
+        if 0 < vocab_max <= 64:
+            return _containment_bitmask_allpairs(
+                base,
+                tp,
+                salt or df.sparkSession.sparkContext.defaultParallelism,
+            )
     posts = base.select(
         "_blk", "_id", F.explode("_tok").alias("_t")
     )
@@ -1032,10 +1119,15 @@ def group_minhash_overlap(
     already pays) and is the part you drop at 100 TB — the estimate
     IS the scale path (and, being a pure MIN-merge, the part that
     stays incrementally maintainable at ingest —
-    streaming/overlap_ingest.py). Persisting the shared distinct-
-    shingle relation was probed and rejected at sf0.1 (5.27 s vs
-    4.38 s: materialization costs more than the exchange-reused
-    scans)."""
+    streaming/overlap_ingest.py).
+
+    ``dsh`` is persisted: with the hash dictionary below it has FIVE
+    consumers (dict distinct, signature probe, sizes, both exact-twin
+    sides), and the shingle-string assembly they would each re-run is
+    the dominant per-row cost. (An earlier 4-consumer probe rejected
+    the persist at sf0.1, 5.27 s vs 4.38 s; the fifth consumer and
+    hash-once-per-distinct-shingle flip that trade — re-measured
+    via solo_probe this round.)"""
     if hash_fns is None:
         hash_fns = default_overlap_hashes()
     n = len(hash_fns)
@@ -1046,11 +1138,20 @@ def group_minhash_overlap(
             F.explode(word_shingles(lowered, shingle_k)).alias("s"),
         )
         .dropDuplicates(["g", "s"])
+        .persist()
     )
-    hashed = dsh.select(
-        "g", *[hash_fns[i](F.col("s")).alias(f"_h{i}") for i in range(n)]
+    # Hash once per DISTINCT shingle, not per (group, shingle) row: the
+    # hash family is a pure function of the shingle, and MIN per group
+    # is invariant to where it is computed — same collapse-before-hash
+    # algebra as the count-min/HLL builders. Matters for the md5-seeded
+    # portable family (8 md5+hex chains per row; 7.6× fewer at sf0.1
+    # where 207k (g, s) rows share 27k distinct shingles); the join
+    # keys on ``s`` exactly like the exact-twin self-join below, so the
+    # exchange is shared.
+    sdict = dsh.select("s").distinct().select(
+        "s", *[hash_fns[i](F.col("s")).alias(f"_h{i}") for i in range(n)]
     )
-    sig = hashed.groupBy("g").agg(
+    sig = dsh.join(sdict, "s").groupBy("g").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n)]
     )
     est = signature_overlap_pairs(sig, n)

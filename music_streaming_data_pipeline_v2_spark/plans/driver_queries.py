@@ -2138,7 +2138,22 @@ def _md5_banded(docs: DataFrame):
     """(base, banded) relations of the md5-seeded LSH family — the
     shared front half of minhash_lsh_oracle and
     minhash_drop_stats_oracle (round6_queries): word 3-shingles →
-    8 md5 minhashes → 4 two-hash band postings."""
+    8 md5 minhashes → 4 two-hash band postings.
+
+    The md5 chains (1 md5 + 4 hex-digit instr/conv steps per seed, 8
+    seeds) are a pure function of the shingle STRING, so they run once
+    per DISTINCT shingle (a map-side-combined distinct, Heaps-law
+    sublinear) and per-occurrence rows pick their hashes up via an
+    equi-join — at sf0.1 that is 27k hash rows instead of 260k (9.6×
+    fewer md5 chains; the collapse grows with corpus size). Same
+    duplicate-collapse-before-hash algebra as the count-min/HLL
+    builders: MIN per doc is invariant to where the hash is computed.
+
+    The persist is load-bearing for the collapse: the shingle-string
+    assembly (the other dominant cost) must materialize ONCE — without
+    it the dict side and the probe side each re-run the corpus
+    shingling (measured 10.1 → 13.6 s at sf0.1, a net regression
+    despite 9.6× fewer md5 chains)."""
     from ..operators.dedup import word_shingles
 
     base = docs.select(
@@ -2146,10 +2161,11 @@ def _md5_banded(docs: DataFrame):
     ).filter(F.size("_sh") > 0).persist()
 
     exploded = base.select("_id", F.explode("_sh").alias("_s"))
-    hashed = exploded.select(
-        "_id",
+    sdict = exploded.select("_s").distinct().select(
+        "_s",
         *[_md5int16_col(F.col("_s"), i).alias(f"_h{i}") for i in range(_MH_HASHES)],
     )
+    hashed = exploded.join(sdict, "_s")
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(_MH_HASHES)]
     )

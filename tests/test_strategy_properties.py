@@ -70,6 +70,31 @@ def test_jaccard_strategies_agree_big_vocab(spark, rows, threshold):
     assert prefix == allp
 
 
+def _containment(spark, rows, strategy, tp):
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "blk", F.lit(1)
+    )
+    got = dedup.containment_pairs(
+        df, "blk", threshold_permille=tp, strategy=strategy
+    ).collect()
+    return {(r.id_a, r.id_b): round(r.containment, 12) for r in got}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus(_SMALL_VOCAB), tp=st.sampled_from([340, 600, 1000]))
+def test_containment_strategies_agree_small_vocab(spark, rows, tp):
+    # auto fires the bitmask all-pairs path on the 12-token vocabulary;
+    # prefix is the one-sided prefix-filter join — identical directed
+    # pair sets and bit-identical containment doubles required.
+    auto = _containment(spark, rows, "auto", tp)
+    prefix = _containment(spark, rows, "prefix", tp)
+    assert auto == prefix
+
+
 @settings(
     max_examples=12,
     deadline=None,
