@@ -102,8 +102,94 @@ def _symbol_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_merges_driver(
+    spark, vocab_pd, k: int, scoring: str
+) -> tuple[DataFrame, DataFrame]:
+    """In-memory merge mining over a collected ``(word, freq)``
+    vocabulary — the driver twin of the distributed loop below,
+    picked cost-based by ``bpe_merges_from_freqs`` (the
+    connected_components escape hatch applied to tokenizer training:
+    production BPE trainers aggregate word counts distributed and run
+    the merge loop in memory, because the loop's state is the
+    vocabulary, not the corpus).
+
+    Exactness contract, mirrored operation for operation:
+    - segmentations live in the SAME wrapped-string encoding and
+      merges apply via ``str.replace`` — identical left-to-right
+      overlap-free semantics as ``F.replace``;
+    - argmax ordering is (score desc, pair_count desc, lhs asc, rhs
+      asc); Python string comparison is code-point order ≡ Spark's
+      UTF8 binary order;
+    - the WordPiece score reproduces the JVM float pipeline exactly:
+      double(pair) / (double(lhs_count) * double(rhs_count)) with
+      each int rounded to double BEFORE the product (a Python
+      ``f / (cl * cr)`` would divide by the exact integer product —
+      ulp-different);
+    - a step with no pairs left stops emitting merges AND empties the
+      returned vocabulary, because the distributed loop's crossJoin
+      against an empty argmax relation does exactly that."""
+    words = [(str(w), int(f)) for w, f in zip(vocab_pd["word"], vocab_pd["freq"])]
+    seg = {
+        w: "".join(SYM_OPEN + ch + SYM_CLOSE for ch in w) for w, _ in words
+    }
+    merges_rows: list[tuple] = []
+    exhausted = False
+    for step in range(1, k + 1):
+        pair_counts: dict = {}
+        sym_counts: dict = {}
+        for w, f in words:
+            syms = seg[w].replace(SYM_CLOSE, "").split(SYM_OPEN)[1:]
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                pair_counts[key] = pair_counts.get(key, 0) + f
+            if scoring == "wordpiece":
+                for s in syms:
+                    sym_counts[s] = sym_counts.get(s, 0) + f
+        if not pair_counts:
+            exhausted = True
+            break
+        if scoring == "wordpiece":
+            best = min(
+                pair_counts.items(),
+                key=lambda kv: (
+                    -(
+                        float(kv[1])
+                        / (
+                            float(sym_counts[kv[0][0]])
+                            * float(sym_counts[kv[0][1]])
+                        )
+                    ),
+                    -kv[1],
+                    kv[0][0],
+                    kv[0][1],
+                ),
+            )
+        else:
+            best = min(
+                pair_counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+            )
+        (lhs, rhs), cnt = best
+        merges_rows.append((step, lhs, rhs, cnt))
+        pat = SYM_OPEN + lhs + SYM_CLOSE + SYM_OPEN + rhs + SYM_CLOSE
+        rep = SYM_OPEN + lhs + rhs + SYM_CLOSE
+        for w, _ in words:
+            seg[w] = seg[w].replace(pat, rep)
+    merges_df = spark.createDataFrame(
+        merges_rows, "step int, lhs string, rhs string, pair_count long"
+    )
+    out_rows = [] if exhausted else [(w, f, seg[w]) for w, f in words]
+    words_df = spark.createDataFrame(
+        out_rows, "word string, freq long, s string"
+    )
+    return merges_df, words_df
+
+
 def bpe_merges_from_freqs(
-    freqs: DataFrame, k: int = 6, scoring: str = "freq"
+    freqs: DataFrame,
+    k: int = 6,
+    scoring: str = "freq",
+    driver_vocab_threshold: int = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Mine the first ``k`` merges from a ``(word, freq)``
     relation — the core ``bpe_merges`` wraps with a corpus scan, and
@@ -122,8 +208,18 @@ def bpe_merges_from_freqs(
     (Schuster & Nakajima 2012, the HF-documented variant): merge the
     pair maximizing pair_count/(cnt_lhs·cnt_rhs) — the merge whose
     parts co-occur most beyond chance, which favors gluing rare
-    morphemes over piling onto frequent chars."""
-    words = (
+    morphemes over piling onto frequent chars.
+
+    Physical strategy is cost-based: the loop's working state is the
+    VOCABULARY, so when it holds ≤ ``driver_vocab_threshold`` distinct
+    words (one limit-probe collect decides — the
+    connected_components pattern) the k-step loop runs in driver
+    memory (``_bpe_merges_driver``, exactness contract there) instead
+    of paying ~3 Spark jobs per step on a broadcast-sized relation;
+    realistic word vocabularies (1M words ≈ tens of MB) fit easily,
+    and adversarially huge ones keep the distributed loop. Set
+    ``driver_vocab_threshold=0`` to force distributed."""
+    norm = (
         freqs.select(
             F.regexp_replace("word", f"[{SYM_OPEN}{SYM_CLOSE}]", "").alias(
                 "word"
@@ -133,8 +229,15 @@ def bpe_merges_from_freqs(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.sum("freq").cast("long").alias("freq"))
-        .withColumn("s", _wrapped("word"))
-        .localCheckpoint(eager=False)
+    )
+    if driver_vocab_threshold:
+        vocab_pd = norm.limit(driver_vocab_threshold + 1).toPandas()
+        if len(vocab_pd) <= driver_vocab_threshold:
+            return _bpe_merges_driver(
+                freqs.sparkSession, vocab_pd, int(k), scoring
+            )
+    words = norm.withColumn("s", _wrapped("word")).localCheckpoint(
+        eager=False
     )
     merges: list[DataFrame] = []
     for step in range(1, int(k) + 1):

@@ -35,16 +35,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cc_driver(pairs: DataFrame) -> DataFrame:
+def _cc_driver(pairs: DataFrame, edges_pd=None) -> DataFrame:
     """Union-find on the driver for a below-threshold edge list.
 
     The same cost-based escape hatch a broadcast join is: when the
     small side fits in driver memory, shipping it beats N distributed
     rounds of shuffle+checkpoint overhead. Min-label semantics match
-    the distributed path exactly (component = min node id)."""
+    the distributed path exactly (component = min node id).
+
+    ``edges_pd`` is the already-collected edge frame when the caller's
+    size probe doubled as the collect (connected_components); ``pairs``
+    still supplies the session and endpoint schema."""
     import pandas as pd
 
-    edges_pd = pairs.toPandas()
+    if edges_pd is None:
+        edges_pd = pairs.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -124,21 +129,32 @@ def connected_components(
     O(diameter)-round distributed path. Set
     ``driver_edge_threshold=0`` to force distributed.
     """
-    # materialize the (possibly expensive) edge-mining plan ONCE before
-    # symmetrizing — the union below reads it twice. The distinct also
-    # re-partitions the symmetric edge list by content hash, which the
-    # per-round joins then reuse from the checkpoint. Null endpoints
-    # are dropped EXPLICITLY: the distributed path would shed them at
-    # its join keys anyway, but the driver union-find receives them as
-    # pandas NaN, and NaN != NaN means its find() loop never
-    # terminates — the two paths must agree on the edge set.
-    pairs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .localCheckpoint()
+    # Null endpoints are dropped EXPLICITLY: the distributed path would
+    # shed them at its join keys anyway, but the driver union-find
+    # receives them as pandas NaN, and NaN != NaN means its find() loop
+    # never terminates — the two paths must agree on the edge set. On
+    # the distributed path the (possibly expensive) edge-mining plan is
+    # localCheckpointed before symmetrizing — the union reads it twice,
+    # and the distinct re-partitions the symmetric edge list by content
+    # hash, which the per-round joins then reuse from the checkpoint.
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
     )
-    if driver_edge_threshold and pairs.count() <= driver_edge_threshold:
-        return _cc_driver(pairs)
+    if driver_edge_threshold:
+        # ONE action decides the strategy AND ships the edges: a
+        # limit(threshold+1) collect both proves |E| ≤ threshold and
+        # delivers the edge list — the previous
+        # localCheckpoint+count+toPandas sequence paid three jobs for
+        # the same information, which dominated small-graph calls
+        # (every per-drain delta-CC in the ingest family is one).
+        # Union-find is row-order-independent, so an arbitrary collect
+        # order is fine. The rare above-threshold probe wastes one
+        # evaluation of the mining plan before the checkpoint below —
+        # the tiny-graph path is the hot one by design.
+        edges_pd = pairs.limit(driver_edge_threshold + 1).toPandas()
+        if len(edges_pd) <= driver_edge_threshold:
+            return _cc_driver(pairs, edges_pd)
+    pairs = pairs.localCheckpoint()
     sym = (
         pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -335,6 +335,58 @@ def word_ngram_rows(
     )
 
 
+def word_multi_ngram_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """``(id, _ord, gram)`` occurrence rows for EVERY order 1..n in ONE
+    tokenize + posexplode + window pass — the multi-order sibling of
+    ``word_ngram_rows`` for consumers that need several gram orders of
+    the same text (BLEU-style clipped precision needs 1-grams and
+    2-grams of both pair sides; four single-order builder calls paid
+    four tokenize+window passes for what one pass provides). Per
+    order ``o``, gram = the o leads concatenated and the row is valid
+    iff ``lead(o-1)`` exists — exactly ``word_ngram_rows(o)``'s gram
+    set, emitted from shared lead columns via one explode."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w = Window.partitionBy("_id").orderBy("_pos")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t")
+    ).filter(F.col("_t") != "")
+    # all leads in one window projection (the same single-projection
+    # rule as word_ngram_rows: a filter between window projections
+    # would change what the later leads see)
+    proj = base.select(
+        "_id",
+        "_t",
+        *[F.lead("_t", i).over(w).alias(f"_l{i}") for i in range(1, n)],
+    )
+    entries = []
+    for o in range(1, n + 1):
+        parts = [F.col("_t")] + [F.col(f"_l{i}") for i in range(1, o)]
+        gram_o = parts[0] if o == 1 else F.concat_ws(" ", *parts)
+        ok = F.lit(True) if o == 1 else F.col(f"_l{o - 1}").isNotNull()
+        entries.append(
+            F.struct(
+                F.lit(o).alias("_ord"), gram_o.alias("gram"), ok.alias("_ok")
+            )
+        )
+    return (
+        proj.select("_id", F.explode(F.array(*entries)).alias("_e"))
+        .filter(F.col("_e._ok"))
+        .select(
+            F.col("_id").alias(out_id),
+            F.col("_e._ord").alias("_ord"),
+            F.col("_e.gram").alias("gram"),
+        )
+    )
+
+
 def word_ngram_postings(
     df: DataFrame,
     n: int,
@@ -2040,26 +2092,47 @@ def ngram_clipped_precision(
     if n < 1:
         raise ValueError("n must be >= 1")
 
-    def gram_counts(col: str, out: str) -> DataFrame:
-        # reuse the ONE shared gram builder (word_ngram_rows) per
-        # order — no positions needed here, unlike
-        # contamination_spans.starts
-        side = pairs.select(pair_col, F.col(col).alias("_txt"))
-        rows = [
-            word_ngram_rows(
-                side, order, text_col="_txt", id_col=pair_col, out_id="_pid"
-            ).withColumn("_ord", F.lit(order))
-            for order in range(1, n + 1)
-        ]
-        out_df = rows[0]
-        for r in rows[1:]:
-            out_df = out_df.unionByName(r)
-        return out_df.groupBy("_pid", "_ord", "gram").agg(
-            F.count("*").alias(out)
+    # Melt both pair sides into one (struct(pid, side), text) relation
+    # and build EVERY gram order in one tokenize+window pass
+    # (word_multi_ngram_rows) — the previous per-side × per-order
+    # builder calls paid 2n tokenize+window passes plus 2n evaluations
+    # of the ``pairs`` join for gram sets one pass provides. The count
+    # relation is lazily checkpointed: the clip join reads it for both
+    # sides and the totals aggregate reads the candidate side again.
+    sides = pairs.select(
+        F.col(pair_col).alias("_pid"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("s"), F.col(cand_col).alias("t")
+                ),
+                F.struct(F.lit(1).alias("s"), F.col(ref_col).alias("t")),
+            )
+        ).alias("_e"),
+    ).select(
+        F.struct(F.col("_pid"), F.col("_e.s").alias("_side")).alias("_cid"),
+        F.col("_e.t").alias("_txt"),
+    )
+    counts = (
+        word_multi_ngram_rows(
+            sides, n, text_col="_txt", id_col="_cid", out_id="_cid"
         )
-
-    c = gram_counts(cand_col, "_cc")
-    r = gram_counts(ref_col, "_rc")
+        .groupBy("_cid", "_ord", "gram")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    c = counts.filter(F.col("_cid._side") == 0).select(
+        F.col("_cid._pid").alias("_pid"),
+        "_ord",
+        "gram",
+        F.col("_n").alias("_cc"),
+    )
+    r = counts.filter(F.col("_cid._side") == 1).select(
+        F.col("_cid._pid").alias("_pid"),
+        "_ord",
+        "gram",
+        F.col("_n").alias("_rc"),
+    )
     matched = (
         c.join(r, ["_pid", "_ord", "gram"])
         .groupBy("_pid", "_ord")

@@ -320,7 +320,16 @@ def run_incremental_dedup(
                 os.path.join(comps_dir, part)
             )
         elif not delta.isEmpty():
-            prev_labels = prev[0]
+            # The resolved labeling (a max_by aggregate over the whole
+            # comps chain) feeds FOUR subtrees below — the two
+            # contraction maps, the changed-rows join, and the new-ids
+            # anti-join — and the CC size probe and the delta write are
+            # separate actions, so without a checkpoint the chain
+            # aggregate re-runs up to four times per drain (measured
+            # the bulk of the 2.5 s delta-maintenance phase at sf0.1).
+            # Lazy: materialized by the first consumer, read by the
+            # rest.
+            prev_labels = prev[0].localCheckpoint(eager=False)
             la = prev_labels.select(
                 F.col("id").alias("id_a"), F.col("component").alias("_ca")
             )

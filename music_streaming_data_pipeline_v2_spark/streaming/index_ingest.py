@@ -158,7 +158,6 @@ def query_index(
         os.path.join(work_dir, "doclens"),
         "doc_id long, dl long",
     )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     stats = dl_rel.groupBy().agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -166,6 +165,15 @@ def query_index(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.transform(_tokens(query_text_col), F.lower)).alias("token"),
     ).distinct()
+    # df only for tokens the queries actually probe (the docstring's
+    # "pruned-side complement" — the previous full-vocabulary groupBy
+    # aggregated every posting row; identical join result, and at scale
+    # the aggregate is bounded by query tokens, not the vocabulary)
+    dfreq = (
+        tf.join(F.broadcast(qt.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
     contrib = (
         "CAST(ROUND("
         "LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5)"
