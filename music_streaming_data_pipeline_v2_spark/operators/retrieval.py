@@ -212,6 +212,21 @@ def _cos6i(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b) * F.lit(1e6)).cast("long")
 
 
+def _cos6i_flat(av: str, bv: str, an: str, bn: str, dims: int) -> Column:
+    """``_cos6i`` with the cosine spelled as the flat ``dims``-term
+    codegen sum over precomputed map-side norms — identical summation
+    order and values (similarity.dot_sql documents the IEEE argument);
+    the interpreted higher-order fold was the whole runtime of the
+    candidate cross join."""
+    from .similarity import dot_sql
+
+    cos = F.when(
+        (F.col(an) * F.col(bn)) != F.lit(0.0),
+        F.expr(dot_sql(av, bv, dims)) / (F.col(an) * F.col(bn)),
+    )
+    return F.round(cos * F.lit(1e6)).cast("long")
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,6 +238,7 @@ def mmr_rerank(
     query_id_col: str = "query_id",
     num_partitions: int | None = None,
     exclude_self: bool = True,
+    dims: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein, SIGIR 1998): greedily select ``k_select`` results from
@@ -253,18 +269,31 @@ def mmr_rerank(
     path is engine- and partitioning-independent with NO rounding of
     computed scores — see ``_cos6i``.
     """
+    from .similarity import norm_sql
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     corp = corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
     )
+    if dims is not None:
+        # flat codegen scoring (see _cos6i_flat): norms once per
+        # vector map-side, the |corpus|·|queries| cross join and the
+        # k_candidates² pair build both reuse them
+        q = q.withColumn("_qn", F.expr(norm_sql("_qv", dims)))
+        corp = corp.withColumn("_cn", F.expr(norm_sql("_cv", dims)))
     scored = corp.join(F.broadcast(q), how="cross")
     if exclude_self:
         scored = scored.filter(F.col("_cid") != F.col("query_id"))
-    scored = scored.withColumn(
-        "_simq", _cos6i(F.col("_qv"), F.col("_cv"))
-    ).filter(F.col("_simq").isNotNull())
+    simq = (
+        _cos6i_flat("_qv", "_cv", "_qn", "_cn", dims)
+        if dims is not None
+        else _cos6i(F.col("_qv"), F.col("_cv"))
+    )
+    scored = scored.withColumn("_simq", simq).filter(
+        F.col("_simq").isNotNull()
+    )
     wc = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))
     # The candidate relation is ≤ |queries|·k_candidates rows — the
     # per-step frames are all bounded by it, and every downstream job
@@ -274,27 +303,34 @@ def mmr_rerank(
     n_part = num_partitions or max(
         1, corpus.sparkSession.sparkContext.defaultParallelism // 8
     )
+    nrm_cols = ["_cn"] if dims is not None else []
     cand = (
         scored.withColumn("_rn", F.row_number().over(wc))
         .filter(F.col("_rn") <= k_candidates)
-        .select("query_id", "_cid", "_simq", "_cv")
+        .select("query_id", "_cid", "_simq", "_cv", *nrm_cols)
         .repartition(n_part, "query_id")
         .localCheckpoint(eager=True)  # feeds pair build + every step
     )
+    left_cols = [F.col("_cid").alias("_a"), F.col("_cv").alias("_av")] + (
+        [F.col("_cn").alias("_an")] if dims is not None else []
+    )
+    right_cols = [F.col("_cid").alias("_b"), F.col("_cv").alias("_bv")] + (
+        [F.col("_cn").alias("_bn")] if dims is not None else []
+    )
+    pair_sim = (
+        _cos6i_flat("_av", "_bv", "_an", "_bn", dims)
+        if dims is not None
+        else _cos6i(F.col("_av"), F.col("_bv"))
+    )
     pair = (
-        cand.select("query_id", F.col("_cid").alias("_a"), F.col("_cv").alias("_av"))
-        .join(
-            cand.select(
-                "query_id", F.col("_cid").alias("_b"), F.col("_cv").alias("_bv")
-            ),
-            "query_id",
-        )
+        cand.select("query_id", *left_cols)
+        .join(cand.select("query_id", *right_cols), "query_id")
         .filter(F.col("_a") != F.col("_b"))
-        .withColumn("_sim", _cos6i(F.col("_av"), F.col("_bv")))
+        .withColumn("_sim", pair_sim)
         .select("query_id", "_a", "_b", "_sim")
         .localCheckpoint(eager=True)  # reused by every greedy step
     )
-    cand = cand.drop("_cv")
+    cand = cand.drop("_cv", *nrm_cols)
     lam_i = int(round(float(lam) * 1e6))
     # step 1: pure relevance argmax
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))

@@ -115,22 +115,42 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-K per query.
 
     ``queries``: (query_id, embedding). Broadcast-joined against the
     corpus → one corpus scan regardless of |queries|; ranking window
     partitions by query so the sort is per-query top-K.
+
+    ``dims``: when the embedding width is known, scoring — the
+    O(|corpus|·|queries|) hot path — runs as a flat ``dims``-term
+    codegen sum (`dot_sql`) with per-row norms precomputed map-side
+    (once per vector, not per pair), instead of the interpreted
+    higher-order fold; same summation order, same values (see
+    dot_sql). Omit for width-agnostic (slow-path) use — the
+    semantic_dedup convention.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).join(F.broadcast(q), how="cross")
-    scored = scored.withColumn(
-        "cosine", cosine(F.col("_qvec"), F.col("_cvec"))
-    ).filter(F.col("cosine").isNotNull())  # zero-norm rows are unrankable
+    )
+    if dims is not None:
+        q = q.withColumn("_qn", F.expr(norm_sql("_qvec", dims)))
+        c = c.withColumn("_cn", F.expr(norm_sql("_cvec", dims)))
+        pair_cos = F.when(
+            (F.col("_qn") * F.col("_cn")) != F.lit(0.0),
+            F.expr(dot_sql("_qvec", "_cvec", dims))
+            / (F.col("_qn") * F.col("_cn")),
+        )
+    else:
+        pair_cos = cosine(F.col("_qvec"), F.col("_cvec"))
+    scored = c.join(F.broadcast(q), how="cross")
+    scored = scored.withColumn("cosine", pair_cos).filter(
+        F.col("cosine").isNotNull()
+    )  # zero-norm rows are unrankable
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -206,9 +226,14 @@ def lsh_topk(
         )
     planes = random_hyperplanes(dims, bits, seed)
 
+    # widths are probe-validated == dims above, so the flat codegen
+    # scorer is always safe here; norms are computed once per vector
+    # (below the band explode), never per candidate pair (see dot_sql
+    # for the numerical-identity argument)
     c_sig = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        F.expr(norm_sql(vec_col, dims)).alias("_cn"),
         F.posexplode(hyperplane_signature(F.col(vec_col), planes, bands)).alias(
             "band_id", "bucket"
         ),
@@ -216,16 +241,24 @@ def lsh_topk(
     q_sig = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        F.expr(norm_sql(vec_col, dims)).alias("_qn"),
         F.posexplode(hyperplane_signature(F.col(vec_col), planes, bands)).alias(
             "band_id", "bucket"
         ),
     )
     cand = (
         c_sig.join(F.broadcast(q_sig), ["band_id", "bucket"])
-        .select("query_id", "neighbor_id", "_qvec", "_cvec")
+        .select("query_id", "neighbor_id", "_qvec", "_cvec", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    scored = cand.withColumn(
+        "cosine",
+        F.when(
+            (F.col("_qn") * F.col("_cn")) != F.lit(0.0),
+            F.expr(dot_sql("_qvec", "_cvec", dims))
+            / (F.col("_qn") * F.col("_cn")),
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -360,9 +393,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF search: probe only the ``nprobe`` centroids nearest each
-    query; exact cosine within the probed cells."""
+    query; exact cosine within the probed cells.
+
+    ``dims``: when the embedding width is known, the within-cell
+    re-rank runs as a flat codegen sum with map-side norms instead of
+    the interpreted higher-order fold — same summation order, same
+    values (see dot_sql / cosine_topk)."""
     # Materialize the tagged corpus — this IS the IVF index, which a
     # production deployment computes once at ingest (module docstring),
     # so per-query assignment would be wrong-shaped anyway. It also
@@ -376,6 +415,11 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
             "centroid_id",
+            *(
+                [F.expr(norm_sql(vec_col, dims)).alias("_cn")]
+                if dims is not None
+                else []
+            ),
         )
         .localCheckpoint(eager=False)
     )
@@ -395,6 +439,11 @@ def ivf_topk(
         f"{_centroid_score_structs('_qsafe', centroids)}"
         f"))), 1, {int(nprobe)})"
     )
+    qextra = (
+        [F.expr(norm_sql(vec_col, dims)).alias("_qn")]
+        if dims is not None
+        else []
+    )
     probes = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -403,12 +452,27 @@ def ivf_topk(
                 f"CASE WHEN SIZE({vec_col}) = {len(centroids[0])} "
                 f"THEN {vec_col} END"
             ).alias("_qsafe"),
+            *qextra,
         )
-        .select("query_id", "_qvec", F.explode(cents).alias("_probe"))
-        .select("query_id", "_qvec", F.col("_probe.cid").alias("centroid_id"))
+        .select("query_id", "_qvec", F.explode(cents).alias("_probe"), *
+                (["_qn"] if dims is not None else []))
+        .select(
+            "query_id",
+            "_qvec",
+            F.col("_probe.cid").alias("centroid_id"),
+            *(["_qn"] if dims is not None else []),
+        )
     )
     cand = tagged.join(F.broadcast(probes), "centroid_id")
-    scored = cand.withColumn("cosine", cosine(F.col("_qvec"), F.col("_cvec")))
+    if dims is not None:
+        pair_cos = F.when(
+            (F.col("_qn") * F.col("_cn")) != F.lit(0.0),
+            F.expr(dot_sql("_qvec", "_cvec", dims))
+            / (F.col("_qn") * F.col("_cn")),
+        )
+    else:
+        pair_cos = cosine(F.col("_qvec"), F.col("_cvec"))
+    scored = cand.withColumn("cosine", pair_cos)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -519,33 +583,64 @@ def embedding_near_dup_pairs(
     corpora / oracle checks only). Default: hyperplane-LSH blocked
     self-join, sub-quadratic; recall controlled by bits/bands.
     """
-    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # pair scoring is the O(candidates) hot path: flat dims-term
+    # codegen sum with map-side norms, not the interpreted HOF fold
+    # (identical summation order/values — see dot_sql; ``dims`` is
+    # already the caller's declared width for the LSH planes, and the
+    # width-guarded norm gives ragged rows a NULL cosine that fails
+    # the threshold, the same no-direction contract as zero norms)
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.expr(norm_sql(vec_col, dims)).alias("_n"),
+    )
     if exact:
-        left = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        right = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        left = base.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        right = base.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
         cand = left.join(right, F.col("id_a") < F.col("id_b"))
     else:
         planes = random_hyperplanes(dims, bits, seed)
         sig = base.select(
             "_id",
             "_v",
+            "_n",
             F.posexplode(hyperplane_signature(F.col("_v"), planes, bands)).alias(
                 "band_id", "bucket"
             ),
         )
         left = sig.select(
-            "band_id", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+            "band_id",
+            "bucket",
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
         )
         right = sig.select(
-            "band_id", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+            "band_id",
+            "bucket",
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
         )
         cand = (
             left.join(right, ["band_id", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+    pair_cos = F.when(
+        (F.col("_na") * F.col("_nb")) != F.lit(0.0),
+        F.expr(dot_sql("_va", "_vb", dims)) / (F.col("_na") * F.col("_nb")),
+    )
     return (
-        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        cand.withColumn("cosine", pair_cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1085,6 +1180,7 @@ def embedding_decontamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: for each probe (an eval-set
     item), the nearest corpus vector by cosine and whether it clears
@@ -1121,6 +1217,7 @@ def embedding_decontamination(
         k=1,
         id_col=id_col,
         vec_col=vec_col,
+        dims=dims,
     )
     return nearest.select(
         F.col("query_id").alias("probe_id"),

@@ -1197,7 +1197,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = _sim.cosine_topk(emb, queries, k=10)
+    out = _sim.cosine_topk(emb, queries, k=10, dims=64)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -2565,7 +2565,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     centroids = _sim.kmeans_lite(emb, n_centroids=8, seed=7)
-    return _sim.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+    return _sim.ivf_topk(emb, queries, centroids, k=10, nprobe=3, dims=64)
 
 
 _ORACLE_CURATION = r"""

@@ -170,7 +170,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = _sim.cosine_topk(emb, queries, k=_K)
+    exact = _sim.cosine_topk(emb, queries, k=_K, dims=_DIMS)
     approx = _sim.lsh_topk(
         emb, queries, k=_K, bits=_BITS, bands=_BANDS, seed=42, dims=_DIMS
     )
@@ -262,7 +262,7 @@ def ann_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = _sim.ivf_topk(
-        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE
+        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE, dims=_DIMS
     )
     return out.withColumn("cosine", F.round("cosine", 6))
 
@@ -287,9 +287,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = _sim.cosine_topk(emb, queries, k=_K)
+    exact = _sim.cosine_topk(emb, queries, k=_K, dims=_DIMS)
     approx = _sim.ivf_topk(
-        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE
+        emb, queries, _md5_seed_codebook(emb), k=_K, nprobe=_NPROBE, dims=_DIMS
     )
     hits = exact.join(
         approx.select("query_id", "neighbor_id"),

@@ -1292,7 +1292,7 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
-    dn = cosine_topk(emb, qv, k=_RRF_DEPTH).select(
+    dn = cosine_topk(emb, qv, k=_RRF_DEPTH, dims=64).select(
         "query_id", "rank", F.col("neighbor_id").alias("doc_id")
     )
     return rrf_fuse(
@@ -1520,7 +1520,8 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return mmr_rerank(
-        emb, qv, k_candidates=_MMR_KC, k_select=_MMR_KS, lam=_MMR_LAM
+        emb, qv, k_candidates=_MMR_KC, k_select=_MMR_KS, lam=_MMR_LAM,
+        dims=64,
     )
 
 
@@ -1704,6 +1705,7 @@ def embedding_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("probe_id"), "embedding"
         ),
         threshold=_DECON_TAU,
+        dims=64,
     )
 
 

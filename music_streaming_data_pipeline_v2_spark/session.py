@@ -44,6 +44,18 @@ def get_spark(
         # (32-column MinHash signatures, pivot matrices) recompile on
         # every run, ~0.5-1 s per affected query (measured at sf0.1).
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Align Spark's whole-stage-codegen fallback with the JVM JIT's
+        # own refusal threshold: HotSpot never compiles methods over
+        # 8000 bytecode bytes (-XX:DontCompileHugeMethods, on by
+        # default), so a fused whole-stage method past that size runs
+        # BYTECODE-INTERPRETED — strictly slower than the per-operator
+        # codegen Spark falls back to when the compiled method exceeds
+        # this limit. The default (65535) happily keeps un-JIT-able
+        # methods: measured on the 64-dim cosine pair scorer at sf0.1,
+        # the fused stage ran 1.9 s vs 0.5 s per-operator (4×); wide
+        # expression chains (PQ/SQ8 encodes, md5 LSH banding) hit the
+        # same cliff. JVM-architectural, not data- or host-dependent.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

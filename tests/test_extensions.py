@@ -1018,3 +1018,57 @@ def test_ppm_kernel_16bit_pgm_takes_fallback_path(spark):
     resized = mm.resize_images(media, max_dim=4, image_kernel="ppm").first()
     assert bytes(resized.content) == p5_16
     assert resized.meta.format == "pgm" and resized.meta.width == w
+
+
+# ---------------------------------------------------------------------------
+# flat (codegen) vector scoring ≡ interpreted HOF scoring — the dims
+# fast path added in the round-9 optimization must be bit-identical to
+# the higher-order-fold slow path (dot_sql's left-associated IEEE
+# argument), not merely approximately equal
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_dims_flat_path_bit_identical(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    slow = similarity.cosine_topk(emb, queries, k=10).collect()
+    fast = similarity.cosine_topk(emb, queries, k=10, dims=8).collect()
+    key = lambda r: (r.query_id, r.rank)
+    # exact float equality on the cosine — same summation order
+    assert {key(r): (r.neighbor_id, r.cosine) for r in slow} == {
+        key(r): (r.neighbor_id, r.cosine) for r in fast
+    }
+
+
+def test_ivf_topk_dims_flat_path_bit_identical(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = similarity.kmeans_lite(emb, n_centroids=4, seed=7)
+    slow = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    fast = similarity.ivf_topk(
+        emb, queries, centroids, k=5, nprobe=2, dims=8
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert {key(r): (r.neighbor_id, r.cosine) for r in slow} == {
+        key(r): (r.neighbor_id, r.cosine) for r in fast
+    }
+
+
+def test_mmr_rerank_dims_flat_path_identical(emb):
+    from music_streaming_data_pipeline_v2_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    slow = mmr_rerank(emb, queries, k_candidates=8, k_select=4).collect()
+    fast = mmr_rerank(
+        emb, queries, k_candidates=8, k_select=4, dims=8
+    ).collect()
+    key = lambda r: (r.query_id, r.step)
+    assert {key(r): (r.vec_id, r.relevance, r.mmr_score) for r in slow} == {
+        key(r): (r.vec_id, r.relevance, r.mmr_score) for r in fast
+    }
