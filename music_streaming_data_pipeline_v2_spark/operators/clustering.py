@@ -281,6 +281,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    prev_n = e.count()
     for _ in range(max_iterations):
         # large-star: adjacency in both directions; m = min(Γ(c) ∪ {c})
         adj = e.union(
@@ -294,9 +295,12 @@ def connected_components_star(
         e1 = (
             adj.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
-            # m < v always (m ≤ u < v): canonical orientation is (m, v)
+            # m < v always (m ≤ u < v): canonical orientation is (m, v).
+            # NOT distinct-ed (r9): the small-star consumers are a MIN
+            # aggregate (duplicate-invariant) and a join whose output
+            # lands under e2's distinct — the per-round dedup exchange
+            # bought nothing but an AQE stage-job per round.
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
-            .distinct()
         )
         # small-star: centers are the LARGER endpoints (canonical v);
         # m = min of their smaller neighborhoods (all n < c, so
@@ -311,11 +315,28 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            e2.count() == e.count()
-            and e2.exceptAll(e).limit(1).count() == 0
+        # Convergence probe, restructured for job count (r9): the old
+        # form paid two counts + an exceptAll EVERY round. Now the
+        # previous round's count is carried in a Python variable (its
+        # job was already paid as THIS round's count), and the equality
+        # probe — both edge lists are canonical DISTINCT sets, so
+        # equal counts + no (u, v) key appearing on only one side ⟺
+        # set equality — runs ONLY on rounds where the necessary
+        # count-match condition holds, as one single-exchange
+        # union→groupBy→singleton-key existence check. Still EXACT —
+        # row-existence proofs, never a hashed checksum that could
+        # silently accept a collision.
+        n2 = e2.count()
+        converged = n2 == prev_n and (
+            e2.union(e)
+            .groupBy("u", "v")
+            .count()
+            .filter(F.col("count") == 1)
+            .limit(1)
+            .count()
+            == 0
         )
-        e = e2
+        e, prev_n = e2, n2
         if converged:
             break
     else:

@@ -239,6 +239,7 @@ def mmr_rerank(
     num_partitions: int | None = None,
     exclude_self: bool = True,
     dims: int | None = None,
+    driver_threshold: int | None = 50_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein, SIGIR 1998): greedily select ``k_select`` results from
@@ -268,6 +269,20 @@ def mmr_rerank(
     BIGINT arithmetic (ties break by id ascending), so the greedy
     path is engine- and partitioning-independent with NO rounding of
     computed scores — see ``_cos6i``.
+
+    ``driver_threshold``: cost-based driver greedy (the
+    bpe_merges_from_freqs / connected_components precedent). The
+    candidate relation is bounded by |queries|·k_candidates and every
+    score DOWNSTREAM of the Spark-computed 6-dp integer sims is exact
+    integer arithmetic — identical in Python ints — so when a
+    limit-probe shows the candidates fit the threshold, the
+    k_select-step sequential job chain (anti-join + redundancy join +
+    argmax window + eager checkpoint per step, ~3 jobs each) collapses
+    to two bounded collects and an in-memory loop with
+    decision-for-decision identical semantics (same argmax ordering,
+    same IEEE divisions for the two output doubles). Oversized
+    candidate sets take the distributed loop unchanged; pass ``None``
+    to force it.
     """
     from .similarity import norm_sql
 
@@ -328,10 +343,63 @@ def mmr_rerank(
         .filter(F.col("_a") != F.col("_b"))
         .withColumn("_sim", pair_sim)
         .select("query_id", "_a", "_b", "_sim")
-        .localCheckpoint(eager=True)  # reused by every greedy step
     )
-    cand = cand.drop("_cv", *nrm_cols)
     lam_i = int(round(float(lam) * 1e6))
+    if driver_threshold is not None:
+        crows = (
+            cand.select("query_id", "_cid", "_simq")
+            .limit(int(driver_threshold) + 1)
+            .collect()
+        )
+        if len(crows) <= driver_threshold:
+            from pyspark.sql import types as T
+
+            by_q: dict = {}
+            for r in crows:
+                # dict keyed by candidate id — a duplicated corpus id
+                # collapses exactly like the distributed groupBy/
+                # anti-join pair do (same vector ⟹ same simq)
+                by_q.setdefault(r[0], {})[r[1]] = r[2]
+            sim_ab: dict = {}
+            for r in pair.collect():  # bounded: ≤ |cand|·k_candidates
+                sim_ab[(r[0], r[1], r[2])] = r[3]
+            out_rows = []
+            for qid, cands in by_q.items():
+                # step 1: pure relevance argmax, ties by id ascending
+                cid = max(cands, key=lambda c: (cands[c], -c))
+                rel = float(cands[cid]) / 1e6
+                out_rows.append((qid, 1, cid, rel, rel))
+                sel = [cid]
+                for s in range(2, int(k_select) + 1):
+                    rem = [c for c in cands if c not in sel]
+                    if not rem:
+                        break
+                    best, best_key = None, None
+                    for c in rem:
+                        maxsim = max(sim_ab[(qid, c, b)] for b in sel)
+                        score = lam_i * cands[c] - (1_000_000 - lam_i) * maxsim
+                        key = (score, -c)
+                        if best_key is None or key > best_key:
+                            best, best_key = (c, score), key
+                    c, score = best
+                    out_rows.append(
+                        (qid, s, c, float(cands[c]) / 1e6, float(score) / 1e12)
+                    )
+                    sel.append(c)
+            out_schema = T.StructType(
+                [
+                    T.StructField(
+                        "query_id", cand.schema["query_id"].dataType
+                    ),
+                    T.StructField("step", T.IntegerType(), False),
+                    T.StructField(id_col, cand.schema["_cid"].dataType),
+                    T.StructField("relevance", T.DoubleType()),
+                    T.StructField("mmr_score", T.DoubleType()),
+                ]
+            )
+            return corpus.sparkSession.createDataFrame(out_rows, out_schema)
+    pair = pair.localCheckpoint(eager=True)  # reused by every greedy step
+    cand = cand.drop("_cv", *nrm_cols)
     # step 1: pure relevance argmax
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_simq"), F.asc("_cid"))
     selected = (

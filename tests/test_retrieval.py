@@ -398,3 +398,37 @@ def test_mmr_exclude_self_flag(spark):
     assert {r.vec_id for r in without} == {2, 3}
     # with the collision kept, the identical vector is the step-1 pick
     assert [r.vec_id for r in sorted(with_self, key=lambda r: r.step)][0] == 1
+
+
+def test_mmr_driver_loop_equals_distributed(spark):
+    """The cost-based driver greedy (round-9 optimization) must be
+    decision-for-decision identical to the distributed unrolled loop —
+    same picks, same step order, same IEEE output doubles."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from music_streaming_data_pipeline_v2_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(6)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append(Row(vec_id=i, embedding=[float(x / n) for x in v]))
+    emb = spark.createDataFrame(rows)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fast = mmr_rerank(emb, qv, k_candidates=9, k_select=4).collect()
+    slow = mmr_rerank(
+        emb, qv, k_candidates=9, k_select=4, driver_threshold=None
+    ).collect()
+    key = lambda r: (r.query_id, r.step)
+    assert {key(r): (r.vec_id, r.relevance, r.mmr_score) for r in fast} == {
+        key(r): (r.vec_id, r.relevance, r.mmr_score) for r in slow
+    }
+    assert fast and len(fast) == len(slow)
