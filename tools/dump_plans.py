@@ -61,15 +61,17 @@ BENCH_NOTES = {
         "argmax."
     ),
     "mmr_rerank_topk": (
-        "the dumped plan is only the tail union of localCheckpointed "
-        "step picks — the greedy selection executes EAGERLY while the "
-        "plan is built (k_select sequential argmax jobs over the "
-        "candidate/pair checkpoints; each step's real shape is "
-        "anti-join + bounded pair join + per-query argmax window). "
-        "Checkpointing per step keeps plan growth linear in k_select "
-        "instead of exponential (each step references the "
-        "selected-so-far set twice); with the candidate repartition "
-        "this took the fixed cost 4.2 → 2.3 s at sf0.1."
+        "the dumped plan is the driver-greedy result relation (r9): "
+        "Spark computes the candidate top-k and the 6-dp integer "
+        "sims (flat codegen cosine), a limit-probe shows they fit "
+        "the collect threshold, and the k_select greedy loop runs "
+        "in driver memory with decision-for-decision identical "
+        "exact-integer semantics — 44 → 10 jobs per run at sf0.1. "
+        "Oversized candidate sets take the distributed unrolled "
+        "loop (anti-join + bounded pair join + per-query argmax "
+        "window per step, eagerly checkpointed so plan growth stays "
+        "linear in k_select), pinned equal by "
+        "test_mmr_driver_loop_equals_distributed."
     ),
     "winnowed_fingerprints": (
         "r3→r4 0.31→0.74 s is a MEASUREMENT correction, not a code "
