@@ -270,12 +270,21 @@ def mmr_rerank(
     path is engine- and partitioning-independent with NO rounding of
     computed scores — see ``_cos6i``.
 
+    Precondition: corpus ids are unique per ``id_col`` (or duplicate
+    ids carry identical vectors). Duplicated ids with DIFFERENT
+    vectors are nondeterministic on both paths — the driver dict
+    keeps an arbitrary collected row's similarity, the distributed
+    argmax window keeps an arbitrary winner among equal-id rows — so
+    dedupe upstream if that shape can occur.
+
     ``driver_threshold``: cost-based driver greedy (the
     bpe_merges_from_freqs / connected_components precedent). The
     candidate relation is bounded by |queries|·k_candidates and every
     score DOWNSTREAM of the Spark-computed 6-dp integer sims is exact
     integer arithmetic — identical in Python ints — so when a
-    limit-probe shows the candidates fit the threshold, the
+    limit-probe shows the candidates fit the threshold (scaled down
+    when ``k_candidates`` exceeds the default 15, so the pair collect
+    stays within the same driver budget), the
     k_select-step sequential job chain (anti-join + redundancy join +
     argmax window + eager checkpoint per step, ~3 jobs each) collapses
     to two bounded collects and an in-memory loop with
@@ -346,12 +355,23 @@ def mmr_rerank(
     )
     lam_i = int(round(float(lam) * 1e6))
     if driver_threshold is not None:
+        # The driver path ships BOTH the candidate relation and the
+        # pair relation (≤ |cand|·(k_candidates−1) rows). Bound the
+        # candidate probe so the pair collect stays within the budget
+        # the threshold was sized for (threshold candidates at the
+        # default k_candidates=15): a caller passing a huge
+        # k_candidates falls back to the distributed loop instead of
+        # blowing the driver with |cand|·k_candidates pair rows.
+        cand_cap = min(
+            int(driver_threshold),
+            (int(driver_threshold) * 15) // max(1, int(k_candidates) - 1),
+        )
         crows = (
             cand.select("query_id", "_cid", "_simq")
-            .limit(int(driver_threshold) + 1)
+            .limit(cand_cap + 1)
             .collect()
         )
-        if len(crows) <= driver_threshold:
+        if len(crows) <= cand_cap:
             from pyspark.sql import types as T
 
             by_q: dict = {}
@@ -366,7 +386,10 @@ def mmr_rerank(
             out_rows = []
             for qid, cands in by_q.items():
                 # step 1: pure relevance argmax, ties by id ascending
-                cid = max(cands, key=lambda c: (cands[c], -c))
+                # (min over (-score, id) so any ORDERABLE id type
+                # works — negating the id would TypeError on strings,
+                # where the distributed path's F.asc("_cid") is fine)
+                cid = min(cands, key=lambda c: (-cands[c], c))
                 rel = float(cands[cid]) / 1e6
                 out_rows.append((qid, 1, cid, rel, rel))
                 sel = [cid]
@@ -378,8 +401,8 @@ def mmr_rerank(
                     for c in rem:
                         maxsim = max(sim_ab[(qid, c, b)] for b in sel)
                         score = lam_i * cands[c] - (1_000_000 - lam_i) * maxsim
-                        key = (score, -c)
-                        if best_key is None or key > best_key:
+                        key = (-score, c)  # min ⇒ ties by id ascending
+                        if best_key is None or key < best_key:
                             best, best_key = (c, score), key
                     c, score = best
                     out_rows.append(

@@ -582,6 +582,13 @@ def embedding_near_dup_pairs(
     ``exact=True``: all-pairs (correctness baseline, O(n²) — small
     corpora / oracle checks only). Default: hyperplane-LSH blocked
     self-join, sub-quadratic; recall controlled by bits/bands.
+
+    Width requirement (BOTH paths, including ``exact=True``): vectors
+    must be exactly ``dims`` elements wide. Scoring is the flat
+    ``dims``-term codegen sum over width-guarded norms, so a row whose
+    vector width ≠ dims gets a NULL cosine and silently drops from the
+    output — callers with ragged widths must pad/filter upstream or
+    pass the true width.
     """
     # pair scoring is the O(candidates) hot path: flat dims-term
     # codegen sum with map-side norms, not the interpreted HOF fold

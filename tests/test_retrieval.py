@@ -432,3 +432,66 @@ def test_mmr_driver_loop_equals_distributed(spark):
         key(r): (r.vec_id, r.relevance, r.mmr_score) for r in slow
     }
     assert fast and len(fast) == len(slow)
+
+
+def test_mmr_driver_loop_string_ids(spark):
+    """The driver greedy must handle non-numeric ids (ADVICE r9): the
+    tie-break is min over (-score, id), so any orderable id type works
+    exactly like the distributed path's F.asc tie-break."""
+    rows = [
+        ("q", [1.0, 0.0, 0.0]),
+        ("a", [0.99, 0.14, 0.0]),
+        ("b", [0.99, 0.14, 0.0]),  # exact duplicate of a: id tie
+        ("c", [0.7, 0.0, 0.71]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    qv = emb.filter("vec_id = 'q'").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fast = mmr_rerank(emb, qv, k_candidates=3, k_select=3, lam=0.5).collect()
+    slow = mmr_rerank(
+        emb, qv, k_candidates=3, k_select=3, lam=0.5, driver_threshold=None
+    ).collect()
+    key = lambda r: (r.query_id, r.step)
+    assert {key(r): (r.vec_id, r.relevance, r.mmr_score) for r in fast} == {
+        key(r): (r.vec_id, r.relevance, r.mmr_score) for r in slow
+    }
+    # the score tie between a and b breaks by id ascending on BOTH paths
+    assert [r.vec_id for r in sorted(fast, key=lambda r: r.step)][0] == "a"
+
+
+def test_mmr_large_k_candidates_takes_distributed_path(spark):
+    """driver_threshold bounds the PAIR collect too (VERDICT r9 #8):
+    with k_candidates large enough that |cand|·k_candidates exceeds
+    the budget, the probe must route to the distributed loop — and the
+    result must be unchanged."""
+    from unittest import mock
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(4)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # threshold 100 with k_candidates=800 ⇒ cand_cap = 100*15//799 = 1,
+    # so the probe (2 queries × candidates > 1 row) must bail to the
+    # distributed loop; spy on createDataFrame to prove no driver-built
+    # result was returned.
+    with mock.patch.object(
+        spark, "createDataFrame", wraps=spark.createDataFrame
+    ) as cdf:
+        out = mmr_rerank(
+            emb, qv, k_candidates=800, k_select=3, driver_threshold=100
+        ).collect()
+        driver_built = [
+            c for c in cdf.call_args_list if c.args and isinstance(c.args[0], list)
+        ]
+    assert not driver_built  # distributed path: no collected-rows DF
+    want = mmr_rerank(
+        emb, qv, k_candidates=800, k_select=3, driver_threshold=None
+    ).collect()
+    key = lambda r: (r.query_id, r.step)
+    assert {key(r): (r.vec_id, r.relevance, r.mmr_score) for r in out} == {
+        key(r): (r.vec_id, r.relevance, r.mmr_score) for r in want
+    }
