@@ -899,7 +899,13 @@ def main() -> None:
     with open(times_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(result))
+    # The contract line (final stdout line, compact separators). With
+    # 143+ entries it is ~4.2 KB against the driver's 2000-char stdout
+    # tail, so tail-side parses CANNOT see the whole line — the
+    # durable channel is the BENCH_TIMES.json sidecar above (written
+    # BEFORE the print, git_head-stamped, committed in-repo), which is
+    # what recovered the round-9 numbers after the round-8 tail clip.
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -282,6 +282,7 @@ def write_partitioned_audited(
     fmt: str = "parquet",
     null_check_cols: list[str] | None = None,
     options: dict[str, str] | None = None,
+    extra_metrics: dict | None = None,
 ) -> dict:
     """``write_partitioned`` plus a write-audit manifest computed in
     the SAME job via ``df.observe`` — rows written, per-column null
@@ -299,6 +300,13 @@ def write_partitioned_audited(
 
     Returns ``{"n_rows": ..., "null_<col>": ..., "min_<p>": ...,
     "max_<p>": ...}``.
+
+    ``extra_metrics``: additional named aggregate Columns to ride the
+    SAME observation (e.g. ``{"dates_written":
+    F.collect_set("date")}`` lets a recompute-a-day caller learn which
+    partitions actually received rows without re-executing the write's
+    input subtree — the probe-on-the-write's-own-pass discipline this
+    sink exists for). Names land in the returned manifest as-is.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -311,6 +319,8 @@ def write_partitioned_audited(
     for p in partition_by or []:
         metrics.append(F.min(p).alias(f"min_{p}"))
         metrics.append(F.max(p).alias(f"max_{p}"))
+    for name, expr in (extra_metrics or {}).items():
+        metrics.append(expr.alias(name))
     obs = Observation()
     observed = df.observe(obs, *metrics)
     write_partitioned(observed, path, partition_by, mode, fmt, options)

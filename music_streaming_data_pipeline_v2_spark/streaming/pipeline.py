@@ -268,7 +268,8 @@ def run_incremental_pipeline(
         # never on the session conf: a conf mutation here silently
         # changes overwrite semantics for every later write in the
         # caller's session (their 'overwrite' stops truncating)
-        good = validate_streams(batch_df, check_nonempty=False)
+        from pyspark.sql import Observation
+
         # exact complement of the validation predicate — no join, so
         # an invalid row whose (user_id, track_id) also appears in a
         # valid row is still quarantined
@@ -278,6 +279,21 @@ def run_incremental_pipeline(
             | F.col("listen_time").isNull()
             | coerce_timestamp("listen_time").isNull()
         )
+        # Quarantine probe rides the validated write's own pass: an
+        # observation BELOW the validity filter counts invalid rows
+        # while the write runs (CollectMetrics is a predicate-pushdown
+        # barrier, so the filter above cannot slide under the metric
+        # and undercount — plan-asserted in tests). The old
+        # bad.isEmpty() was a whole extra source scan per batch just to
+        # learn the common case (zero invalid rows).
+        bad_obs: Observation | None = None
+        src = batch_df
+        if not strict and quarantine_dir is not None:
+            bad_obs = Observation()
+            src = batch_df.observe(
+                bad_obs, F.sum(invalid.cast("long")).alias("n_bad")
+            )
+        good = validate_streams(src, check_nonempty=False)
         if strict:
             # the reference's FAIL_ON_VALIDATION_ERROR mode
             # (dags/tasks/validate.py:34, 229-252): abort the batch on
@@ -290,46 +306,49 @@ def run_incremental_pipeline(
                 raise ValueError(
                     f"strict validation: {n_bad} invalid row(s) in batch {batch_id}"
                 )
-        elif quarantine_dir is not None:
-            # batch-owned partition + dynamic overwrite: foreachBatch
-            # is at-least-once, so a replayed batch must REWRITE its
-            # own quarantine rows, not append a second copy. All-valid
-            # batches SKIP the write: an empty dynamic-partitioned
-            # overwrite creates the directory with no files (not even
-            # _SUCCESS), and a later plain read of it dies with
-            # UNABLE_TO_INFER_SCHEMA (the line_ingest r4 lesson) —
-            # replays are still idempotent, the same rows skip again
-            bad = batch_df.filter(invalid)
-            if not bad.isEmpty():
-                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                    "overwrite"
-                ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                    "_batch_id"
-                ).parquet(quarantine_dir)
         good = good.withColumn("date", F.to_date("listen_time")).persist()
         # accumulate validated rows partitioned by (date, batch): date
         # for the recompute's partition pruning, batch so an
         # at-least-once REPLAY overwrites exactly its own slice instead
         # of appending duplicates that would permanently double-count
-        # every later recompute of those dates
-        good.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        # every later recompute of those dates. The touched-date set
+        # rides the same write via observe() — the old
+        # dates_df.limit().collect() was one more job per batch over
+        # the persisted rows.
+        date_obs = Observation()
+        good.observe(
+            date_obs, F.collect_set("date").alias("dates")
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "date", "_batch_id"
         ).parquet(validated_dir)
+        dates = sorted(date_obs.get["dates"])
+
+        if bad_obs is not None and int(bad_obs.get["n_bad"] or 0):
+            # batch-owned partition + dynamic overwrite: foreachBatch
+            # is at-least-once, so a replayed batch must REWRITE its
+            # own quarantine rows, not append a second copy. All-valid
+            # batches SKIP the write (the observed count is zero): an
+            # empty dynamic-partitioned overwrite creates the directory
+            # with no files (not even _SUCCESS), and a later plain read
+            # of it dies with UNABLE_TO_INFER_SCHEMA (the line_ingest
+            # r4 lesson) — replays are still idempotent, the same rows
+            # skip again
+            batch_df.filter(invalid).withColumn(
+                "_batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_batch_id").parquet(quarantine_dir)
 
         # recompute ONLY the dates touched by this batch from the full
         # validated store — the reference's recompute-a-day semantics.
         # The driver-side date list is count-capped: a normal batch
-        # touches a handful of days (collect is a few rows), but a
-        # pathological backfill spanning years would turn isin() into a
-        # giant OR — past the cap, switch to a broadcast semi-join on
-        # the distinct-dates frame, which prunes the date-partitioned
-        # store at runtime via dynamic partition pruning instead.
-        dates_df = good.select("date").distinct()
-        dates = [
-            r["date"] for r in dates_df.limit(max_isin_dates + 1).collect()
-        ]
+        # touches a handful of days, but a pathological backfill
+        # spanning years would turn isin() into a giant OR — past the
+        # cap, switch to a broadcast semi-join on the distinct-dates
+        # frame, which prunes the date-partitioned store at runtime
+        # via dynamic partition pruning instead.
         if not dates:
             good.unpersist()
             return
@@ -337,7 +356,9 @@ def run_incremental_pipeline(
         def only_touched(df: DataFrame) -> DataFrame:
             if len(dates) <= max_isin_dates:
                 return df.filter(F.col("date").isin(dates))
-            return df.join(F.broadcast(dates_df), "date", "semi")
+            return df.join(
+                F.broadcast(good.select("date").distinct()), "date", "semi"
+            )
 
         full = only_touched(spark.read.parquet(validated_dir))
         dim_cols = ["track_id", "track_genre", "duration_ms"] + (
@@ -373,6 +394,11 @@ def run_incremental_pipeline(
                 ["date"],
                 options={"partitionOverwriteMode": "dynamic"},
                 null_check_cols=["track_genre", "listen_count"],
+                # which dates actually received rows, observed on the
+                # write's own pass — the old left-anti collect against
+                # kpis.select("date") RE-EXECUTED the whole recompute
+                # aggregation subtree once more per batch
+                extra_metrics={"dates_written": F.collect_set("date")},
             )
         }
         # recompute-a-day must also handle a day recomputing to ZERO
@@ -381,12 +407,9 @@ def run_incremental_pipeline(
         # date, so the stale partition would keep serving. Delete the
         # touched-but-empty dates' partitions explicitly (Hadoop FS via
         # the JVM — works on any scheme, never a driver-local os.path).
-        empty_dates = [
-            r["date"]
-            for r in dates_df.join(
-                kpis.select("date").distinct(), "date", "left_anti"
-            ).collect()
-        ]
+        empty_dates = sorted(
+            set(dates) - set(manifests["genre_kpis"]["dates_written"])
+        )
         if empty_dates:
             _delete_date_partitions(spark, kpi_dir, empty_dates)
 

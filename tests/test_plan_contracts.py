@@ -182,3 +182,27 @@ def test_quantile_normalize_windows_only_value_relation(spark):
         assert plan[m.start():].find("HashAggregate") != -1, (
             "a window consumes unaggregated rows"
         )
+
+
+def test_observe_metric_is_pushdown_barrier(spark):
+    # The pipeline's quarantine probe (streaming/pipeline.py) counts
+    # invalid rows in an observation BELOW the validity filter so the
+    # validated write's own pass answers "were there bad rows?".
+    # That only works if Catalyst refuses to push the filter through
+    # CollectMetrics — otherwise the metric silently counts only
+    # surviving rows (always 0). Pin the barrier.
+    from pyspark.sql import Observation
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "user_id int, track_id string"
+    )
+    obs = Observation()
+    bad = (F.col("user_id").isNull()).cast("long")
+    src = df.observe(obs, F.sum(bad).alias("n_bad"))
+    good = src.filter(F.col("user_id").isNotNull())
+    plan = good._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Filter") < plan.index("CollectMetrics")
+    good.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_bad"] == 1
