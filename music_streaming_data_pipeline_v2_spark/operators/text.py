@@ -1885,6 +1885,53 @@ def contamination_spans(
     )
 
 
+def positioned_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(_id, _pos, _t)``: engine-safe tokens with 0-based CONSECUTIVE
+    positions per doc (empties dropped, then re-based via row_number) —
+    the position-enumerated relation span excision rebuilds from.
+    Exposed so an ingest caller can materialize it once and share the
+    tokenize+explode+window shuffle between the contamination screen
+    and the excision (decontam_ingest ``emit_cleaned``)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
+    w = Window.partitionBy("_id").orderBy("_raw")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(toks).alias("_raw", "_t"),
+        )
+        .filter(F.col("_t") != "")
+        .select("_id", (F.row_number().over(w) - 1).alias("_pos"), "_t")
+    )
+
+
+def grams_from_positions(pos: DataFrame, n: int) -> DataFrame:
+    """``(_id, _pos, gram)`` n-gram start rows over a
+    ``positioned_tokens`` relation — same gram set as
+    ``word_ngram_rows`` (grams over consecutive surviving tokens),
+    with the start position carried for span logic. A narrow window
+    pass when ``pos`` is already materialized/partitioned by ``_id``."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("_id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", i).over(wp) for i in range(1, n)]
+    )
+    return (
+        pos.select(
+            "_id",
+            "_pos",
+            gram.alias("gram"),
+            F.lead("_t", n - 1).over(wp).alias("_probe"),
+        )
+        .filter(F.col("_probe").isNotNull())
+        .select("_id", "_pos", "gram")
+    )
+
+
 def remove_contaminated_spans(
     docs: DataFrame,
     eval_set: DataFrame | None,
@@ -1894,6 +1941,7 @@ def remove_contaminated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_grams: DataFrame | None = None,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """The ACTION side of ``contamination_spans``: excise every
     contaminated token window from ``docs`` (the remove-the-window
@@ -1931,6 +1979,12 @@ def remove_contaminated_spans(
     of ``eval_set`` to screen against a pre-materialized gram
     inventory without re-tokenizing the eval corpus per call; exactly
     one of the two must be provided.
+
+    Pass ``positions`` (a materialized ``positioned_tokens(docs)``
+    relation — the caller guarantees it was built from THE SAME
+    ``docs``/``text_col``) to skip this call's own tokenize pass —
+    the decontam-ingest seam that lets the per-batch contamination
+    screen and the excision share one tokenize+explode shuffle.
     """
     from pyspark.sql import Window
 
@@ -1945,25 +1999,12 @@ def remove_contaminated_spans(
         )
 
     toks = F.split(F.trim(F.col(text_col)), ENGINE_SAFE_WS)
-    w = Window.partitionBy("_id").orderBy("_raw")
     pos = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(toks).alias("_raw", "_t"),
-        )
-        .filter(F.col("_t") != "")
-        .select("_id", (F.row_number().over(w) - 1).alias("_pos"), "_t")
+        positions
+        if positions is not None
+        else positioned_tokens(docs, text_col, id_col)
     )
-    wp = Window.partitionBy("_id").orderBy("_pos")
-    gram = F.concat_ws(
-        " ", F.col("_t"), *[F.lead("_t", i).over(wp) for i in range(1, n)]
-    )
-    grams = pos.select(
-        "_id",
-        "_pos",
-        gram.alias("gram"),
-        F.lead("_t", n - 1).over(wp).alias("_probe"),
-    ).filter(F.col("_probe").isNotNull())
+    grams = grams_from_positions(pos, n)
     if eval_grams is not None:
         eg = eval_grams.select("gram").distinct()
     else:

@@ -150,9 +150,27 @@ def run_incremental_decontam(
 
         if batch_df.isEmpty():
             return
-        grams = word_ngram_postings(
-            batch_df, n, text_col=text_col, id_col=id_col, out_id="doc_id"
-        )
+        if emit_cleaned:
+            # cleaned mode screens AND excises the same batch: share
+            # ONE tokenize+explode shuffle between the two via a
+            # materialized positioned-token relation (the screen's
+            # gram set over consecutive surviving tokens is identical
+            # either way — word_ngram_rows' own contract). Lazy
+            # checkpoint: the hits write materializes it, the
+            # excision's two consumers read it back.
+            from ..operators.text import grams_from_positions, positioned_tokens
+
+            pos = positioned_tokens(
+                batch_df, text_col=text_col, id_col=id_col
+            ).localCheckpoint(eager=False)
+            grams = grams_from_positions(pos, n).select(
+                F.col("_id").alias("doc_id"), "gram"
+            ).distinct()
+        else:
+            pos = None
+            grams = word_ngram_postings(
+                batch_df, n, text_col=text_col, id_col=id_col, out_id="doc_id"
+            )
         testgrams = spark.read.schema("test_id long, gram string").parquet(
             tg_dir
         )
@@ -179,6 +197,7 @@ def run_incremental_decontam(
                 text_col=text_col,
                 id_col=id_col,
                 eval_grams=testgrams,
+                positions=pos,
             )
             cleaned.write.mode("overwrite").parquet(
                 os.path.join(cleaned_dir, f"batch_id={batch_id}")
