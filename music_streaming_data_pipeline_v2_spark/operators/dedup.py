@@ -1151,11 +1151,24 @@ def group_minhash_overlap(
     sdict = dsh.select("s").distinct().select(
         "s", *[hash_fns[i](F.col("s")).alias(f"_h{i}") for i in range(n)]
     )
-    sig = dsh.join(sdict, "s").groupBy("g").agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n)]
+    # sig and sizes are BOUNDED relations (groups × n_hashes / groups
+    # × 1) that each feed both sides of a self cross join below —
+    # un-checkpointed, Catalyst plans the whole dict-hash+join+agg
+    # subtree TWICE (the r10 before-plan shows two full sdict builds,
+    # i.e. the 8-way md5 chains run twice per distinct shingle). Lazy
+    # localCheckpoint: first consumer materializes, the rest scan rows.
+    sig = (
+        dsh.join(sdict, "s")
+        .groupBy("g")
+        .agg(*[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n)])
+        .localCheckpoint(eager=False)
     )
     est = signature_overlap_pairs(sig, n)
-    sizes = dsh.groupBy("g").agg(F.count("*").cast("long").alias("n_sh"))
+    sizes = (
+        dsh.groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     out = (
         sizes.select(F.col("g").alias("g_a"), F.col("n_sh").alias("n_sh_a"))
         .crossJoin(

@@ -1,8 +1,8 @@
-"""Dump one registry query's .explain('formatted') to plans/r09/.
+"""Dump one registry query's .explain('formatted') to plans/r10/.
 
 Usage: python tools/dump_query_plan.py <before|after> <query> [query...]
 
-Writes plans/r09/<query>_<tag>.txt with the same header convention the
+Writes plans/r10/<query>_<tag>.txt with the same header convention the
 round-9 optimization evidence uses (sf0.01 — plan shape, not timing).
 """
 
@@ -27,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        "r10",
     )
     os.makedirs(out_dir, exist_ok=True)
     word = "BEFORE" if tag == "before" else "AFTER"
